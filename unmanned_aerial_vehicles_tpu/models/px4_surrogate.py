@@ -1,0 +1,90 @@
+"""PX4-in-the-loop surrogate plant (rate-setpoint + normalized-thrust inputs).
+
+The reference's flight controllers do not command torques — they publish
+body-rate setpoints and a normalized thrust to PX4
+(``/root/reference/src/px4/mpc.py:1966-1980``), whose internal rate controller
+tracks them. For closed-loop runs to be comparable to the PX4 SITL campaign
+(SURVEY.md section 6 / hard part (e)) the simulated plant must absorb that
+inner loop. We model it the way the reference's direct-rate MPC models PX4
+(``/root/reference/src/px4/mpc_direct_rates.py:150-220``): a first-order lag
+on each body rate with time constants ``tau = (0.05, 0.05, 0.08)`` seconds,
+on top of the rigid-body translational/attitude kinematics.
+
+Thrust semantics: normalized thrust 1.0 == hover (acceleration g along body z),
+matching the reference allocation's ``thrust_magnitude / g`` normalisation
+(``mpc.py:2064``).
+
+State: the same 12-state layout as ``rigid_body.py``.
+Control: ``[thrust_normalized, p_cmd, q_cmd, r_cmd]``.
+"""
+
+from __future__ import annotations
+
+from flax import struct
+import jax.numpy as jnp
+
+from ..utils.rotations import euler_rate_transform, euler_to_rotation_matrix
+from .params import RigidBodyParams
+
+
+@struct.dataclass
+class RateLoopParams:
+    """First-order body-rate tracking constants (``mpc_direct_rates.py:150-165``)."""
+
+    tau_roll: float = 0.05
+    tau_pitch: float = 0.05
+    tau_yaw: float = 0.08
+
+    @property
+    def taus(self) -> jnp.ndarray:
+        return jnp.asarray([self.tau_roll, self.tau_pitch, self.tau_yaw])
+
+
+def _derivative(
+    state: jnp.ndarray,
+    control: jnp.ndarray,
+    body: RigidBodyParams,
+    rates: RateLoopParams,
+) -> jnp.ndarray:
+    vel = state[..., 3:6]
+    phi, theta, psi = state[..., 6], state[..., 7], state[..., 8]
+    omega = state[..., 9:12]
+
+    thrust_norm = control[..., 0]
+    rate_cmd = control[..., 1:4]
+
+    R = euler_to_rotation_matrix(phi, theta, psi)
+    # normalized thrust 1.0 -> acceleration g along body z
+    thrust_accel_world = R[..., :, 2] * (thrust_norm * body.gravity)[..., None]
+
+    speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+    drag_accel = -(body.k_drag_linear / body.mass) * speed * vel
+
+    gravity = jnp.zeros_like(vel).at[..., 2].set(-body.gravity)
+    acceleration = thrust_accel_world + gravity + drag_accel
+
+    W = euler_rate_transform(phi, theta)
+    attitude_dot = jnp.einsum("...ij,...j->...i", W, omega)
+
+    omega_dot = (rate_cmd - omega) / rates.taus
+
+    return jnp.concatenate([vel, acceleration, attitude_dot, omega_dot], axis=-1)
+
+
+def px4_rate_tracking_step(
+    state: jnp.ndarray,
+    control: jnp.ndarray,
+    body: RigidBodyParams,
+    rates: RateLoopParams,
+    dt: float,
+) -> jnp.ndarray:
+    """RK4 step of the rate-tracking surrogate plant."""
+
+    def f(x):
+        return _derivative(x, control, body, rates)
+
+    k1 = f(state)
+    k2 = f(state + 0.5 * dt * k1)
+    k3 = f(state + 0.5 * dt * k2)
+    k4 = f(state + dt * k3)
+    return state + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)

@@ -1,0 +1,15 @@
+from .rotations import (
+    euler_to_quaternion,
+    euler_to_rotation_matrix,
+    euler_rate_transform,
+    quaternion_to_euler,
+    wrap_angle,
+)
+
+__all__ = [
+    "euler_to_quaternion",
+    "euler_to_rotation_matrix",
+    "euler_rate_transform",
+    "quaternion_to_euler",
+    "wrap_angle",
+]
