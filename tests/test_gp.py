@@ -1,0 +1,163 @@
+"""GP parity tests: sklearn posterior/LML to 1e-6 on real flight data,
+hyperparameter optimisation, ring-buffer filters, horizon residuals,
+checkpoint round-trip (SURVEY.md section 7 stage 3)."""
+
+import glob
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from sklearn.gaussian_process import GaussianProcessRegressor
+from sklearn.gaussian_process.kernels import RBF, WhiteKernel
+
+from unmanned_aerial_vehicles_tpu.gp import (
+    GPParams,
+    add_training_sample,
+    build_horizon_residuals,
+    empty_dataset,
+    fit_gp,
+    fit_residual_gp,
+    log_marginal_likelihood,
+    optimize_hyperparameters,
+    predict,
+    predict_residual,
+)
+from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+from unmanned_aerial_vehicles_tpu.io import (
+    load_gp_dataset,
+    load_gp_checkpoint,
+    save_gp_checkpoint,
+)
+
+DATASETS = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))
+
+
+@pytest.fixture(scope="module")
+def flight_data():
+    X, Y = load_gp_dataset(DATASETS[0])
+    return X[:300], Y[:300], X[300:350], Y[300:350]
+
+
+def sklearn_reference(X, Y):
+    kernel = RBF(length_scale=0.5) + WhiteKernel(noise_level=0.1)
+    gp = GaussianProcessRegressor(
+        kernel=kernel, alpha=1e-4, normalize_y=True, optimizer=None
+    )
+    gp.fit(X, Y)
+    return gp
+
+
+def test_posterior_mean_parity_with_sklearn(flight_data):
+    X, Y, Xt, _ = flight_data
+    skl = sklearn_reference(X, Y)
+    mean_ref, std_ref = skl.predict(Xt, return_std=True)
+
+    post = fit_residual_gp(jnp.asarray(X), jnp.asarray(Y))
+    mean, var = predict(post, jnp.asarray(Xt))
+
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, atol=1e-6)
+    np.testing.assert_allclose(np.sqrt(np.asarray(var)), std_ref, atol=1e-6)
+
+
+def test_lml_parity_with_sklearn(flight_data):
+    X, Y, _, _ = flight_data
+    skl = sklearn_reference(X, Y)
+    lml_ref = skl.log_marginal_likelihood()
+
+    params = GPParams.create(0.5, 1.0, 0.1)
+    lml = log_marginal_likelihood(
+        params, jnp.asarray(X), jnp.asarray(Y), jitter=1e-4, normalize_y=True
+    )
+    np.testing.assert_allclose(float(lml), lml_ref, rtol=1e-9)
+
+
+def test_hyperparameter_optimization_improves_lml(flight_data):
+    X, Y, _, _ = flight_data
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    params = GPParams.create(2.0, 0.5, 0.5)  # deliberately bad start
+    lml0 = log_marginal_likelihood(params, Xj, Yj, jitter=1e-4, normalize_y=True)
+    best, nll = optimize_hyperparameters(
+        params, Xj, Yj, jitter=1e-4, normalize_y=True, steps=60
+    )
+    lml1 = log_marginal_likelihood(best, Xj, Yj, jitter=1e-4, normalize_y=True)
+    assert float(lml1) > float(lml0) + 10.0
+    np.testing.assert_allclose(float(nll), -float(lml1), rtol=1e-6)
+
+
+def test_unfitted_region_reverts_to_prior(flight_data):
+    """Far from data the mean must go to the (de-normalised) prior mean."""
+    X, Y, _, _ = flight_data
+    post = fit_residual_gp(jnp.asarray(X), jnp.asarray(Y))
+    far = jnp.full((1, 10), 100.0)
+    mean, var = predict(post, far)
+    np.testing.assert_allclose(np.asarray(mean[0]), Y.mean(axis=0), atol=1e-6)
+    # prior variance = (signal + noise) * y_std^2 per output
+    np.testing.assert_allclose(
+        np.asarray(var[0]), 1.1 * Y.std(axis=0) ** 2, rtol=1e-6
+    )
+
+
+def test_ring_buffer_filters():
+    cfg = ResidualGPConfig(max_data_points=4, dt=0.02)
+    ds = empty_dataset(4, jnp.float64)
+
+    ok_state = jnp.zeros(6)
+    ok_ctrl = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    ok_next = jnp.asarray([0.0, 0.0, 0.0, 0.021, 0.0, 0.0])
+
+    ds = add_training_sample(ds, ok_state, ok_ctrl, ok_next, cfg)
+    assert int(ds.count) == 1
+
+    fast_state = jnp.zeros(6).at[3].set(9.0)  # ||v|| > 5 -> reject
+    ds = add_training_sample(ds, fast_state, ok_ctrl, ok_next, cfg)
+    assert int(ds.count) == 1
+
+    big_ctrl = jnp.asarray([5.0, 0.0, 0.0, 0.0])  # ||u|| > 3 -> reject
+    ds = add_training_sample(ds, ok_state, big_ctrl, ok_next, cfg)
+    assert int(ds.count) == 1
+
+    big_res_next = jnp.asarray([5.0, 0.0, 0.0, 0.0, 0.0, 0.0])  # ||res|| > 2
+    ds = add_training_sample(ds, ok_state, ok_ctrl, big_res_next, cfg)
+    assert int(ds.count) == 1
+
+    for _ in range(5):  # wrap the ring
+        ds = add_training_sample(ds, ok_state, ok_ctrl, ok_next, cfg)
+    assert int(ds.count) == 4
+
+    # stored residual = next - nominal
+    nominal = np.zeros(6)
+    nominal[0] = 0.0
+    expected_res = np.asarray(ok_next) - (
+        np.asarray(ok_state) + 0.02 * np.array([0, 0, 0, 1.0, 0, 0])
+    )
+    np.testing.assert_allclose(np.asarray(ds.Y[0]), expected_res, atol=1e-12)
+
+
+def test_horizon_residuals_shape_and_conversion(flight_data):
+    X, Y, _, _ = flight_data
+    cfg = ResidualGPConfig()
+    post = fit_residual_gp(jnp.asarray(X), jnp.asarray(Y), cfg)
+
+    N = 25
+    X_guess = jnp.tile(jnp.asarray(X[0, :6])[None, :], (N + 1, 1))
+    U_guess = jnp.tile(jnp.asarray(X[0, 6:10])[None, :], (N, 1))
+    D = build_horizon_residuals(post, X_guess, U_guess, cfg)
+    assert D.shape == (N, 6)
+    np.testing.assert_allclose(np.asarray(D[:, 0:3]), 0.0)  # position rows zero
+
+    mean, _ = predict_residual(post, jnp.asarray(X[0, :6]), jnp.asarray(X[0, 6:10]))
+    expected = cfg.residual_gain * np.asarray(mean)[3:6] / cfg.dt
+    np.testing.assert_allclose(np.asarray(D[0, 3:6]), expected, atol=1e-9)
+
+
+def test_checkpoint_roundtrip(tmp_path, flight_data):
+    X, Y, Xt, _ = flight_data
+    post = fit_residual_gp(jnp.asarray(X), jnp.asarray(Y))
+    mean0, var0 = predict(post, jnp.asarray(Xt))
+
+    path = tmp_path / "gp.npz"
+    save_gp_checkpoint(str(path), post, X, Y, jitter=1e-4)
+    post2, _, _, _ = load_gp_checkpoint(str(path))
+    mean1, var1 = predict(post2, jnp.asarray(Xt))
+    np.testing.assert_allclose(np.asarray(mean0), np.asarray(mean1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var0), np.asarray(var1), atol=1e-12)

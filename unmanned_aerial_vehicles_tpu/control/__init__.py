@@ -1,0 +1,42 @@
+from .pid import PIDGains, PIDState, pid_init, pid_step
+from .cascade_pid import (
+    CascadePidGains,
+    CascadeState,
+    cascade_init,
+    cascade_pid_step,
+    ComparisonPidParams,
+    comparison_pid_init,
+    comparison_pid_step,
+)
+from .allocation import (
+    AttitudeLoopState,
+    attitude_loop_init,
+    geometric_control_allocation,
+    torque_to_px4_rates,
+)
+from .mpc_linear import (
+    LinearMPCConfig,
+    LinearMPC,
+    MPCCarry,
+)
+
+__all__ = [
+    "PIDGains",
+    "PIDState",
+    "pid_init",
+    "pid_step",
+    "CascadePidGains",
+    "CascadeState",
+    "cascade_init",
+    "cascade_pid_step",
+    "ComparisonPidParams",
+    "comparison_pid_init",
+    "comparison_pid_step",
+    "AttitudeLoopState",
+    "attitude_loop_init",
+    "geometric_control_allocation",
+    "torque_to_px4_rates",
+    "LinearMPCConfig",
+    "LinearMPC",
+    "MPCCarry",
+]

@@ -1,0 +1,112 @@
+"""Control allocation: world accelerations / torques -> PX4-style commands.
+
+Functional rewrites of the reference's L3 allocation layer:
+
+* ``geometric_control_allocation`` — desired world acceleration + yaw ->
+  normalized thrust, attitude setpoint and body-rate command via an attitude
+  PID (Kp=3.2, Ki=0.6, Kd=0.6), ``/root/reference/src/px4/mpc.py:2057-2113``.
+  Carried state is the attitude-error integral (clipped, ``mpc.py`` node
+  fields ``attitude_integral``/``integral_max``).
+* ``torque_to_px4_rates`` — 12-state MPC torque outputs -> body-rate +
+  normalized-thrust commands, ``/root/reference/src/px4/mpc_FULL.py:552-611``.
+"""
+
+from __future__ import annotations
+
+from flax import struct
+import jax.numpy as jnp
+
+from ..utils.rotations import wrap_angle
+
+
+@struct.dataclass
+class AttitudeLoopState:
+    integral: jnp.ndarray  # (3,) attitude-error integral
+
+
+def attitude_loop_init(dtype=jnp.float32) -> AttitudeLoopState:
+    return AttitudeLoopState(integral=jnp.zeros(3, dtype))
+
+
+def geometric_control_allocation(
+    carry: AttitudeLoopState,
+    accel_des: jnp.ndarray,
+    target_yaw: jnp.ndarray,
+    yawrate_des: jnp.ndarray,
+    current_attitude: jnp.ndarray,
+    current_angular_velocity: jnp.ndarray,
+    dt_attitude: float = 0.02,
+    kp: float = 3.2,
+    ki: float = 0.6,
+    kd: float = 0.6,
+    integral_max: float = 0.3,
+    gravity: float = 9.81,
+):
+    """One allocation tick (``mpc.py:2057-2113``).
+
+    Returns ``(thrust_normalized, rate_setpoint3, attitude_setpoint3, carry)``.
+    """
+    thrust_vector = accel_des + jnp.array([0.0, 0.0, gravity], accel_des.dtype)
+    thrust_magnitude = jnp.linalg.norm(thrust_vector)
+    thrust_normalized = jnp.clip(thrust_magnitude / gravity, 0.25, 1.2)
+
+    thrust_unit = thrust_vector / jnp.maximum(thrust_magnitude, 1e-9)
+    pitch_cmd = -jnp.arcsin(jnp.clip(thrust_unit[0], -0.4, 0.4))
+    roll_cmd = jnp.arcsin(jnp.clip(thrust_unit[1], -0.4, 0.4))
+    # reference zeroes the tilt when the thrust vector is degenerate (:2070-2075)
+    degenerate = thrust_magnitude <= 0.1
+    pitch_cmd = jnp.where(degenerate, 0.0, pitch_cmd)
+    roll_cmd = jnp.where(degenerate, 0.0, roll_cmd)
+
+    error = jnp.stack(
+        [
+            wrap_angle(roll_cmd - current_attitude[0]),
+            wrap_angle(pitch_cmd - current_attitude[1]),
+            wrap_angle(target_yaw - current_attitude[2]),
+        ]
+    )
+    integral = jnp.clip(
+        carry.integral + error * dt_attitude, -integral_max, integral_max
+    )
+
+    rate_cmd = kp * error + ki * integral - kd * current_angular_velocity
+    rollrate = jnp.clip(rate_cmd[0], -1.2, 1.2)
+    pitchrate = jnp.clip(rate_cmd[1], -1.2, 1.2)
+    yawrate = jnp.clip(yawrate_des + rate_cmd[2], -0.8, 0.8)
+
+    rate_setpoint = jnp.stack([rollrate, pitchrate, yawrate])
+    attitude_setpoint = jnp.stack([roll_cmd, pitch_cmd, target_yaw])
+    return (
+        thrust_normalized,
+        rate_setpoint,
+        attitude_setpoint,
+        AttitudeLoopState(integral=integral),
+    )
+
+
+def torque_to_px4_rates(
+    u_mpc: jnp.ndarray,
+    mass: float = 2.0,
+    Jx: float = 0.0217,
+    Jy: float = 0.0217,
+    Jz: float = 0.04,
+    kp_att: float = 5.0,
+    gravity: float = 9.81,
+):
+    """Torque+thrust MPC output -> (rate_cmd3, thrust_norm);
+    ``mpc_FULL.py:552-611`` including its 0.05 s feedforward constant and
+    asymmetric clips."""
+    uT, tau = u_mpc[0], u_mpc[1:4]
+    thrust_norm = jnp.clip(uT / (mass * gravity), 0.30, 0.80)
+
+    alpha = tau / jnp.array([Jx, Jy, Jz], u_mpc.dtype)
+    dt_control = 0.05
+    rate_cmd = alpha * dt_control * kp_att
+    rate_cmd = jnp.stack(
+        [
+            jnp.clip(rate_cmd[0], -3.0, 3.0),
+            jnp.clip(rate_cmd[1], -3.0, 3.0),
+            jnp.clip(rate_cmd[2], -2.0, 2.0),
+        ]
+    )
+    return rate_cmd, thrust_norm

@@ -1,0 +1,216 @@
+"""6-state linear GP-MPC as a condensed box-QP (the flagship controller).
+
+Re-formulation of the reference's CasADi/Ipopt MPC
+(``/root/reference/src/px4/mpc.py:1305-1646``):
+
+* same model: double integrator, ``x_{k+1} = x_k + dt (f_nom + d_k)``
+  with stage-wise GP dynamics residuals ``d_k``;
+* same cost: ``Q_pos = diag(50,50,80)``, ``Q_vel = diag(12,12,18)``,
+  ``R = diag(2,2,1,8)``, terminal ``3 Q_pos`` / ``2 Q_vel``
+  (``mpc.py:1384-1418``);
+* same box bounds on states and controls (``mpc.py:1440-1457``);
+* same warm-start-by-shifting policy (``mpc.py:1632-1646``).
+
+but instead of an interior-point NLP the states are eliminated and the
+problem is solved in control space by fixed-iteration ADMM (``ops/qp.py``).
+All horizon matrices are compile-time constants; GP residuals enter as a
+traced parameter, so GP-posterior + QP-solve fuse into **one XLA program
+per tick** — this removes the reference's per-tick Python GP loop
+(``mpc.py:1490-1506``) and Ipopt's data-dependent iteration counts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+from flax import struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.double_integrator import CONTROL_DIM, STATE_DIM
+from ..ops.qp import AdmmState, admm_box_qp, condense_dynamics
+
+
+@struct.dataclass
+class LinearMPCConfig:
+    dt: float = 0.02
+    horizon: int = 25
+    q_pos: Tuple[float, float, float] = (50.0, 50.0, 80.0)
+    q_vel: Tuple[float, float, float] = (12.0, 12.0, 18.0)
+    r_control: Tuple[float, float, float, float] = (2.0, 2.0, 1.0, 8.0)
+    terminal_pos_weight: float = 3.0
+    terminal_vel_weight: float = 2.0
+    state_lower: Tuple[float, ...] = (-30.0, -30.0, -5.0, -8.0, -8.0, -4.0)
+    state_upper: Tuple[float, ...] = (30.0, 30.0, 20.0, 8.0, 8.0, 4.0)
+    control_lower: Tuple[float, ...] = (-4.0, -4.0, -5.0, -1.0)
+    control_upper: Tuple[float, ...] = (4.0, 4.0, 8.0, 1.0)
+    gp_residual_gain: float = 0.1  # mpc.py:1333
+    admm_iterations: int = 80
+    admm_rho: float = 8.0
+    admm_over_relax: float = 1.6
+
+
+class MPCCarry(NamedTuple):
+    """Warm-start state carried across ticks (condensed analogue of the
+    reference's ``previous_solution``)."""
+
+    slack: jnp.ndarray       # ADMM z  (m,)
+    dual: jnp.ndarray        # ADMM y  (m,)
+    X_prev: jnp.ndarray      # (N+1, 6) previous predicted states
+    U_prev: jnp.ndarray      # (N, 4) previous optimal controls
+
+
+class LinearMPC:
+    """Condensed-QP linear MPC. Build once (NumPy, f64), solve under jit."""
+
+    def __init__(self, config: LinearMPCConfig = LinearMPCConfig(), dtype=jnp.float32):
+        self.config = config
+        self.dtype = dtype
+        N, dt = config.horizon, config.dt
+        nx, nu = STATE_DIM, CONTROL_DIM
+
+        A = np.eye(nx)
+        A[0:3, 3:6] = dt * np.eye(3)
+        B = np.zeros((nx, nu))
+        B[3:6, 0:3] = dt * np.eye(3)
+
+        Sx, Su, Sw = condense_dynamics(A, B, N)
+
+        q_stage = np.concatenate([config.q_pos, config.q_vel])
+        q_term = np.concatenate(
+            [
+                config.terminal_pos_weight * np.asarray(config.q_pos),
+                config.terminal_vel_weight * np.asarray(config.q_vel),
+            ]
+        )
+        qbar = np.concatenate([np.tile(q_stage, N - 1), q_term])
+        rbar = np.tile(np.asarray(config.r_control), N)
+
+        H = Su.T @ (qbar[:, None] * Su) + np.diag(rbar)
+        G = np.vstack([np.eye(N * nu), Su])
+        M = H + config.admm_rho * (G.T @ G)
+        M_inv = np.linalg.inv(M)
+
+        self.n_primal = N * nu
+        self.n_constraints = G.shape[0]
+
+        # Keep static problem data as HOST numpy arrays: under jit they embed
+        # as HLO constants with zero device round-trips at trace time (device
+        # residency would force per-lowering fetches — costly over remote
+        # TPU tunnels).
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        cast = lambda a: np.asarray(a, dtype=np_dtype)
+        self._Sx, self._Su, self._Sw = cast(Sx), cast(Su), cast(Sw)
+        self._qbar = cast(qbar)
+        self._H, self._G, self._M_inv = cast(H), cast(G), cast(M_inv)
+        self._SuT_q = cast(Su.T * qbar[None, :])
+        self._u_lo = cast(np.tile(config.control_lower, N))
+        self._u_hi = cast(np.tile(config.control_upper, N))
+        self._x_lo = cast(np.tile(config.state_lower, N))
+        self._x_hi = cast(np.tile(config.state_upper, N))
+
+    # ------------------------------------------------------------------
+    def init_carry(self, state: jnp.ndarray | None = None) -> MPCCarry:
+        N = self.config.horizon
+        x0 = jnp.zeros(STATE_DIM, self.dtype) if state is None else state.astype(self.dtype)
+        return MPCCarry(
+            slack=jnp.zeros(self.n_constraints, self.dtype),
+            dual=jnp.zeros(self.n_constraints, self.dtype),
+            X_prev=jnp.tile(x0[None, :], (N + 1, 1)),
+            U_prev=jnp.zeros((N, CONTROL_DIM), self.dtype),
+        )
+
+    def _shift(self, carry: MPCCarry, x0: jnp.ndarray) -> MPCCarry:
+        """Shift the warm start one stage forward (``mpc.py:1632-1646``)."""
+        N = self.config.horizon
+
+        def roll(mat):
+            return jnp.concatenate([mat[1:], mat[-1:]], axis=0)
+
+        zu = roll(carry.slack[: N * CONTROL_DIM].reshape(N, CONTROL_DIM)).reshape(-1)
+        zx = roll(carry.slack[N * CONTROL_DIM :].reshape(N, STATE_DIM)).reshape(-1)
+        yu = roll(carry.dual[: N * CONTROL_DIM].reshape(N, CONTROL_DIM)).reshape(-1)
+        yx = roll(carry.dual[N * CONTROL_DIM :].reshape(N, STATE_DIM)).reshape(-1)
+        X_prev = roll(carry.X_prev).at[0].set(x0)
+        return MPCCarry(
+            slack=jnp.concatenate([zu, zx]),
+            dual=jnp.concatenate([yu, yx]),
+            X_prev=X_prev,
+            U_prev=roll(carry.U_prev),
+        )
+
+    # ------------------------------------------------------------------
+    def solve(
+        self,
+        carry: MPCCarry,
+        state: jnp.ndarray,
+        target_pos: jnp.ndarray,
+        residuals: jnp.ndarray | None = None,
+    ):
+        """One MPC tick. ``state``: 6-vector, ``target_pos``: 3-vector,
+        ``residuals``: optional ``(N, 6)`` stage-wise GP dynamics residuals
+        d_k (already gain-scaled). Returns ``(u0, X_opt, new_carry)``.
+        """
+        cfg = self.config
+        N = cfg.horizon
+        x0 = state.astype(self.dtype)
+
+        carry = self._shift(carry, x0)
+
+        if residuals is None:
+            w = jnp.zeros(N * STATE_DIM, self.dtype)
+        else:
+            w = (cfg.dt * residuals.astype(self.dtype)).reshape(-1)
+
+        ref = jnp.tile(
+            jnp.concatenate([target_pos.astype(self.dtype), jnp.zeros(3, self.dtype)]),
+            N,
+        )
+        mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        offset = mm(self._Sx, x0) + mm(self._Sw, w)
+        f = mm(self._SuT_q, offset - ref)
+
+        lower = jnp.concatenate([self._u_lo, self._x_lo - offset])
+        upper = jnp.concatenate([self._u_hi, self._x_hi - offset])
+
+        sol = admm_box_qp(
+            self._M_inv,
+            self._G,
+            f,
+            lower,
+            upper,
+            carry.slack,
+            carry.dual,
+            cfg.admm_rho,
+            cfg.admm_iterations,
+            cfg.admm_over_relax,
+        )
+
+        U = sol.primal.reshape(N, CONTROL_DIM)
+        X_tail = (offset + mm(self._Su, sol.primal)).reshape(N, STATE_DIM)
+        X_opt = jnp.concatenate([x0[None, :], X_tail], axis=0)
+
+        new_carry = MPCCarry(slack=sol.slack, dual=sol.dual, X_prev=X_opt, U_prev=U)
+        return U[0], X_opt, new_carry
+
+    # ------------------------------------------------------------------
+    def qp_data(self, state, target_pos, residuals=None):
+        """(H, G, f, l, u) of the tick's QP — for KKT/parity tests."""
+        cfg = self.config
+        N = cfg.horizon
+        x0 = state.astype(self.dtype)
+        if residuals is None:
+            w = jnp.zeros(N * STATE_DIM, self.dtype)
+        else:
+            w = (cfg.dt * residuals.astype(self.dtype)).reshape(-1)
+        ref = jnp.tile(
+            jnp.concatenate([target_pos.astype(self.dtype), jnp.zeros(3, self.dtype)]),
+            N,
+        )
+        mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        offset = mm(self._Sx, x0) + mm(self._Sw, w)
+        f = mm(self._SuT_q, offset - ref)
+        lower = jnp.concatenate([self._u_lo, self._x_lo - offset])
+        upper = jnp.concatenate([self._u_hi, self._x_hi - offset])
+        return self._H, self._G, f, lower, upper

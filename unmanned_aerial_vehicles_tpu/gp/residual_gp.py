@@ -1,0 +1,164 @@
+"""Residual-dynamics GP: learning what the double integrator misses.
+
+Functional rebuild of ``SimpleQuadrotorGP``
+(``/root/reference/src/px4/simple_gp.py:24-223``): 10-D input
+``[x,y,z,vx,vy,vz,ax,ay,az,yaw_rate]`` -> 6-D state residual
+``state_next - nominal(state, control, dt)``, with the reference's data
+quality filters and its sklearn kernel configuration
+(``RBF(0.5) + WhiteKernel(0.1)``, ``alpha=1e-4``, ``normalize_y=True``).
+
+TPU-first pieces:
+
+* ``ResidualDataset`` is a fixed-capacity ring buffer pytree — data
+  collection is a masked in-graph update (jit/scan-safe), replacing the
+  Python ``deque`` (``simple_gp.py:31-33``);
+* ``build_horizon_residuals`` evaluates the GP posterior for the whole MPC
+  horizon as ONE batched GEMM — the reference loops 25 sequential sklearn
+  ``predict`` calls per control tick (``src/px4/mpc.py:1490-1506``,
+  SURVEY.md hot loop #1) — and applies the reference's
+  state-residual -> dynamics-residual conversion (``/dt`` then
+  ``gp_residual_gain``) exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from flax import struct
+import jax.numpy as jnp
+
+from ..models.double_integrator import double_integrator_step
+from .exact_gp import GPParams, GPPosterior, fit_gp, predict, predict_mean
+
+INPUT_DIM = 10
+OUTPUT_DIM = 6
+
+
+@struct.dataclass
+class ResidualGPConfig:
+    """Defaults = ``simple_gp.py`` constants."""
+
+    max_data_points: int = 800         # mpc.py:1319
+    dt: float = 0.02
+    max_velocity_norm: float = 5.0     # simple_gp.py:128 quality filter
+    max_control_norm: float = 3.0      # simple_gp.py:128 (accel commands)
+    max_residual_norm: float = 2.0     # simple_gp.py:136
+    length_scale: float = 0.5          # RBF(length_scale=0.5)
+    noise_variance: float = 0.1        # WhiteKernel(noise_level=0.1)
+    alpha: float = 1e-4                # GaussianProcessRegressor(alpha=1e-4)
+    residual_gain: float = 0.1         # mpc.py:1333
+
+
+@struct.dataclass
+class ResidualDataset:
+    """Fixed-capacity ring buffer of (input, residual) pairs."""
+
+    X: jnp.ndarray        # (capacity, 10)
+    Y: jnp.ndarray        # (capacity, 6)
+    head: jnp.ndarray     # next write slot
+    count: jnp.ndarray    # number of valid rows (<= capacity)
+
+
+def empty_dataset(capacity: int = 800, dtype=jnp.float32) -> ResidualDataset:
+    return ResidualDataset(
+        X=jnp.zeros((capacity, INPUT_DIM), dtype),
+        Y=jnp.zeros((capacity, OUTPUT_DIM), dtype),
+        head=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def add_training_sample(
+    dataset: ResidualDataset,
+    state: jnp.ndarray,
+    control: jnp.ndarray,
+    state_next: jnp.ndarray,
+    config: ResidualGPConfig = ResidualGPConfig(),
+) -> ResidualDataset:
+    """Masked ring-buffer insert with the reference's quality filters
+    (``simple_gp.py:118-141``); a rejected sample is a no-op, in-graph."""
+    state6 = state[:6]
+    next6 = state_next[:6]
+    control4 = control[:4]
+
+    velocity_norm = jnp.linalg.norm(state6[3:6])
+    control_norm = jnp.linalg.norm(control4[:3])
+    nominal_next = double_integrator_step(state6, control4, config.dt)
+    residual = next6 - nominal_next
+    residual_norm = jnp.linalg.norm(residual)
+
+    accept = (
+        (velocity_norm <= config.max_velocity_norm)
+        & (control_norm <= config.max_control_norm)
+        & (residual_norm <= config.max_residual_norm)
+    )
+
+    x_row = jnp.concatenate([state6, control4])
+    capacity = dataset.X.shape[0]
+    slot = dataset.head % capacity
+
+    X = dataset.X.at[slot].set(
+        jnp.where(accept, x_row.astype(dataset.X.dtype), dataset.X[slot])
+    )
+    Y = dataset.Y.at[slot].set(
+        jnp.where(accept, residual.astype(dataset.Y.dtype), dataset.Y[slot])
+    )
+    head = dataset.head + accept.astype(jnp.int32)
+    count = jnp.minimum(dataset.count + accept.astype(jnp.int32), capacity)
+    return ResidualDataset(X=X, Y=Y, head=head, count=count)
+
+
+def default_params(config: ResidualGPConfig = ResidualGPConfig()) -> GPParams:
+    return GPParams.create(
+        length_scale=config.length_scale,
+        signal_variance=1.0,
+        noise_variance=config.noise_variance,
+    )
+
+
+def fit_residual_gp(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    config: ResidualGPConfig = ResidualGPConfig(),
+    params: GPParams | None = None,
+) -> GPPosterior:
+    """Fit on (n,10)/(n,6) arrays — sklearn ``fit`` equivalent
+    (``simple_gp.py:156-177``: fixed hyperparameters, alpha regularisation,
+    normalized targets)."""
+    if params is None:
+        params = default_params(config)
+    return fit_gp(params, X, Y, jitter=config.alpha, normalize_y=True)
+
+
+def predict_residual(
+    posterior: GPPosterior,
+    state: jnp.ndarray,
+    control: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean residual (6,), variance (6,)) for one (state, control) pair
+    (``simple_gp.py:187-197``)."""
+    x = jnp.concatenate([state[:6], control[:4]])[None, :]
+    mean, var = predict(posterior, x)
+    return mean[0], var[0]
+
+
+def build_horizon_residuals(
+    posterior: GPPosterior,
+    X_guess: jnp.ndarray,
+    U_guess: jnp.ndarray,
+    config: ResidualGPConfig = ResidualGPConfig(),
+) -> jnp.ndarray:
+    """Stage-wise MPC dynamics residuals from the warm-start trajectory.
+
+    One batched posterior over the horizon, then the reference's conversion
+    (``mpc.py:1490-1506``): dynamics residual = state residual / dt, applied
+    to the acceleration rows only, scaled by ``gp_residual_gain``.
+
+    ``X_guess (N+1, 6)``, ``U_guess (N, 4)`` -> ``(N, 6)``.
+    """
+    N = U_guess.shape[0]
+    inputs = jnp.concatenate([X_guess[:N, :6], U_guess[:, :4]], axis=1)
+    mean = predict_mean(posterior, inputs)        # (N, 6) state residuals
+    dyn = mean / config.dt
+    D = jnp.zeros((N, OUTPUT_DIM), mean.dtype)
+    return D.at[:, 3:6].set(config.residual_gain * dyn[:, 3:6])

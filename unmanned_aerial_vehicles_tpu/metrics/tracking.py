@@ -1,0 +1,71 @@
+"""In-graph tracking metrics matching the reference's rosbag analyzer.
+
+Formula-for-formula port of ``compute_metrics``
+(``/root/reference/src/px4/enhanced_plot_mpc_bag.py:640-722``), computed on
+device arrays instead of rosbag extracts so the metrics of a vmapped batch of
+rollouts come out of the same fused program as the rollouts themselves.
+
+All functions accept leading batch dimensions; the time axis is ``-2`` for
+``(..., T, 3)`` signals.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rms_position_error(pos_setpoint, pos_current) -> jnp.ndarray:
+    """sqrt(mean ||e||^2) over time (``enhanced_plot_mpc_bag.py:656-664``)."""
+    err = pos_setpoint - pos_current
+    sq = jnp.sum(err**2, axis=-1)
+    return jnp.sqrt(jnp.mean(sq, axis=-1))
+
+
+def max_position_error(pos_setpoint, pos_current) -> jnp.ndarray:
+    err = pos_setpoint - pos_current
+    return jnp.max(jnp.linalg.norm(err, axis=-1), axis=-1)
+
+
+def rms_velocity_error(vel_setpoint, vel_current) -> jnp.ndarray:
+    err = vel_setpoint - vel_current
+    return jnp.sqrt(jnp.mean(jnp.sum(err**2, axis=-1), axis=-1))
+
+
+def thrust_saturation_pct(
+    thrust_normalized, high: float = 0.99, low: float = 0.11
+) -> jnp.ndarray:
+    """% of samples with normalized thrust >= 0.99 or <= 0.11 (:691-695)."""
+    sat = (thrust_normalized >= high) | (thrust_normalized <= low)
+    return 100.0 * jnp.mean(sat.astype(jnp.float32), axis=-1)
+
+
+def attitude_rmse_deg(att_setpoint, att_current) -> jnp.ndarray:
+    """Per-axis attitude RMSE in degrees, shape ``(..., 3)`` (:699-720)."""
+    err = att_setpoint - att_current
+    return jnp.sqrt(jnp.mean(err**2, axis=-2)) * (180.0 / jnp.pi)
+
+
+def tracking_metrics(
+    pos_setpoint,
+    pos_current,
+    vel_setpoint=None,
+    vel_current=None,
+    att_setpoint=None,
+    att_current=None,
+    thrust_normalized=None,
+) -> dict:
+    """The full reference metric set as a dict of device scalars."""
+    out = {
+        "rms_pos": rms_position_error(pos_setpoint, pos_current),
+        "max_pos": max_position_error(pos_setpoint, pos_current),
+    }
+    if vel_setpoint is not None and vel_current is not None:
+        out["rms_vel"] = rms_velocity_error(vel_setpoint, vel_current)
+    if att_setpoint is not None and att_current is not None:
+        rmse = attitude_rmse_deg(att_setpoint, att_current)
+        out["rms_roll_deg"] = rmse[..., 0]
+        out["rms_pitch_deg"] = rmse[..., 1]
+        out["rms_yaw_deg"] = rmse[..., 2]
+    if thrust_normalized is not None:
+        out["mean_thrust_sat_pct"] = thrust_saturation_pct(thrust_normalized)
+    return out

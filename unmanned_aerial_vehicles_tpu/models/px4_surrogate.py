@@ -10,11 +10,24 @@ inner loop. We model it the way the reference's direct-rate MPC models PX4
 on each body rate with time constants ``tau = (0.05, 0.05, 0.08)`` seconds,
 on top of the rigid-body translational/attitude kinematics.
 
-Thrust semantics: normalized thrust 1.0 == hover (acceleration g along body z),
-matching the reference allocation's ``thrust_magnitude / g`` normalisation
-(``mpc.py:2064``).
+Thrust semantics: normalized thrust 1.0 == hover (acceleration g along the
+body thrust axis), matching the reference allocation's
+``thrust_magnitude / g`` normalisation (``mpc.py:2064``).
 
-State: the same 12-state layout as ``rigid_body.py``.
+Frame convention — the reference's "mixed NED" frame: the flight nodes keep
+PX4's NED x (north), y (east) and NED Euler angles/body rates, but flip z to
+up (``mpc.py:1891-1892``). In that frame the thrust direction enters as
+
+    a_xy = -(T/m) * (R(phi,theta,psi) e3)_xy,   a_z = +(T/m) * (R e3)_z - g
+
+(PX4 thrust is along -z_body in NED). This is what makes the reference's
+allocation signs (``pitch_cmd = -asin(t_x)``, ``roll_cmd = +asin(t_y)``,
+``mpc.py:2070-2072``) and the cascade PID's ``pitch = -vel_x PID`` /
+``roll = +vel_y PID`` (``cascade_pid_demo.py:394-395``) correct — so the
+surrogate implements exactly these kinematics and the reference controllers
+transfer verbatim.
+
+State: the same 12-state layout as ``rigid_body.py`` (mixed-NED semantics).
 Control: ``[thrust_normalized, p_cmd, q_cmd, r_cmd]``.
 """
 
@@ -54,8 +67,10 @@ def _derivative(
     rate_cmd = control[..., 1:4]
 
     R = euler_to_rotation_matrix(phi, theta, psi)
-    # normalized thrust 1.0 -> acceleration g along body z
-    thrust_accel_world = R[..., :, 2] * (thrust_norm * body.gravity)[..., None]
+    # mixed-NED thrust mapping: xy components flip sign (see module docstring);
+    # normalized thrust 1.0 -> acceleration g along the thrust axis.
+    t_dir = R[..., :, 2] * jnp.asarray([-1.0, -1.0, 1.0], state.dtype)
+    thrust_accel_world = t_dir * (thrust_norm * body.gravity)[..., None]
 
     speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
     drag_accel = -(body.k_drag_linear / body.mass) * speed * vel

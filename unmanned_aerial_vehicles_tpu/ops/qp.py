@@ -1,0 +1,124 @@
+"""Condensed box-constrained QP machinery (the Ipopt replacement).
+
+The reference solves its linear MPC
+(``/root/reference/src/px4/mpc.py:1338-1461``) as a sparse NLP through
+CasADi/Ipopt: decision variables = all states and controls, equality
+constraints = dynamics, box bounds on everything, an interior-point solve
+with data-dependent iteration counts — none of which maps to a TPU.
+
+TPU-native formulation: because the dynamics are **linear**, the states are
+eliminated (*condensed*) so the QP lives in control-space only,
+
+    min_U  1/2 U' H U + f' U      s.t.  l <= G U <= u,
+
+with ``G = [I; Su]`` stacking the control box and the state box (mapped
+through the prediction matrix ``Su``). For a fixed horizon every matrix here
+is a **compile-time constant** — ``H``, ``G`` and the ADMM system inverse are
+baked into the XLA program; the per-tick work is a handful of (256x128)-class
+matmuls on the MXU, with *fixed* iteration counts and zero branching.
+
+Solver: over-relaxed ADMM (splitting ``z = G U``), the classic OSQP-style
+iteration specialised to a constant system matrix:
+
+    U  <- M^{-1} (-f + G'(rho z - y)),   M = H + rho G'G   (prefactored)
+    Gt <- alpha G U + (1 - alpha) z
+    z  <- clip(Gt + y / rho, l, u)
+    y  <- y + rho (Gt - z)
+
+Warm starts carry ``(z, y)`` across control ticks (the condensed analogue of
+the reference's shifted-solution warm start, ``mpc.py:1632-1646``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def condense_dynamics(A: np.ndarray, B: np.ndarray, N: int):
+    """Prediction matrices for ``x_{k+1} = A x_k + B u_k + w_k``.
+
+    Returns ``(Sx, Su, Sw)`` with stacked states ``X = [x_1; ...; x_N]``:
+        X = Sx @ x0 + Su @ U + Sw @ W
+    where ``U = [u_0; ...; u_{N-1}]`` and ``W = [w_0; ...; w_{N-1}]``.
+    Pure NumPy — runs once at controller build time, in float64.
+    """
+    nx, nu = B.shape
+    Sx = np.zeros((N * nx, nx))
+    Su = np.zeros((N * nx, N * nu))
+    Sw = np.zeros((N * nx, N * nx))
+
+    Ak = np.eye(nx)
+    powers = [Ak]
+    for _ in range(N):
+        Ak = A @ Ak
+        powers.append(Ak)  # powers[k] = A^k
+
+    for k in range(1, N + 1):
+        Sx[(k - 1) * nx : k * nx, :] = powers[k]
+        for j in range(k):
+            blk = powers[k - 1 - j]
+            Su[(k - 1) * nx : k * nx, j * nu : (j + 1) * nu] = blk @ B
+            Sw[(k - 1) * nx : k * nx, j * nx : (j + 1) * nx] = blk
+    return Sx, Su, Sw
+
+
+class AdmmState(NamedTuple):
+    primal: jnp.ndarray  # U
+    slack: jnp.ndarray   # z  (constraint-space iterate)
+    dual: jnp.ndarray    # y
+
+
+def admm_box_qp(
+    M_inv: jnp.ndarray,
+    G: jnp.ndarray,
+    f: jnp.ndarray,
+    lower: jnp.ndarray,
+    upper: jnp.ndarray,
+    z0: jnp.ndarray,
+    y0: jnp.ndarray,
+    rho: float,
+    iterations: int,
+    over_relax: float = 1.6,
+) -> AdmmState:
+    """Fixed-iteration over-relaxed ADMM for ``min 1/2 U'HU + f'U,
+    l <= GU <= u`` given the prefactored ``M_inv = (H + rho G'G)^{-1}``.
+
+    Shapes: ``M_inv (n,n)``, ``G (m,n)``, ``f (n,)``, bounds/duals ``(m,)``.
+    Everything is matmul + clip: maps straight onto MXU/VPU, no branching.
+    Matmuls run at HIGHEST precision — ADMM convergence to the 1e-6 parity
+    bar needs true f32 accumulation, and these GEMMs are far too small to
+    tax the MXU.
+    """
+    GT = G.T
+    prec = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+
+    def body(_, state: AdmmState) -> AdmmState:
+        rhs = -f + mm(GT, rho * state.slack - state.dual)
+        U = mm(M_inv, rhs)
+        GU = mm(G, U)
+        Gt = over_relax * GU + (1.0 - over_relax) * state.slack
+        z = jnp.clip(Gt + state.dual / rho, lower, upper)
+        y = state.dual + rho * (Gt - z)
+        return AdmmState(U, z, y)
+
+    init = AdmmState(jnp.zeros(G.shape[1], dtype=f.dtype), z0, y0)
+    return jax.lax.fori_loop(0, iterations, body, init)
+
+
+def kkt_residuals(H, G, f, lower, upper, state: AdmmState):
+    """Diagnostics: (primal infeasibility, dual residual) of an ADMM iterate.
+
+    Solver-independent optimality check used by the parity tests:
+    primal: ``max(0, GU - u, l - GU)``; dual: ``HU + f + G'y``.
+    """
+    prec = jax.lax.Precision.HIGHEST
+    GU = jnp.matmul(G, state.primal, precision=prec)
+    primal = jnp.maximum(jnp.maximum(GU - upper, lower - GU), 0.0)
+    dual = (jnp.matmul(H, state.primal, precision=prec) + f
+            + jnp.matmul(G.T, state.dual, precision=prec))
+    return jnp.max(jnp.abs(primal)), jnp.max(jnp.abs(dual))
