@@ -1,0 +1,97 @@
+"""Sharded batch sweeps: the framework's multi-chip "training step".
+
+BASELINE.json config 5 asks for GP-MPC closed loops "vmapped over 1k
+trajectory/hyperparameter batches" on a device mesh. Two sweeps:
+
+* ``sharded_flight_sweep`` — B closed-loop flights (different initial states)
+  vmapped and sharded over the mesh batch axis; per-flight tracking metrics
+  come back sharded, the cross-flight aggregates force an ICI all-reduce.
+* ``hyperparameter_search_step`` — the GP "training step": H candidate
+  hyperparameter settings fitted and scored (validation MSE + LML) in
+  parallel across the mesh, then a global argmin picks the winner —
+  a sharded-axis reduction XLA lowers to collectives. This is the
+  mesh-parallel generalisation of the reference's sequential SciPy
+  hyperparameter search (``gaussian_process.py:267-324``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..gp.exact_gp import GPParams, fit_gp, log_marginal_likelihood, predict_mean
+from .sharding import batch_sharding, make_mesh, replicated_sharding, shard_batch
+
+
+class SweepResult(NamedTuple):
+    best_index: jnp.ndarray
+    best_params: GPParams
+    val_mse: jnp.ndarray      # (H,)
+    lml: jnp.ndarray          # (H,)
+
+
+def hyperparameter_search_step(
+    mesh,
+    candidates: GPParams,          # leaves with leading axis H
+    X_train: jnp.ndarray,
+    Y_train: jnp.ndarray,
+    X_val: jnp.ndarray,
+    Y_val: jnp.ndarray,
+    jitter: float = 1e-4,
+    axis_name: str = "batch",
+):
+    """Fit + score H candidates across the mesh; returns the argmin winner."""
+    cand_sharded = jax.tree_util.tree_map(
+        lambda a: shard_batch(a, mesh, axis_name), candidates
+    )
+    repl = replicated_sharding(mesh)
+    X_train, Y_train, X_val, Y_val = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, repl), (X_train, Y_train, X_val, Y_val)
+    )
+
+    def score_one(p: GPParams):
+        post = fit_gp(p, X_train, Y_train, jitter=jitter, normalize_y=True)
+        pred = predict_mean(post, X_val)
+        mse = jnp.mean((pred - Y_val) ** 2)
+        lml = log_marginal_likelihood(p, X_train, Y_train, jitter, normalize_y=True)
+        return mse, lml
+
+    @jax.jit
+    def run(cands):
+        mse, lml = jax.vmap(score_one)(cands)
+        best = jnp.argmin(mse)  # sharded-axis reduction -> ICI all-reduce
+        best_params = jax.tree_util.tree_map(lambda a: a[best], cands)
+        return SweepResult(best, best_params, mse, lml)
+
+    return run(cand_sharded)
+
+
+def sharded_flight_sweep(
+    mesh,
+    rollout_fn: Callable[[jnp.ndarray], dict],
+    initial_states: jnp.ndarray,   # (B, 12)
+    axis_name: str = "batch",
+):
+    """Run B independent closed-loop flights sharded across the mesh.
+
+    ``rollout_fn(initial_state) -> outs dict`` (e.g. a partial of
+    ``loop.mpc_flight_rollout``). Returns per-flight RMS position errors
+    (sharded) plus their global mean/max (ICI all-reduce).
+    """
+    states = shard_batch(initial_states, mesh, axis_name)
+
+    @jax.jit
+    def run(s):
+        outs = jax.vmap(rollout_fn)(s)
+        err = outs["pos_ref"] - outs["state"][..., 0:3]
+        rms = jnp.sqrt(jnp.mean(jnp.sum(err**2, axis=-1), axis=-1))  # (B,)
+        return {
+            "rms_per_flight": rms,
+            "rms_mean": jnp.mean(rms),
+            "rms_max": jnp.max(rms),
+            "final_states": outs["final_state"],
+        }
+
+    return run(states)
