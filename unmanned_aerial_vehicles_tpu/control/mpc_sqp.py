@@ -1,0 +1,235 @@
+"""Nonlinear MPC via fixed-iteration SQP over a condensed LTV QP.
+
+One engine for every nonlinear MPC variant in the reference:
+
+* 12-state rigid-body torque MPC
+  (``/root/reference/src/px4/mpc_FULL.py:86-549``) — costs, bounds and
+  hover-thrust-deviation penalty via ``rigid_body_cost``;
+* direct-body-rate MPC with per-stage GP residuals
+  (``/root/reference/src/px4/mpc_direct_rates.py:76-470``) — same engine
+  with the rate-lag model; the reference *rebuilds its CasADi NLP every
+  solve* to bake residuals in — here residuals are traced inputs, no
+  rebuild, one compiled program;
+* 9-state attitude MPC (``src/px4/velocity_control.py:353-446``) and the
+  RK4 demo MPC (``src/px4/mpc_casadi_demo.py:44-767``) — pass the matching
+  ``step_fn`` / cost.
+
+Method (real-time-iteration SQP / Gauss-Newton):
+
+1. linearise the **discrete** step around the warm-start trajectory with
+   ``jax.jacfwd`` — exact Jacobians, replacing the reference's eps=1e-8
+   finite differences (``quadrotor_gp_mpc/mpc_controller.py:318-350``);
+2. condense in-graph (``ops.qp.condense_ltv``) and solve the box-QP with
+   Cholesky-ADMM (``ops.qp.admm_box_qp_chol``), fixed iterations;
+3. roll the nonlinear dynamics forward under the new controls to re-anchor;
+   repeat a fixed number of SQP iterations (no line search — warm starts
+   across 50 Hz ticks keep steps small, the RTI regime).
+
+Everything is ``jit``/``vmap``/``scan``-safe: no data-dependent shapes or
+Python control flow.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+from flax import struct
+import jax
+import jax.numpy as jnp
+
+from ..ops.qp import admm_box_qp_chol, condense_ltv
+
+
+@struct.dataclass
+class QuadCost:
+    """Diagonal tracking cost: ``sum_k |x_k - x_ref|_Q^2 + |u_k - u_ref|_R^2``
+    plus a terminal stage with its own diagonal."""
+
+    q_stage: jnp.ndarray      # (nx,)
+    q_terminal: jnp.ndarray   # (nx,)
+    r_control: jnp.ndarray    # (nu,)
+    u_ref: jnp.ndarray        # (nu,) e.g. hover thrust
+
+
+@struct.dataclass
+class SQPConfig:
+    horizon: int = 15
+    sqp_iterations: int = 2
+    admm_iterations: int = 40
+    admm_rho: float = 1.0  # in equilibrated space (unit-diag H)
+    admm_over_relax: float = 1.6
+
+
+class SQPCarry(NamedTuple):
+    slack: jnp.ndarray     # (m,)
+    dual: jnp.ndarray      # (m,)
+    X_prev: jnp.ndarray    # (N+1, nx)
+    U_prev: jnp.ndarray    # (N, nu)
+
+
+class SQPMPC:
+    """Generic SQP MPC around a user step function.
+
+    ``step_fn(x, u, residual) -> x_next`` is the discrete prediction model
+    (forward-Euler rigid body, RK4, rate-lag model, ...); ``residual`` is
+    the per-stage GP dynamics-residual hook (may be ignored).
+    """
+
+    def __init__(
+        self,
+        step_fn: Callable,
+        state_dim: int,
+        control_dim: int,
+        config: SQPConfig,
+        state_lower,
+        state_upper,
+        control_lower,
+        control_upper,
+        dtype=jnp.float32,
+    ):
+        self.step_fn = step_fn
+        self.nx, self.nu = state_dim, control_dim
+        self.config = config
+        self.dtype = dtype
+        N = config.horizon
+        self._x_lo = jnp.tile(jnp.asarray(state_lower, dtype), N)
+        self._x_hi = jnp.tile(jnp.asarray(state_upper, dtype), N)
+        self._u_lo = jnp.tile(jnp.asarray(control_lower, dtype), N)
+        self._u_hi = jnp.tile(jnp.asarray(control_upper, dtype), N)
+        self.n_primal = N * control_dim
+        self.n_constraints = N * (control_dim + state_dim)
+
+    # ------------------------------------------------------------------
+    def init_carry(self, state: jnp.ndarray, u_init: jnp.ndarray) -> SQPCarry:
+        """Cold start: constant state, constant control (the reference's
+        hover initial guess, ``mpc_FULL.py:496-504``)."""
+        N = self.config.horizon
+        return SQPCarry(
+            slack=jnp.zeros(self.n_constraints, self.dtype),
+            dual=jnp.zeros(self.n_constraints, self.dtype),
+            X_prev=jnp.tile(state[None, :].astype(self.dtype), (N + 1, 1)),
+            U_prev=jnp.tile(u_init[None, :].astype(self.dtype), (N, 1)),
+        )
+
+    def _shift(self, carry: SQPCarry, x0: jnp.ndarray) -> SQPCarry:
+        N = self.config.horizon
+
+        def roll(mat):
+            return jnp.concatenate([mat[1:], mat[-1:]], axis=0)
+
+        zu = roll(carry.slack[: N * self.nu].reshape(N, self.nu)).reshape(-1)
+        zx = roll(carry.slack[N * self.nu :].reshape(N, self.nx)).reshape(-1)
+        yu = roll(carry.dual[: N * self.nu].reshape(N, self.nu)).reshape(-1)
+        yx = roll(carry.dual[N * self.nu :].reshape(N, self.nx)).reshape(-1)
+        return SQPCarry(
+            slack=jnp.concatenate([zu, zx]),
+            dual=jnp.concatenate([yu, yx]),
+            X_prev=roll(carry.X_prev).at[0].set(x0),
+            U_prev=roll(carry.U_prev),
+        )
+
+    def _rollout(self, x0, U, residuals):
+        def step(x, inp):
+            u, d = inp
+            xn = self.step_fn(x, u, d)
+            return xn, xn
+
+        _, X_tail = jax.lax.scan(step, x0, (U, residuals))
+        return jnp.concatenate([x0[None, :], X_tail], axis=0)
+
+    # ------------------------------------------------------------------
+    def solve(
+        self,
+        carry: SQPCarry,
+        state: jnp.ndarray,
+        cost: QuadCost,
+        x_ref: jnp.ndarray,            # (N, nx) per-stage state targets
+        residuals: jnp.ndarray | None = None,
+        lin_trajectory: tuple | None = None,   # optional (X (N+1,nx), U (N,nu))
+    ):
+        """One MPC tick: fixed SQP iterations, warm-started. Returns
+        ``(u0, X_opt, new_carry)``."""
+        cfg = self.config
+        N, nx, nu = cfg.horizon, self.nx, self.nu
+        x0 = state.astype(self.dtype)
+        carry = self._shift(carry, x0)
+
+        if residuals is None:
+            residuals = jnp.zeros((N, nx), self.dtype)
+
+        qbar = jnp.concatenate(
+            [jnp.tile(cost.q_stage, N - 1), cost.q_terminal]
+        ).astype(self.dtype)
+        rbar = jnp.tile(cost.r_control, N).astype(self.dtype)
+        ref_flat = x_ref.astype(self.dtype).reshape(-1)
+        u_ref_flat = jnp.tile(cost.u_ref.astype(self.dtype), N)
+
+        step_jac = jax.vmap(
+            jax.jacfwd(self.step_fn, argnums=(0, 1)), in_axes=(0, 0, 0)
+        )
+        prec = jax.lax.Precision.HIGHEST
+        mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+
+        def sqp_iter(loop_carry, _):
+            X_bar, U_bar, z, y = loop_carry
+            # linearise the discrete step about the current trajectory
+            A, B = step_jac(X_bar[:-1], U_bar, residuals)
+            X_next = jax.vmap(self.step_fn)(X_bar[:-1], U_bar, residuals)
+            c = X_next - jnp.einsum("kij,kj->ki", A, X_bar[:-1]) - jnp.einsum(
+                "kij,kj->ki", B, U_bar
+            )
+            Sx, Su, Sc = condense_ltv(A, B, c)
+
+            offset = mm(Sx, x0) + Sc
+            H = mm(Su.T * qbar[None, :], Su) + jnp.diag(rbar)
+            f = mm(Su.T * qbar[None, :], offset - ref_flat) - rbar * u_ref_flat
+
+            G = jnp.concatenate([jnp.eye(N * nu, dtype=self.dtype), Su], axis=0)
+            lower = jnp.concatenate([self._u_lo, self._x_lo - offset])
+            upper = jnp.concatenate([self._u_hi, self._x_hi - offset])
+
+            # Diagonal (OSQP/Ruiz-style) equilibration, in-graph: the traced
+            # Hessians here are brutally ill-conditioned (thrust weight 0.01
+            # vs position 100 through the prediction matrix — kappa ~ 1e6)
+            # and plain single-rho ADMM crawls. Scale primal by
+            # d = diag(H)^{-1/2} and constraint rows to unit norm.
+            d = 1.0 / jnp.sqrt(jnp.diagonal(H) + 1e-10)
+            Hs = H * d[:, None] * d[None, :]
+            fs = f * d
+            Gd = G * d[None, :]
+            e = 1.0 / jnp.sqrt(jnp.sum(Gd**2, axis=1) + 1e-10)
+            Gs = Gd * e[:, None]
+
+            rho = cfg.admm_rho
+            M = Hs + rho * mm(Gs.T, Gs)
+            M_chol = jnp.linalg.cholesky(M)
+
+            sol = admm_box_qp_chol(
+                M_chol, Gs, fs, lower * e, upper * e,
+                z * e, y / e,
+                rho, cfg.admm_iterations, cfg.admm_over_relax,
+            )
+            sol_slack = sol.slack / e
+            sol_dual = sol.dual * e
+            # take controls from the slack's U-block: it is box-feasible by
+            # construction at every iteration and equals the primal at
+            # convergence — a controller must never emit bound-violating
+            # commands mid-convergence
+            U_new = sol_slack[: N * nu].reshape(N, nu)
+            X_new = self._rollout(x0, U_new, residuals)
+            return (X_new, U_new, sol_slack, sol_dual), None
+
+        if lin_trajectory is not None:
+            X_bar, U_bar = lin_trajectory
+            X_bar = X_bar.astype(self.dtype).at[0].set(x0)
+            U_bar = U_bar.astype(self.dtype)
+        else:
+            X_bar = carry.X_prev.at[0].set(x0)
+            U_bar = carry.U_prev
+        init = (X_bar, U_bar, carry.slack, carry.dual)
+        (X_opt, U_opt, z, y), _ = jax.lax.scan(
+            sqp_iter, init, None, length=cfg.sqp_iterations
+        )
+
+        new_carry = SQPCarry(slack=z, dual=y, X_prev=X_opt, U_prev=U_opt)
+        return U_opt[0], X_opt, new_carry

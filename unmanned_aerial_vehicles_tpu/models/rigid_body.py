@@ -51,7 +51,11 @@ def rigid_body_derivative(
     R = euler_to_rotation_matrix(phi, theta, psi)
     thrust_world = R[..., :, 2] * thrust[..., None]
 
-    speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+    # gradient-safe ||v||: exact forward value, zero (sub)gradient at v = 0 —
+    # the SQP controllers jacfwd through this at hover, where a plain norm's
+    # derivative is NaN.
+    sq = jnp.sum(vel**2, axis=-1, keepdims=True)
+    speed = jnp.where(sq > 0.0, jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0)), 0.0)
     drag = -params.k_drag_linear * speed * vel
 
     gravity = jnp.zeros_like(vel).at[..., 2].set(-params.mass * params.gravity)

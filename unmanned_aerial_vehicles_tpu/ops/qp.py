@@ -110,6 +110,80 @@ def admm_box_qp(
     return jax.lax.fori_loop(0, iterations, body, init)
 
 
+def admm_box_qp_chol(
+    M_chol: jnp.ndarray,
+    G: jnp.ndarray,
+    f: jnp.ndarray,
+    lower: jnp.ndarray,
+    upper: jnp.ndarray,
+    z0: jnp.ndarray,
+    y0: jnp.ndarray,
+    rho: float,
+    iterations: int,
+    over_relax: float = 1.6,
+) -> AdmmState:
+    """ADMM with an in-graph Cholesky factor of ``M = H + rho G'G``.
+
+    Used by the SQP/LTV controllers whose ``H`` is *traced* (re-linearised
+    every tick, so no compile-time inverse exists): one ``cholesky`` per
+    solve + two triangular solves per iteration.
+    """
+    GT = G.T
+    prec = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+
+    def body(_, state: AdmmState) -> AdmmState:
+        rhs = -f + mm(GT, rho * state.slack - state.dual)
+        U = jax.scipy.linalg.cho_solve((M_chol, True), rhs)
+        GU = mm(G, U)
+        Gt = over_relax * GU + (1.0 - over_relax) * state.slack
+        z = jnp.clip(Gt + state.dual / rho, lower, upper)
+        y = state.dual + rho * (Gt - z)
+        return AdmmState(U, z, y)
+
+    init = AdmmState(jnp.zeros(G.shape[1], dtype=f.dtype), z0, y0)
+    return jax.lax.fori_loop(0, iterations, body, init)
+
+
+def condense_ltv(A: jnp.ndarray, B: jnp.ndarray, c: jnp.ndarray):
+    """In-graph condensation of time-varying affine dynamics.
+
+    ``x_{k+1} = A_k x_k + B_k u_k + c_k`` with ``A (N,nx,nx)``,
+    ``B (N,nx,nu)``, ``c (N,nx)`` (all traced — produced per tick by
+    ``jax.jacfwd`` of the discrete step). Returns ``(Sx, Su, Sc)`` with
+
+        X = Sx @ x0 + Su @ U + Sc,    X = [x_1..x_N],  U = [u_0..u_{N-1}]
+
+    as ``(N*nx, nx)``, ``(N*nx, N*nu)``, ``(N*nx,)``. One ``lax.scan`` of
+    three small matmuls per stage — the traced analogue of
+    ``condense_dynamics``.
+    """
+    N, nx, nu = B.shape
+    prec = jax.lax.Precision.HIGHEST
+
+    def step(carry, inputs):
+        row_x, row_u, row_c = carry          # (nx,nx), (nx,N*nu), (nx,)
+        A_k, B_k, c_k, k = inputs
+        new_x = jnp.matmul(A_k, row_x, precision=prec)
+        new_u = jnp.matmul(A_k, row_u, precision=prec)
+        new_u = jax.lax.dynamic_update_slice(new_u, B_k, (0, k * nu))
+        new_c = jnp.matmul(A_k, row_c, precision=prec) + c_k
+        carry = (new_x, new_u, new_c)
+        return carry, carry
+
+    init = (
+        jnp.eye(nx, dtype=B.dtype),
+        jnp.zeros((nx, N * nu), B.dtype),
+        jnp.zeros((nx,), B.dtype),
+    )
+    _, (Sx, Su, Sc) = jax.lax.scan(step, init, (A, B, c, jnp.arange(N)))
+    return (
+        Sx.reshape(N * nx, nx),
+        Su.reshape(N * nx, N * nu),
+        Sc.reshape(N * nx),
+    )
+
+
 def kkt_residuals(H, G, f, lower, upper, state: AdmmState):
     """Diagnostics: (primal infeasibility, dual residual) of an ADMM iterate.
 
