@@ -1,0 +1,36 @@
+"""CLI smoke tests (train-gp -> evaluate-gp round trip, compare)."""
+
+import glob
+import json
+import os
+
+from unmanned_aerial_vehicles_tpu.cli import main
+
+
+def test_train_then_evaluate(tmp_path, capsys):
+    data = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))[0]
+    model = str(tmp_path / "gp.npz")
+
+    assert main(["train-gp", "--data", data, "--output", model,
+                 "--max-samples", "200"]) == 0
+    assert os.path.exists(model)
+    assert os.path.islink(str(tmp_path / "gp_model_latest.npz"))
+    capsys.readouterr()
+
+    prefix = str(tmp_path / "eval")
+    assert main(["evaluate-gp", "--model", model, "--data", data,
+                 "--output", prefix]) == 0
+    out = capsys.readouterr().out
+    payload = json.loads(out[: out.rindex("}") + 1])
+    assert "global" in payload and "acc_only" in payload
+    assert os.path.exists(prefix + "_metrics.csv")
+
+
+def test_compare_command(capsys):
+    assert main(["compare", "--duration", "5"]) == 0
+    results = json.loads(capsys.readouterr().out)
+    assert set(results) == {"hover", "circle", "figure8", "step"}
+
+
+def test_bad_glob_errors():
+    assert main(["train-gp", "--data", "/nonexistent/*.csv"]) == 1

@@ -1,0 +1,236 @@
+"""Command-line entry points.
+
+Replaces the reference's ad-hoc launch surface — the shell driver
+``/root/reference/run_mpc_velocity_control.sh:1-220``, the offline trainer
+``src/px4/train_gp_offline.py:79-247`` and evaluator
+``src/px4/evaluate_gp_offline.py:371-406``, plus the env-var config channel
+(``GP_DATA_COLLECTION``/``GP_USE_MODEL``/``GP_MODEL_PATH``,
+``src/px4/mpc.py:1744-1750``) — with argparse subcommands over the typed
+config dataclasses:
+
+    python -m unmanned_aerial_vehicles_tpu train-gp --data 'gp_datasets/*.csv'
+    python -m unmanned_aerial_vehicles_tpu evaluate-gp --model gp.npz --data f.csv
+    python -m unmanned_aerial_vehicles_tpu fly --controller gp-mpc --duration 60
+    python -m unmanned_aerial_vehicles_tpu compare
+    python -m unmanned_aerial_vehicles_tpu sweep --flights 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+
+def _cmd_train_gp(args) -> int:
+    import jax.numpy as jnp
+
+    from .gp import fit_residual_gp, log_marginal_likelihood, optimize_hyperparameters
+    from .gp.residual_gp import ResidualGPConfig, default_params
+    from .io import load_gp_datasets, save_gp_checkpoint
+    from .gp.exact_gp import fit_gp
+
+    paths = sorted(glob.glob(args.data))
+    if not paths:
+        print(f"no CSV files match {args.data!r}", file=sys.stderr)
+        return 1
+    X, Y = load_gp_datasets(paths, max_samples=args.max_samples)
+    print(f"loaded {X.shape[0]} samples from {len(paths)} files")
+
+    cfg = ResidualGPConfig()
+    # precision follows the environment: f64 when JAX_ENABLE_X64 is set
+    # (offline parity work), f32 otherwise (device-friendly default)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    params = default_params(cfg)
+    if args.optimize:
+        t0 = time.time()
+        params, nll = optimize_hyperparameters(
+            params, Xj, Yj, jitter=cfg.alpha, normalize_y=True, steps=args.opt_steps
+        )
+        print(f"hyperparameters optimised in {time.time()-t0:.1f}s, nll={float(nll):.2f}")
+    post = fit_gp(params, Xj, Yj, jitter=cfg.alpha, normalize_y=True)
+    lml = log_marginal_likelihood(params, Xj, Yj, jitter=cfg.alpha, normalize_y=True)
+    print(f"fitted GP: n={X.shape[0]}, log marginal likelihood={float(lml):.2f}")
+
+    out = args.output
+    save_gp_checkpoint(out, post, X, Y, jitter=cfg.alpha)
+    # 'latest' symlink like train_gp_offline.py:205-214
+    latest = os.path.join(os.path.dirname(out) or ".", "gp_model_latest.npz")
+    try:
+        if os.path.islink(latest) or os.path.exists(latest):
+            os.remove(latest)
+        os.symlink(os.path.basename(out), latest)
+    except OSError:
+        pass
+    print(f"saved checkpoint to {out} (+ gp_model_latest.npz symlink)")
+    return 0
+
+
+def _cmd_evaluate_gp(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .gp import evaluate_gp, predict_mean
+    from .io import load_gp_checkpoint, load_gp_dataset
+
+    post, _, _, _ = load_gp_checkpoint(args.model)
+    X, Y = load_gp_dataset(args.data, residual_norm_limit=np.inf)
+    prefix = args.output or os.path.splitext(args.data)[0]
+    results = evaluate_gp(
+        lambda x: np.asarray(predict_mean(post, jnp.asarray(x))), X, Y,
+        save_prefix=prefix,
+    )
+    print(json.dumps({k: results[k] for k in ("global", "acc_only", "fractions")}, indent=2))
+    print(f"per-component metrics written to {prefix}_metrics.csv")
+    return 0
+
+
+def _cmd_fly(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .control.mpc_linear import LinearMPC, LinearMPCConfig
+    from .gp import build_horizon_residuals, fit_residual_gp
+    from .gp.residual_gp import ResidualGPConfig
+    from .io import load_gp_datasets
+    from .loop import FlightLoopConfig, mpc_flight_rollout, pid_flight_rollout
+    from .metrics import tracking_metrics
+    from .trajectories import ramped_circle_reference, ramped_figure8_reference
+
+    cfg = FlightLoopConfig()
+    num_steps = int(args.duration / cfg.control_dt)
+
+    if args.trajectory == "figure8":
+        def ref(t):
+            pos, yaw = ramped_figure8_reference(t, amplitude=args.amplitude)
+            return pos + jnp.array([0.0, 0.0, cfg.takeoff_height]), yaw
+    else:
+        def ref(t):
+            pos, _, yaw = ramped_circle_reference(
+                t, amplitude=args.amplitude, height=cfg.takeoff_height
+            )
+            return pos, yaw
+
+    if args.controller == "pid":
+        outs = jax.jit(lambda: pid_flight_rollout(ref, num_steps, cfg=cfg))()
+    else:
+        mpc = LinearMPC(LinearMPCConfig())
+        residual_fn = None
+        if args.controller == "gp-mpc":
+            gp_cfg = ResidualGPConfig()
+            paths = sorted(glob.glob(args.gp_data))
+            if not paths:
+                print(f"no GP data matches {args.gp_data!r}", file=sys.stderr)
+                return 1
+            X, Y = load_gp_datasets(paths, max_samples=gp_cfg.max_data_points)
+            post = jax.jit(lambda x, y: fit_residual_gp(x, y, gp_cfg))(
+                jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
+            )
+            residual_fn = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
+        outs = jax.jit(
+            lambda: mpc_flight_rollout(mpc, ref, num_steps, cfg=cfg, residual_fn=residual_fn)
+        )()
+
+    m = tracking_metrics(
+        outs["pos_ref"], outs["state"][:, 0:3],
+        vel_setpoint=outs["vel_ref"], vel_current=outs["state"][:, 3:6],
+        att_setpoint=outs["att_ref"], att_current=outs["state"][:, 6:9],
+        thrust_normalized=outs["thrust"],
+    )
+    print(json.dumps({k: round(float(v), 4) for k, v in m.items()}, indent=2))
+    return 0
+
+
+def _cmd_compare(args) -> int:
+    from .loop import run_full_comparison
+
+    results = run_full_comparison(duration=args.duration)
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+def _cmd_sweep(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .control.mpc_linear import LinearMPC, LinearMPCConfig
+    from .loop import FlightLoopConfig, mpc_flight_rollout
+    from .parallel import make_mesh, sharded_flight_sweep
+    from .trajectories import ramped_figure8_reference
+
+    cfg = FlightLoopConfig()
+    mpc = LinearMPC(LinearMPCConfig())
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t)
+        return pos + jnp.array([0.0, 0.0, cfg.takeoff_height]), yaw
+
+    num_steps = int(args.duration / cfg.control_dt)
+
+    def one_flight(x0):
+        return mpc_flight_rollout(mpc, ref, num_steps, cfg=cfg, initial_state=x0)
+
+    B = args.flights
+    starts = jnp.zeros((B, 12), jnp.float32).at[:, 2].set(cfg.takeoff_height)
+    starts = starts.at[:, 0].set(jnp.linspace(-1.0, 1.0, B))
+    mesh = make_mesh()
+    result = sharded_flight_sweep(mesh, one_flight, starts)
+    print(json.dumps({
+        "devices": len(jax.devices()),
+        "flights": B,
+        "rms_mean_m": round(float(result["rms_mean"]), 4),
+        "rms_max_m": round(float(result["rms_max"]), 4),
+    }, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="unmanned_aerial_vehicles_tpu",
+        description="TPU-native quadrotor GP-MPC framework",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train-gp", help="offline GP training from flight CSVs")
+    t.add_argument("--data", default="/root/reference/gp_datasets/*.csv")
+    t.add_argument("--output", default="gp_model.npz")
+    t.add_argument("--max-samples", type=int, default=10000)
+    t.add_argument("--optimize", action="store_true", help="LML hyperparameter opt")
+    t.add_argument("--opt-steps", type=int, default=100)
+    t.set_defaults(fn=_cmd_train_gp)
+
+    e = sub.add_parser("evaluate-gp", help="offline nominal-vs-GP evaluation")
+    e.add_argument("--model", required=True)
+    e.add_argument("--data", required=True)
+    e.add_argument("--output", default=None, help="metrics CSV prefix")
+    e.set_defaults(fn=_cmd_evaluate_gp)
+
+    f = sub.add_parser("fly", help="closed-loop flight experiment")
+    f.add_argument("--controller", choices=["pid", "mpc", "gp-mpc"], default="gp-mpc")
+    f.add_argument("--trajectory", choices=["figure8", "circle"], default="figure8")
+    f.add_argument("--duration", type=float, default=60.0)
+    f.add_argument("--amplitude", type=float, default=6.0)
+    f.add_argument("--gp-data", default="/root/reference/gp_datasets/*.csv")
+    f.set_defaults(fn=_cmd_fly)
+
+    c = sub.add_parser("compare", help="standalone PID vs GP-MPC comparison")
+    c.add_argument("--duration", type=float, default=30.0)
+    c.set_defaults(fn=_cmd_compare)
+
+    s = sub.add_parser("sweep", help="mesh-sharded batch flight sweep")
+    s.add_argument("--flights", type=int, default=64)
+    s.add_argument("--duration", type=float, default=20.0)
+    s.set_defaults(fn=_cmd_sweep)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

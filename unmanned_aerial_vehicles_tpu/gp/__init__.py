@@ -7,6 +7,15 @@ from .exact_gp import (
     predict,
     predict_mean,
 )
+from .evaluate import evaluate_gp, evaluate_gp_residuals, write_metrics_csv
+from .per_dim import (
+    PerDimGP,
+    Standardizer,
+    default_per_dim_params,
+    fit_per_dim_gp,
+    per_dim_training_report,
+    predict_per_dim,
+)
 from .residual_gp import (
     ResidualDataset,
     ResidualGPConfig,
@@ -25,6 +34,15 @@ __all__ = [
     "optimize_hyperparameters",
     "predict",
     "predict_mean",
+    "evaluate_gp",
+    "evaluate_gp_residuals",
+    "write_metrics_csv",
+    "PerDimGP",
+    "Standardizer",
+    "default_per_dim_params",
+    "fit_per_dim_gp",
+    "per_dim_training_report",
+    "predict_per_dim",
     "ResidualDataset",
     "ResidualGPConfig",
     "add_training_sample",

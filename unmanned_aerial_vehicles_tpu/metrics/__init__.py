@@ -1,3 +1,10 @@
+from .performance import (
+    MetricsLogger,
+    constraint_violations,
+    gp_metrics_summary,
+    measure_time,
+    mpc_metrics_summary,
+)
 from .tracking import (
     attitude_rmse_deg,
     max_position_error,
@@ -8,6 +15,11 @@ from .tracking import (
 )
 
 __all__ = [
+    "MetricsLogger",
+    "constraint_violations",
+    "gp_metrics_summary",
+    "measure_time",
+    "mpc_metrics_summary",
     "attitude_rmse_deg",
     "max_position_error",
     "rms_position_error",
