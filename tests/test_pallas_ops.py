@@ -1,0 +1,103 @@
+"""Pallas kernel parity tests (interpreter mode on CPU).
+
+The real-TPU behaviour of both kernels is exercised by bench.py and the
+closed-loop drives; here we pin numerical parity against the XLA reference
+implementations on small shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unmanned_aerial_vehicles_tpu.gp.kernels import rbf_kernel
+from unmanned_aerial_vehicles_tpu.ops.admm_pallas import admm_box_qp_fused
+from unmanned_aerial_vehicles_tpu.ops.qp import admm_box_qp
+from unmanned_aerial_vehicles_tpu.ops.rbf_pallas import rbf_kernel_matrix_pallas
+
+
+def test_rbf_pallas_matches_xla(rng):
+    X1 = jnp.asarray(rng.normal(size=(300, 10)), jnp.float32)
+    X2 = jnp.asarray(rng.normal(size=(257, 10)), jnp.float32)
+    K_pallas = rbf_kernel_matrix_pallas(X1, X2, 0.5, 1.3, interpret=True)
+    K_xla = rbf_kernel(X1, X2, jnp.float32(0.5), jnp.float32(1.3))
+    assert K_pallas.shape == (300, 257)
+    np.testing.assert_allclose(
+        np.asarray(K_pallas), np.asarray(K_xla), atol=5e-6
+    )
+
+
+def test_rbf_pallas_ard_lengthscales(rng):
+    X = jnp.asarray(rng.normal(size=(100, 6)), jnp.float32)
+    ls = jnp.asarray([0.3, 0.5, 1.0, 2.0, 0.7, 1.5], jnp.float32)
+    K_pallas = rbf_kernel_matrix_pallas(X, X, ls, 1.0, interpret=True)
+    K_xla = rbf_kernel(X, X, ls, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(K_pallas), np.asarray(K_xla), atol=5e-6)
+
+
+def test_fused_admm_matches_unfused(rng):
+    n, m = 24, 40
+    Q = rng.normal(size=(n, n))
+    H = (Q @ Q.T + n * np.eye(n)).astype(np.float32)
+    G = np.vstack([np.eye(n), rng.normal(size=(m - n, n))]).astype(np.float32)
+    f = (rng.normal(size=n) * 50).astype(np.float32)
+    lo = -0.5 * np.ones(m, np.float32)
+    hi = 0.5 * np.ones(m, np.float32)
+    rho, iters = 10.0, 300
+    M_inv = np.linalg.inv(H + rho * G.T @ G).astype(np.float32)
+
+    ref = admm_box_qp(
+        jnp.asarray(M_inv), jnp.asarray(G), jnp.asarray(f),
+        jnp.asarray(lo), jnp.asarray(hi),
+        jnp.zeros(m, jnp.float32), jnp.zeros(m, jnp.float32),
+        rho, iters,
+    )
+
+    # padded fused version
+    n_pad, m_pad = 128, 128
+    Mp = np.zeros((n_pad, n_pad), np.float32); Mp[:n, :n] = M_inv
+    Gp = np.zeros((m_pad, n_pad), np.float32); Gp[:m, :n] = G
+    pad = lambda v, size: jnp.zeros((1, size), jnp.float32).at[0, : v.shape[0]].set(v)
+    U, z, y = admm_box_qp_fused(
+        jnp.asarray(Mp), jnp.asarray(Gp), jnp.asarray(Gp.T.copy()),
+        pad(jnp.asarray(f), n_pad),
+        pad(jnp.asarray(lo), m_pad), pad(jnp.asarray(hi), m_pad),
+        jnp.zeros((1, m_pad), jnp.float32), jnp.zeros((1, m_pad), jnp.float32),
+        rho, iters, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(U[0, :n]), np.asarray(ref.primal), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(z[0, :m]), np.asarray(ref.slack), atol=2e-4)
+    # padding must stay exactly zero
+    np.testing.assert_array_equal(np.asarray(U[0, n:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(z[0, m:]), 0.0)
+
+
+def test_linear_mpc_fused_flag_matches(rng):
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+    import unmanned_aerial_vehicles_tpu.ops.admm_pallas as ap
+    import unmanned_aerial_vehicles_tpu.control.mpc_linear as ml
+    import functools
+
+    # route the fused path through the interpreter on CPU
+    orig = ap.admm_box_qp_fused
+    ml_orig = getattr(ml, "admm_box_qp_fused", None)
+    try:
+        wrapped = functools.partial(orig, interpret=True)
+        ap.admm_box_qp_fused = wrapped
+
+        state = jnp.asarray([1.0, -2.0, 2.0, 0.5, 0.0, -0.1], jnp.float32)
+        target = jnp.asarray([0.0, 0.0, 3.0], jnp.float32)
+        a = LinearMPC(LinearMPCConfig(horizon=10, admm_iterations=100), dtype=jnp.float32)
+        b = LinearMPC(
+            LinearMPCConfig(horizon=10, admm_iterations=100, use_fused_admm=True),
+            dtype=jnp.float32,
+        )
+        u_a, _, _ = a.solve(a.init_carry(state), state, target)
+        u_b, _, _ = b.solve(b.init_carry(state), state, target)
+        np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_b), atol=1e-4)
+    finally:
+        ap.admm_box_qp_fused = orig
+        if ml_orig is not None:
+            ml.admm_box_qp_fused = ml_orig

@@ -49,6 +49,8 @@ class LinearMPCConfig:
     admm_iterations: int = 80
     admm_rho: float = 8.0
     admm_over_relax: float = 1.6
+    # run the whole ADMM loop as ONE Pallas kernel (latency mode; f32 only)
+    use_fused_admm: bool = False
 
 
 class MPCCarry(NamedTuple):
@@ -109,6 +111,19 @@ class LinearMPC:
         self._u_hi = cast(np.tile(config.control_upper, N))
         self._x_lo = cast(np.tile(config.state_lower, N))
         self._x_hi = cast(np.tile(config.state_upper, N))
+
+        if config.use_fused_admm:
+            # MXU-padded copies for the fused Pallas ADMM path
+            pad128 = lambda v: ((v + 127) // 128) * 128
+            self._n_pad = pad128(self.n_primal)
+            self._m_pad = pad128(self.n_constraints)
+            Mp = np.zeros((self._n_pad, self._n_pad), np.float32)
+            Mp[: self.n_primal, : self.n_primal] = M_inv
+            Gp = np.zeros((self._m_pad, self._n_pad), np.float32)
+            Gp[: self.n_constraints, : self.n_primal] = G
+            self._M_inv_pad = Mp
+            self._G_pad = Gp
+            self._GT_pad = Gp.T.copy()
 
     # ------------------------------------------------------------------
     def init_carry(self, state: jnp.ndarray | None = None) -> MPCCarry:
@@ -174,18 +189,38 @@ class LinearMPC:
         lower = jnp.concatenate([self._u_lo, self._x_lo - offset])
         upper = jnp.concatenate([self._u_hi, self._x_hi - offset])
 
-        sol = admm_box_qp(
-            self._M_inv,
-            self._G,
-            f,
-            lower,
-            upper,
-            carry.slack,
-            carry.dual,
-            cfg.admm_rho,
-            cfg.admm_iterations,
-            cfg.admm_over_relax,
-        )
+        if cfg.use_fused_admm:
+            from ..ops.admm_pallas import admm_box_qp_fused
+
+            m, n = self.n_constraints, self.n_primal
+            pad_v = lambda v, size: jnp.zeros((1, size), jnp.float32).at[
+                0, : v.shape[0]
+            ].set(v.astype(jnp.float32))
+            Up, zp, yp = admm_box_qp_fused(
+                self._M_inv_pad, self._G_pad, self._GT_pad,
+                pad_v(f, self._n_pad),
+                pad_v(lower, self._m_pad), pad_v(upper, self._m_pad),
+                pad_v(carry.slack, self._m_pad), pad_v(carry.dual, self._m_pad),
+                cfg.admm_rho, cfg.admm_iterations, cfg.admm_over_relax,
+            )
+            sol = AdmmState(
+                primal=Up[0, :n].astype(self.dtype),
+                slack=zp[0, :m].astype(self.dtype),
+                dual=yp[0, :m].astype(self.dtype),
+            )
+        else:
+            sol = admm_box_qp(
+                self._M_inv,
+                self._G,
+                f,
+                lower,
+                upper,
+                carry.slack,
+                carry.dual,
+                cfg.admm_rho,
+                cfg.admm_iterations,
+                cfg.admm_over_relax,
+            )
 
         U = sol.primal.reshape(N, CONTROL_DIM)
         X_tail = (offset + mm(self._Su, sol.primal)).reshape(N, STATE_DIM)
