@@ -1,0 +1,153 @@
+"""Online GP-MPC loop, mission phase machine, synthetic data, flight logs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unmanned_aerial_vehicles_tpu.control.mpc_linear import LinearMPC, LinearMPCConfig
+from unmanned_aerial_vehicles_tpu.gp import (
+    add_training_sample,
+    empty_dataset,
+    fit_residual_gp,
+    fit_residual_gp_masked,
+    predict_mean,
+)
+from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+from unmanned_aerial_vehicles_tpu.io import (
+    analyze_flight_log,
+    generate_excitation_data,
+    identify_linear_dynamics,
+    load_flight_log,
+    save_flight_log,
+)
+from unmanned_aerial_vehicles_tpu.loop import (
+    FlightLoopConfig,
+    OnlineGPMPCConfig,
+    mission_rollout,
+    online_gp_mpc_rollout,
+)
+from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+
+
+def small_mpc():
+    return LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=40), dtype=jnp.float64
+    )
+
+
+def ref_fn(cfg):
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=3.0, frequency=0.05)
+        return pos + jnp.array([0.0, 0.0, cfg.takeoff_height]), yaw
+
+    return ref
+
+
+def test_masked_fit_matches_dense_fit(rng):
+    """Masked ring-buffer fit == dense fit on the valid rows."""
+    cfg = ResidualGPConfig(max_data_points=64)
+    ds = empty_dataset(64, jnp.float64)
+    X = rng.normal(size=(40, 10)) * 0.3
+    for i in range(40):
+        state = jnp.asarray(X[i, :6])
+        ctrl = jnp.asarray(X[i, 6:10])
+        nxt = state + 0.02 * jnp.concatenate([state[3:6], ctrl[0:3]]) + 0.01 * i / 40
+        ds = add_training_sample(ds, state, ctrl, nxt, cfg)
+    assert int(ds.count) == 40
+
+    post_masked = fit_residual_gp_masked(ds, cfg)
+    post_dense = fit_residual_gp(ds.X[:40], ds.Y[:40], cfg)
+
+    Xt = jnp.asarray(rng.normal(size=(8, 10)) * 0.3)
+    np.testing.assert_allclose(
+        np.asarray(predict_mean(post_masked, Xt)),
+        np.asarray(predict_mean(post_dense, Xt)),
+        atol=1e-8,
+    )
+
+
+def test_masked_fit_empty_dataset_predicts_zero():
+    cfg = ResidualGPConfig(max_data_points=32)
+    post = fit_residual_gp_masked(empty_dataset(32, jnp.float64), cfg)
+    mean = predict_mean(post, jnp.zeros((3, 10)))
+    np.testing.assert_allclose(np.asarray(mean), 0.0, atol=1e-12)
+    assert bool(jnp.all(jnp.isfinite(post.chol)))
+
+
+def test_online_gp_mpc_learns_in_flight():
+    """Fly 20 s online: dataset fills, GP activates, flight stays sane."""
+    cfg = OnlineGPMPCConfig(
+        gp=ResidualGPConfig(max_data_points=128),
+        gp_refit_every=100,
+        gp_min_samples=30,
+    )
+    mpc = small_mpc()
+    outs, dataset, posterior = jax.jit(
+        lambda: online_gp_mpc_rollout(
+            mpc, ref_fn(cfg.flight), num_steps=500, cfg=cfg, dtype=jnp.float64
+        )
+    )()
+    assert int(dataset.count) > 50          # data collected in flight
+    assert bool(outs["gp_active"][-1])      # GP switched on
+    assert not bool(outs["gp_active"][0])   # ... but not at t=0
+    err = outs["pos_ref"] - outs["state"][:, 0:3]
+    rms = float(jnp.sqrt(jnp.mean(jnp.sum(err**2, axis=-1))))
+    assert np.isfinite(rms) and rms < 2.0
+
+
+def test_mission_phases():
+    mpc = small_mpc()
+    cfg = FlightLoopConfig()
+    outs = jax.jit(
+        lambda: mission_rollout(
+            mpc, ref_fn(cfg), duration=30.0, cfg=cfg, dtype=jnp.float64
+        )
+    )()
+    phases = np.asarray(outs["phase"])
+    assert phases[0] == 0 and phases[-1] == 4
+    assert set(np.unique(phases)) == {0, 1, 2, 3, 4}
+
+    # after takeoff+hover the vehicle should be near takeoff height
+    t_idx = int(19.0 / cfg.control_dt)
+    z = float(outs["state"][t_idx, 2])
+    assert abs(z - cfg.takeoff_height) < 0.5
+
+    # in the trajectory phase tracking stays bounded
+    traj = np.asarray(outs["in_trajectory"])
+    err = np.asarray(outs["target"] - outs["state"][:, 0:3])[traj]
+    assert np.sqrt((err**2).sum(axis=1)).max() < 3.0
+
+
+def test_synthetic_excitation_and_sysid():
+    X, Y = generate_excitation_data(seed=1, num_steps=400)
+    assert X.shape == (400, 10) and Y.shape == (400, 6)
+    assert np.isfinite(X).all() and np.isfinite(Y).all()
+    # residuals should be small but non-zero (plant != double integrator)
+    assert 0 < np.abs(Y).mean() < 0.5
+
+    # identify the double integrator itself: perfect linear fit
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=(200, 6))
+    u = rng.normal(size=(200, 4))
+    dt = 0.02
+    s_next = s + dt * np.concatenate([s[:, 3:6], u[:, 0:3]], axis=1)
+    A, B, resid = identify_linear_dynamics(s, u, s_next)
+    assert resid < 1e-10
+    np.testing.assert_allclose(A[0, 3], dt, atol=1e-10)
+    np.testing.assert_allclose(B[3, 0], dt, atol=1e-10)
+
+
+def test_flight_log_roundtrip(tmp_path):
+    T = 50
+    outs = {
+        "state": np.random.default_rng(0).normal(size=(T, 12)),
+        "pos_ref": np.zeros((T, 3)),
+        "thrust": np.full(T, 0.7),
+    }
+    path = str(tmp_path / "flight.npz")
+    save_flight_log(path, outs, controller="gp-mpc")
+    log = load_flight_log(path)
+    assert log["meta_controller"] == "gp-mpc"
+    m = analyze_flight_log(log)
+    assert "rms_pos" in m and "mean_thrust_sat_pct" in m
+    assert m["mean_thrust_sat_pct"] == 0.0

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Tuple
 
 from flax import struct
+import jax
 import jax.numpy as jnp
 
 from ..models.double_integrator import double_integrator_step
@@ -128,6 +129,64 @@ def fit_residual_gp(
     if params is None:
         params = default_params(config)
     return fit_gp(params, X, Y, jitter=config.alpha, normalize_y=True)
+
+
+def fit_residual_gp_masked(
+    dataset: ResidualDataset,
+    config: ResidualGPConfig = ResidualGPConfig(),
+    params: GPParams | None = None,
+) -> GPPosterior:
+    """Fit on a partially-filled ring buffer, fully in-graph (static shapes).
+
+    This is what makes **online** GP learning jit/scan-safe: the reference
+    retrains on a Python list snapshot (``simple_gp.py:156-177``, timer at
+    ``gaussian_process.py:122``); here invalid buffer rows are masked out of
+    the kernel matrix algebraically — masked rows get k(i, :) = 0 off-diag,
+    k(i, i) = 1, y_i = 0, so their alpha is exactly 0 and they contribute
+    nothing to posteriors; target normalisation uses masked statistics.
+    """
+    if params is None:
+        params = default_params(config)
+
+    capacity = dataset.X.shape[0]
+    idx = jnp.arange(capacity)
+    valid = (idx < dataset.count)[:, None]  # ring buffer fills in order
+    count = jnp.maximum(dataset.count, 1).astype(dataset.X.dtype)
+
+    # masked normalize_y (sklearn semantics over valid rows only)
+    Yv = jnp.where(valid, dataset.Y, 0.0)
+    y_mean = jnp.sum(Yv, axis=0) / count
+    y_var = jnp.sum(jnp.where(valid, (dataset.Y - y_mean) ** 2, 0.0), axis=0) / count
+    y_std = jnp.sqrt(y_var)
+    y_std = jnp.where(y_std == 0.0, 1.0, y_std)
+    Yn = jnp.where(valid, (dataset.Y - y_mean) / y_std, 0.0)
+
+    from .kernels import rbf_kernel
+
+    K = rbf_kernel(dataset.X, dataset.X, jnp.exp(params.log_length_scale),
+                   jnp.exp(params.log_signal_variance))
+    mask2d = valid & valid.T
+    K = jnp.where(mask2d, K, 0.0)
+    diag = jnp.where(
+        valid[:, 0],
+        jnp.diagonal(K) + jnp.exp(params.log_noise_variance) + config.alpha,
+        1.0,
+    )
+    K = K.at[jnp.diag_indices(capacity)].set(diag)
+
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((L, True), Yn)
+    return GPPosterior(
+        params=params,
+        # large finite sentinel (inf would give inf-inf=NaN in the
+        # squared-distance trick): k(x*, masked row) = exp(-~1e12) = 0
+        X_train=jnp.where(valid, dataset.X, 1e6),
+        chol=L,
+        alpha=alpha,
+        y_mean=y_mean,
+        y_std=y_std,
+        y_train_norm=Yn,
+    )
 
 
 def predict_residual(

@@ -1,5 +1,7 @@
 from .datasets import CSV_HEADER, load_gp_dataset, load_gp_datasets, save_gp_dataset
 from .checkpoint import load_gp_checkpoint, save_gp_checkpoint
+from .flight_log import analyze_flight_log, load_flight_log, save_flight_log
+from .synthetic import generate_excitation_data, identify_linear_dynamics
 
 __all__ = [
     "CSV_HEADER",
@@ -8,4 +10,9 @@ __all__ = [
     "save_gp_dataset",
     "load_gp_checkpoint",
     "save_gp_checkpoint",
+    "analyze_flight_log",
+    "load_flight_log",
+    "save_flight_log",
+    "generate_excitation_data",
+    "identify_linear_dynamics",
 ]

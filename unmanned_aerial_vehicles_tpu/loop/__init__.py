@@ -3,6 +3,8 @@ from .closed_loop import (
     mpc_flight_rollout,
     pid_flight_rollout,
 )
+from .full_system import OnlineGPMPCConfig, online_gp_mpc_rollout
+from .mission import mission_rollout
 from .compare import (
     TRAJECTORY_TYPES,
     comparison_summary,
@@ -14,6 +16,9 @@ __all__ = [
     "FlightLoopConfig",
     "mpc_flight_rollout",
     "pid_flight_rollout",
+    "OnlineGPMPCConfig",
+    "online_gp_mpc_rollout",
+    "mission_rollout",
     "TRAJECTORY_TYPES",
     "comparison_summary",
     "run_comparison",

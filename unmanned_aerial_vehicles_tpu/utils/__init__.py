@@ -1,3 +1,4 @@
+from .profiling import device_timeit, trace
 from .rotations import (
     euler_to_quaternion,
     euler_to_rotation_matrix,
@@ -7,6 +8,8 @@ from .rotations import (
 )
 
 __all__ = [
+    "device_timeit",
+    "trace",
     "euler_to_quaternion",
     "euler_to_rotation_matrix",
     "euler_rate_transform",
