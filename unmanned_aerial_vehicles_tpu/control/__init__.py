@@ -19,6 +19,9 @@ from .mpc_linear import (
     LinearMPC,
     MPCCarry,
 )
+from .mpc_sqp import QuadCost, SQPCarry, SQPConfig, SQPMPC
+from .mpc_rigid import DirectRateMPC, LTVTrackingMPC, RigidBodyMPC
+from .mpc_demo import AttitudeMPC, RK4DemoMPC
 
 __all__ = [
     "PIDGains",
@@ -39,4 +42,13 @@ __all__ = [
     "LinearMPCConfig",
     "LinearMPC",
     "MPCCarry",
+    "QuadCost",
+    "SQPCarry",
+    "SQPConfig",
+    "SQPMPC",
+    "DirectRateMPC",
+    "LTVTrackingMPC",
+    "RigidBodyMPC",
+    "AttitudeMPC",
+    "RK4DemoMPC",
 ]

@@ -237,7 +237,8 @@ class LTVTrackingMPC:
 
     def __init__(self, dt: float = 0.1, horizon: int = 20,
                  params: RigidBodyParams = GZ_QUADROTOR_PARAMS,
-                 config: SQPConfig | None = None, dtype=jnp.float32):
+                 config: SQPConfig | None = None, num_obstacles: int = 0,
+                 obstacle_margin: float = 0.5, dtype=jnp.float32):
         self.dt = dt
         self.params = params
         mg = params.mass * params.gravity
@@ -268,6 +269,8 @@ class LTVTrackingMPC:
             state_upper=[BIG] * 6 + [jnp.pi / 4, jnp.pi / 4, BIG] + [BIG] * 3,
             control_lower=[0.0, -0.1, -0.1, -0.1],
             control_upper=[2.0 * mg, 0.1, 0.1, 0.1],
+            num_obstacles=num_obstacles,          # mpc_controller.py:281-287
+            obstacle_margin=obstacle_margin,      # safety_margin (:74)
             dtype=dtype,
         )
         # weights: mpc_controller.py:56-63; terminal P = 5 Q
@@ -282,7 +285,8 @@ class LTVTrackingMPC:
     def init_carry(self, state12: jnp.ndarray) -> SQPCarry:
         return self.mpc.init_carry(state12, self.u_hover)
 
-    def solve(self, carry, state12, reference_traj, residuals=None):
+    def solve(self, carry, state12, reference_traj, residuals=None,
+              obstacles=None):
         """``reference_traj``: ``(N+1, 12)`` stage references (the node keeps
         a shifting (N+1)-step reference, :64-67). Linearisation anchors to
         the reference + hover controls each tick (:251-263)."""
@@ -293,5 +297,5 @@ class LTVTrackingMPC:
         )
         return self.mpc.solve(
             carry, state12, self.cost, reference_traj[1:], residuals,
-            lin_trajectory=lin,
+            lin_trajectory=lin, obstacles=obstacles,
         )

@@ -85,19 +85,30 @@ class SQPMPC:
         state_upper,
         control_lower,
         control_upper,
+        num_obstacles: int = 0,
+        obstacle_margin: float = 0.5,
         dtype=jnp.float32,
     ):
+        """``num_obstacles`` reserves constraint rows for spherical-obstacle
+        avoidance. The reference poses ``||p_k - obs|| >= r`` directly
+        (``quadrotor_gp_mpc/mpc_controller.py:281-287``) — nonconvex, which
+        cvxpy's DCP layer actually rejects. Here each obstacle/stage pair
+        becomes the standard convexification: a half-space
+        ``n'(p_k - obs) >= r + margin`` with ``n`` the unit vector from the
+        obstacle to the linearisation trajectory — rows appended to G."""
         self.step_fn = step_fn
         self.nx, self.nu = state_dim, control_dim
         self.config = config
         self.dtype = dtype
+        self.num_obstacles = num_obstacles
+        self.obstacle_margin = obstacle_margin
         N = config.horizon
         self._x_lo = jnp.tile(jnp.asarray(state_lower, dtype), N)
         self._x_hi = jnp.tile(jnp.asarray(state_upper, dtype), N)
         self._u_lo = jnp.tile(jnp.asarray(control_lower, dtype), N)
         self._u_hi = jnp.tile(jnp.asarray(control_upper, dtype), N)
         self.n_primal = N * control_dim
-        self.n_constraints = N * (control_dim + state_dim)
+        self.n_constraints = N * (control_dim + state_dim) + N * num_obstacles
 
     # ------------------------------------------------------------------
     def init_carry(self, state: jnp.ndarray, u_init: jnp.ndarray) -> SQPCarry:
@@ -117,13 +128,23 @@ class SQPMPC:
         def roll(mat):
             return jnp.concatenate([mat[1:], mat[-1:]], axis=0)
 
-        zu = roll(carry.slack[: N * self.nu].reshape(N, self.nu)).reshape(-1)
-        zx = roll(carry.slack[N * self.nu :].reshape(N, self.nx)).reshape(-1)
-        yu = roll(carry.dual[: N * self.nu].reshape(N, self.nu)).reshape(-1)
-        yx = roll(carry.dual[N * self.nu :].reshape(N, self.nx)).reshape(-1)
+        def roll_block(vec, width):
+            return roll(vec.reshape(N, width)).reshape(-1)
+
+        nu, nx, K = self.nu, self.nx, self.num_obstacles
+        splits = [N * nu, N * (nu + nx)]
+
+        def shift_all(vec):
+            zu = roll_block(vec[: splits[0]], nu)
+            zx = roll_block(vec[splits[0] : splits[1]], nx)
+            parts = [zu, zx]
+            if K:
+                parts.append(roll_block(vec[splits[1] :], K))
+            return jnp.concatenate(parts)
+
         return SQPCarry(
-            slack=jnp.concatenate([zu, zx]),
-            dual=jnp.concatenate([yu, yx]),
+            slack=shift_all(carry.slack),
+            dual=shift_all(carry.dual),
             X_prev=roll(carry.X_prev).at[0].set(x0),
             U_prev=roll(carry.U_prev),
         )
@@ -146,6 +167,7 @@ class SQPMPC:
         x_ref: jnp.ndarray,            # (N, nx) per-stage state targets
         residuals: jnp.ndarray | None = None,
         lin_trajectory: tuple | None = None,   # optional (X (N+1,nx), U (N,nu))
+        obstacles: jnp.ndarray | None = None,  # (num_obstacles, 4) [x,y,z,r]
     ):
         """One MPC tick: fixed SQP iterations, warm-started. Returns
         ``(u0, X_opt, new_carry)``."""
@@ -156,6 +178,9 @@ class SQPMPC:
 
         if residuals is None:
             residuals = jnp.zeros((N, nx), self.dtype)
+        if self.num_obstacles and obstacles is None:
+            # inactive placeholders: hugely negative radius -> slack bound
+            obstacles = jnp.zeros((self.num_obstacles, 4), self.dtype).at[:, 3].set(-1e9)
 
         qbar = jnp.concatenate(
             [jnp.tile(cost.q_stage, N - 1), cost.q_terminal]
@@ -187,6 +212,26 @@ class SQPMPC:
             G = jnp.concatenate([jnp.eye(N * nu, dtype=self.dtype), Su], axis=0)
             lower = jnp.concatenate([self._u_lo, self._x_lo - offset])
             upper = jnp.concatenate([self._u_hi, self._x_hi - offset])
+
+            if self.num_obstacles:
+                # linearised half-space obstacle rows: n'(p_k) >= r + m + n'obs
+                Su3 = Su.reshape(N, nx, N * nu)[:, 0:3, :]       # (N,3,NU)
+                off3 = offset.reshape(N, nx)[:, 0:3]             # (N,3)
+                p_bar = X_bar[1:, 0:3]                           # (N,3)
+                diff = p_bar[:, None, :] - obstacles[None, :, 0:3]  # (N,K,3)
+                dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-9)
+                n_vec = diff / dist[..., None]                   # (N,K,3)
+                rows = jnp.einsum("nkj,njp->nkp", n_vec, Su3)    # (N,K,NU)
+                lo_obs = (
+                    obstacles[None, :, 3] + self.obstacle_margin
+                    + jnp.einsum("nkj,kj->nk", n_vec, obstacles[:, 0:3])
+                    - jnp.einsum("nkj,nj->nk", n_vec, off3)
+                )
+                G = jnp.concatenate([G, rows.reshape(-1, N * nu)], axis=0)
+                lower = jnp.concatenate([lower, lo_obs.reshape(-1)])
+                upper = jnp.concatenate(
+                    [upper, jnp.full(N * self.num_obstacles, 1e9, self.dtype)]
+                )
 
             # Diagonal (OSQP/Ruiz-style) equilibration, in-graph: the traced
             # Hessians here are brutally ill-conditioned (thrust weight 0.01
