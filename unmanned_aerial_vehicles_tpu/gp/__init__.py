@@ -7,6 +7,11 @@ from .exact_gp import (
     predict,
     predict_mean,
 )
+from .analysis import (
+    analyze_gp_model,
+    generate_generic_test_points,
+    generate_physical_test_points,
+)
 from .evaluate import evaluate_gp, evaluate_gp_residuals, write_metrics_csv
 from .per_dim import (
     PerDimGP,
@@ -35,6 +40,9 @@ __all__ = [
     "optimize_hyperparameters",
     "predict",
     "predict_mean",
+    "analyze_gp_model",
+    "generate_generic_test_points",
+    "generate_physical_test_points",
     "evaluate_gp",
     "evaluate_gp_residuals",
     "write_metrics_csv",

@@ -1,3 +1,4 @@
+from .fast_csv import load_numeric_csv, native_available
 from .datasets import CSV_HEADER, load_gp_dataset, load_gp_datasets, save_gp_dataset
 from .checkpoint import load_gp_checkpoint, save_gp_checkpoint
 from .flight_log import analyze_flight_log, load_flight_log, save_flight_log
@@ -5,6 +6,8 @@ from .synthetic import generate_excitation_data, identify_linear_dynamics
 
 __all__ = [
     "CSV_HEADER",
+    "load_numeric_csv",
+    "native_available",
     "load_gp_dataset",
     "load_gp_datasets",
     "save_gp_dataset",

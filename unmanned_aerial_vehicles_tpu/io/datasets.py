@@ -17,6 +17,8 @@ from typing import Iterable, Tuple
 
 import numpy as np
 
+from .fast_csv import load_numeric_csv
+
 CSV_HEADER = (
     "x,y,z,vx,vy,vz,ax,ay,az,yaw_rate,"
     "res_dx,res_dy,res_dz,res_dvx,res_dvy,res_dvz"
@@ -29,9 +31,9 @@ def load_gp_dataset(
     residual_norm_limit: float = 5.0,
     dtype=np.float64,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """One CSV -> filtered ``(X (n,10), Y (n,6))`` arrays."""
-    data = np.genfromtxt(path, delimiter=",", skip_header=1, dtype=dtype)
-    data = np.atleast_2d(data)
+    """One CSV -> filtered ``(X (n,10), Y (n,6))`` arrays. Parsed by the
+    native loader (``native/csv_loader.cpp``) when available."""
+    data = load_numeric_csv(path, _N_COLS).astype(dtype, copy=False)
     if data.shape[1] != _N_COLS:
         raise ValueError(
             f"{path}: expected {_N_COLS} columns ({CSV_HEADER}), got {data.shape[1]}"

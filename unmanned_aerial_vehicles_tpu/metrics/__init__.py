@@ -5,6 +5,7 @@ from .performance import (
     measure_time,
     mpc_metrics_summary,
 )
+from .plots import plot_comparison, plot_flight_log
 from .tracking import (
     attitude_rmse_deg,
     max_position_error,
@@ -20,6 +21,8 @@ __all__ = [
     "gp_metrics_summary",
     "measure_time",
     "mpc_metrics_summary",
+    "plot_comparison",
+    "plot_flight_log",
     "attitude_rmse_deg",
     "max_position_error",
     "rms_position_error",
