@@ -160,3 +160,34 @@ def test_metrics_summaries(rng):
     g = gp_metrics_summary(rng.normal(size=(50, 6)), np.abs(rng.normal(size=(50, 6))))
     assert len(g["mean_prediction_error"]) == 6
     assert g["rmse"] > 0
+
+
+def test_metrics_csv_files_skipped_in_multi_load(tmp_path):
+    """The gp_datasets dir mixes flight CSVs with *_metrics.csv analysis
+    outputs (9 columns); the multi-file loader must skip those (found by
+    driving the fly CLI with the default glob)."""
+    import warnings
+    from unmanned_aerial_vehicles_tpu.io import load_gp_datasets
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        X, Y = load_gp_datasets([REF_CSV, REF_METRICS])
+    X_only, _ = load_gp_datasets([REF_CSV])
+    assert X.shape == X_only.shape
+
+
+def test_per_dim_residuals_drive_mpc():
+    from unmanned_aerial_vehicles_tpu.gp import (
+        build_horizon_residuals_per_dim,
+        fit_per_dim_gp,
+    )
+
+    X, Y = load_gp_dataset(REF_CSV)
+    model = fit_per_dim_gp(jnp.asarray(X[:200]), jnp.asarray(Y[:200]))
+    Xg = jnp.tile(jnp.asarray(X[0, :6])[None, :], (11, 1))
+    Ug = jnp.tile(jnp.asarray(X[0, 6:10])[None, :], (10, 1))
+    D = build_horizon_residuals_per_dim(model, Xg, Ug)
+    assert D.shape == (10, 6)
+    np.testing.assert_allclose(np.asarray(D[:, 0:3]), 0.0)
+    assert bool(jnp.all(jnp.isfinite(D)))
+    assert float(jnp.max(jnp.abs(D[:, 3:6]))) > 0

@@ -121,6 +121,27 @@ def predict_per_dim(model: PerDimGP, X_test: jnp.ndarray) -> Tuple[jnp.ndarray, 
     return mean, var
 
 
+def build_horizon_residuals_per_dim(
+    model: PerDimGP,
+    X_guess: jnp.ndarray,
+    U_guess: jnp.ndarray,
+    dt: float = 0.02,
+    residual_gain: float = 0.1,
+) -> jnp.ndarray:
+    """Per-dimension-GP variant of the MPC horizon-residual builder —
+    the ``GPEnhancedMPC.predict_gp_residuals`` role
+    (``/root/reference/src/px4/gp_enhanced_mpc.py:35-692``: per-dim models +
+    scalers feeding the MPC). Same state->dynamics conversion as the
+    single-GP path. ``X_guess (N+1, >=6)``, ``U_guess (N, >=4)`` -> (N, 6).
+    """
+    N = U_guess.shape[0]
+    inputs = jnp.concatenate([X_guess[:N, :6], U_guess[:, :4]], axis=1)
+    mean, _ = predict_per_dim(model, inputs)     # (N, 6) state residuals
+    dyn = mean / dt
+    D = jnp.zeros((N, 6), mean.dtype)
+    return D.at[:, 3:6].set(residual_gain * dyn[:, 3:6])
+
+
 def per_dim_training_report(
     model: PerDimGP,
     X_test: jnp.ndarray,

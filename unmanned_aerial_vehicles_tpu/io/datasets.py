@@ -52,10 +52,20 @@ def load_gp_datasets(
     dtype=np.float64,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Concatenate several CSVs, optionally down-sampling evenly to
-    ``max_samples`` (``train_gp_offline.py:155-163`` uses max 10000)."""
+    ``max_samples`` (``train_gp_offline.py:155-163`` uses max 10000).
+    Files that don't match the 16-column flight schema (e.g. the
+    ``*_metrics.csv`` analysis outputs living in the same directory) are
+    skipped with a warning, mirroring the reference's per-file error
+    tolerance (``train_gp_offline.py:98-104``)."""
+    import warnings
+
     xs, ys = [], []
     for p in paths:
-        X, Y = load_gp_dataset(p, residual_norm_limit, dtype)
+        try:
+            X, Y = load_gp_dataset(p, residual_norm_limit, dtype)
+        except ValueError as e:
+            warnings.warn(f"skipping {p}: {e}")
+            continue
         xs.append(X)
         ys.append(Y)
     if not xs:
