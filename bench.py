@@ -67,8 +67,15 @@ def main():
     Yd = jnp.asarray(Y, jnp.float32)
 
     gp_cfg = ResidualGPConfig()
-    loop_cfg = FlightLoopConfig()
-    mpc = LinearMPC(LinearMPCConfig(horizon=HORIZON, admm_iterations=60))
+    # latency mode: fused Pallas plant + fused Pallas ADMM, 30 warm-started
+    # iterations (closed-loop RMS is iteration-invariant from 20 up)
+    loop_cfg = FlightLoopConfig(use_pallas_plant=True)
+    mpc = LinearMPC(
+        LinearMPCConfig(horizon=HORIZON, admm_iterations=30, use_fused_admm=True)
+    )
+    # throughput mode: plain XLA paths (vmap-friendly)
+    batch_loop_cfg = FlightLoopConfig()
+    batch_mpc = LinearMPC(LinearMPCConfig(horizon=HORIZON, admm_iterations=30))
 
     def ref(t):
         pos, yaw = ramped_figure8_reference(t, amplitude=6.0, frequency=0.02)
@@ -93,7 +100,7 @@ def main():
 
         def one(x0):
             outs = mpc_flight_rollout(
-                mpc, ref, num_steps=500, cfg=loop_cfg,
+                batch_mpc, ref, num_steps=500, cfg=batch_loop_cfg,
                 residual_fn=rf, initial_state=x0,
             )
             err = outs["pos_ref"] - outs["state"][:, 0:3]

@@ -101,3 +101,28 @@ def test_linear_mpc_fused_flag_matches(rng):
         ap.admm_box_qp_fused = orig
         if ml_orig is not None:
             ml.admm_box_qp_fused = ml_orig
+
+
+def test_fused_plant_matches_xla(rng):
+    from unmanned_aerial_vehicles_tpu.models import (
+        RateLoopParams,
+        RigidBodyParams,
+        px4_rate_tracking_step,
+    )
+    from unmanned_aerial_vehicles_tpu.ops.plant_pallas import px4_plant_step_fused
+
+    body = RigidBodyParams()
+    rl = RateLoopParams()
+    for i in range(3):
+        s = jnp.asarray(rng.normal(size=12) * 0.3, jnp.float32)
+        c = jnp.asarray([1.0, 0.1, -0.1, 0.05], jnp.float32)
+        ref = s
+        for _ in range(2):
+            ref = px4_rate_tracking_step(ref, c, body, rl, 0.01)
+        fused = px4_plant_step_fused(
+            s, c, body.mass, body.gravity, body.k_drag_linear,
+            (rl.tau_roll, rl.tau_pitch, rl.tau_yaw), 0.02, 2, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref, dtype=np.float32), atol=2e-6
+        )

@@ -44,9 +44,21 @@ class FlightLoopConfig:
     accel_lower: Tuple[float, float, float] = (-3.5, -3.5, -4.0)  # mpc.py:2033
     accel_upper: Tuple[float, float, float] = (3.5, 3.5, 6.0)
     yawrate_limit: float = 0.8    # mpc.py:2035
+    # run all plant RK4 substeps as ONE Pallas kernel (latency mode, f32,
+    # bit-exact vs the XLA path; ~2x faster per tick on v5e)
+    use_pallas_plant: bool = False
 
 
 def _plant_substeps(state, control, body, rate_loop, cfg: FlightLoopConfig):
+    if cfg.use_pallas_plant:
+        from ..ops.plant_pallas import px4_plant_step_fused
+
+        return px4_plant_step_fused(
+            state, control, body.mass, body.gravity, body.k_drag_linear,
+            (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
+            cfg.control_dt, cfg.plant_substeps,
+        ).astype(state.dtype)
+
     dt_sub = cfg.control_dt / cfg.plant_substeps
 
     def sub(x, _):
