@@ -34,3 +34,20 @@ def test_compare_command(capsys):
 
 def test_bad_glob_errors():
     assert main(["train-gp", "--data", "/nonexistent/*.csv"]) == 1
+
+
+def test_mission_command(capsys):
+    assert main(["mission", "--duration", "25", "--amplitude", "3"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["phases_reached"] == 5
+    assert abs(out["takeoff_altitude_m"] - 3.0) < 0.5
+
+
+def test_online_command(tmp_path, capsys):
+    model = str(tmp_path / "online.npz")
+    assert main(["online", "--duration", "12", "--gp-capacity", "64",
+                 "--refit-every", "100", "--save-model", model]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["gp_samples_collected"] > 30
+    assert out["gp_active_final"] is True
+    assert os.path.exists(model)

@@ -144,6 +144,87 @@ def _cmd_fly(args) -> int:
     return 0
 
 
+def _cmd_mission(args) -> int:
+    """Full mission (ground -> arm -> takeoff -> hover -> trajectory)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .control.mpc_linear import LinearMPC, LinearMPCConfig
+    from .loop import FlightLoopConfig, mission_rollout
+    from .trajectories import ramped_figure8_reference
+
+    cfg = FlightLoopConfig()
+    mpc = LinearMPC(LinearMPCConfig())
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=args.amplitude)
+        return pos + jnp.array([0.0, 0.0, cfg.takeoff_height]), yaw
+
+    outs = jax.jit(
+        lambda: mission_rollout(mpc, ref, duration=args.duration, cfg=cfg)
+    )()
+    import numpy as np
+
+    traj = np.asarray(outs["in_trajectory"])
+    err = np.linalg.norm(
+        np.asarray(outs["target"] - outs["state"][:, 0:3]), axis=1
+    )
+    print(json.dumps({
+        "phases_reached": int(np.asarray(outs["phase"]).max()) + 1,
+        "takeoff_altitude_m": round(float(outs["state"][traj.argmax(), 2]), 3),
+        "trajectory_rms_pos_m": round(float(np.sqrt((err[traj] ** 2).mean())), 4),
+        "trajectory_max_pos_m": round(float(err[traj].max()), 4),
+    }, indent=2))
+    return 0
+
+
+def _cmd_online(args) -> int:
+    """Online-learning flight: collect data and retrain the GP in-flight."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .control.mpc_linear import LinearMPC, LinearMPCConfig
+    from .gp.residual_gp import ResidualGPConfig
+    from .io import save_gp_checkpoint
+    from .loop import OnlineGPMPCConfig, online_gp_mpc_rollout
+    from .trajectories import ramped_figure8_reference
+
+    cfg = OnlineGPMPCConfig(
+        gp=ResidualGPConfig(max_data_points=args.gp_capacity),
+        gp_refit_every=args.refit_every,
+    )
+    mpc = LinearMPC(LinearMPCConfig())
+    num_steps = int(args.duration / cfg.flight.control_dt)
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=args.amplitude)
+        return pos + jnp.array([0.0, 0.0, cfg.flight.takeoff_height]), yaw
+
+    outs, dataset, posterior = jax.jit(
+        lambda: online_gp_mpc_rollout(mpc, ref, num_steps, cfg=cfg)
+    )()
+
+    err = np.linalg.norm(
+        np.asarray(outs["pos_ref"] - outs["state"][:, 0:3]), axis=1
+    )
+    result = {
+        "gp_samples_collected": int(dataset.count),
+        "gp_active_final": bool(outs["gp_active"][-1]),
+        "rms_pos_m": round(float(np.sqrt((err**2).mean())), 4),
+    }
+    if args.save_model:
+        n = int(dataset.count)
+        save_gp_checkpoint(
+            args.save_model, posterior,
+            np.asarray(dataset.X)[:n], np.asarray(dataset.Y)[:n],
+            jitter=cfg.gp.alpha,
+        )
+        result["model_saved"] = args.save_model
+    print(json.dumps(result, indent=2))
+    return 0
+
+
 def _cmd_compare(args) -> int:
     from .loop import run_full_comparison
 
@@ -215,6 +296,19 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--amplitude", type=float, default=6.0)
     f.add_argument("--gp-data", default="/root/reference/gp_datasets/*.csv")
     f.set_defaults(fn=_cmd_fly)
+
+    m = sub.add_parser("mission", help="full phase-machine mission")
+    m.add_argument("--duration", type=float, default=60.0)
+    m.add_argument("--amplitude", type=float, default=6.0)
+    m.set_defaults(fn=_cmd_mission)
+
+    o = sub.add_parser("online", help="online-learning GP-MPC flight")
+    o.add_argument("--duration", type=float, default=60.0)
+    o.add_argument("--amplitude", type=float, default=6.0)
+    o.add_argument("--gp-capacity", type=int, default=400)
+    o.add_argument("--refit-every", type=int, default=250)
+    o.add_argument("--save-model", default=None)
+    o.set_defaults(fn=_cmd_online)
 
     c = sub.add_parser("compare", help="standalone PID vs GP-MPC comparison")
     c.add_argument("--duration", type=float, default=30.0)
