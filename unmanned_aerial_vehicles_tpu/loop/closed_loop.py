@@ -92,6 +92,9 @@ def pid_flight_rollout(
         state, pid_state = carry
         t = i.astype(dtype) * cfg.control_dt
         pos_ref, yaw_ref = reference_fn(t)
+        # guard against x64 promotion leaking in from user reference fns
+        pos_ref = jnp.asarray(pos_ref, dtype)
+        yaw_ref = jnp.asarray(yaw_ref, dtype)
 
         control, pid_state, aux = cascade_pid_step(
             gains, pid_state, state, pos_ref, yaw_ref, cfg.control_dt
@@ -143,6 +146,9 @@ def mpc_flight_rollout(
         state, mpc_carry, att_carry = carry
         t = i.astype(dtype) * cfg.control_dt
         pos_ref, yaw_ref = reference_fn(t)
+        # guard against x64 promotion leaking in from user reference fns
+        pos_ref = jnp.asarray(pos_ref, dtype)
+        yaw_ref = jnp.asarray(yaw_ref, dtype)
 
         mpc_state = state[0:6]
         residuals = (

@@ -86,6 +86,9 @@ def online_gp_mpc_rollout(
          prev_state, prev_control, last_u) = carry
         t = i.astype(dtype) * fcfg.control_dt
         pos_ref, yaw_ref = reference_fn(t)
+        # guard against x64 promotion leaking in from user reference fns
+        pos_ref = jnp.asarray(pos_ref, dtype)
+        yaw_ref = jnp.asarray(yaw_ref, dtype)
 
         # --- online data capture (mpc.py:2016-2021) --------------------
         dataset = add_training_sample(

@@ -67,6 +67,9 @@ def mission_rollout(
         flight_time = jnp.maximum(t - HOVER_END, 0.0)
 
         pos_ref, yaw_ref = reference_fn(flight_time)
+        # guard against x64 promotion leaking in from user reference fns
+        pos_ref = jnp.asarray(pos_ref, dtype)
+        yaw_ref = jnp.asarray(yaw_ref, dtype)
         # pre-trajectory phases target the takeoff point (z ramps in early
         # phases exactly like the position setpoints the node publishes)
         pre_target = jnp.where(

@@ -81,7 +81,8 @@ def _derivative(
     W = euler_rate_transform(phi, theta)
     attitude_dot = jnp.einsum("...ij,...j->...i", W, omega)
 
-    omega_dot = (rate_cmd - omega) / rates.taus
+    taus = jnp.asarray(rates.taus, state.dtype)  # avoid x64 promotion
+    omega_dot = (rate_cmd - omega) / taus
 
     return jnp.concatenate([vel, acceleration, attitude_dot, omega_dot], axis=-1)
 
