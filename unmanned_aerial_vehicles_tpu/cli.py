@@ -28,7 +28,7 @@ import time
 def _cmd_train_gp(args) -> int:
     import jax.numpy as jnp
 
-    from .gp import fit_residual_gp, log_marginal_likelihood, optimize_hyperparameters
+    from .gp import log_marginal_likelihood, optimize_hyperparameters
     from .gp.residual_gp import ResidualGPConfig, default_params
     from .io import load_gp_datasets, save_gp_checkpoint
     from .gp.exact_gp import fit_gp

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.qp import AdmmState, admm_box_qp, condense_dynamics
+from ..ops.qp import admm_box_qp, condense_dynamics
 from .mpc_sqp import QuadCost, SQPCarry, SQPConfig, SQPMPC
 
 

@@ -27,8 +27,6 @@ Three controllers, one engine (``mpc_sqp.SQPMPC``):
 
 from __future__ import annotations
 
-from flax import struct
-import jax
 import jax.numpy as jnp
 
 from ..models.params import RigidBodyParams, X500_PARAMS, GZ_QUADROTOR_PARAMS

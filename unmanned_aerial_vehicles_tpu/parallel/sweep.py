@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..gp.exact_gp import GPParams, fit_gp, log_marginal_likelihood, predict_mean
-from .sharding import batch_sharding, make_mesh, replicated_sharding, shard_batch
+from .sharding import replicated_sharding, shard_batch
 
 
 class SweepResult(NamedTuple):
