@@ -126,3 +126,54 @@ def test_fused_plant_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(ref, dtype=np.float32), atol=2e-6
         )
+
+
+def test_allocation_plant_tick_matches_xla(rng):
+    from unmanned_aerial_vehicles_tpu.control.allocation import (
+        AttitudeLoopState,
+        geometric_control_allocation,
+    )
+    from unmanned_aerial_vehicles_tpu.models import (
+        RateLoopParams,
+        RigidBodyParams,
+        px4_rate_tracking_step,
+    )
+    from unmanned_aerial_vehicles_tpu.ops.plant_pallas import (
+        allocation_plant_tick_fused,
+    )
+
+    body = RigidBodyParams()
+    rl = RateLoopParams()
+    for i in range(3):
+        s = jnp.asarray(rng.normal(size=12) * 0.3, jnp.float32)
+        accel = jnp.asarray(rng.normal(size=3), jnp.float32)
+        yawrate = jnp.float32(0.2)
+        yaw_t = jnp.float32(0.1)
+        integral = jnp.asarray(rng.normal(size=3) * 0.05, jnp.float32)
+
+        thrust, rates, att_sp, carry = geometric_control_allocation(
+            AttitudeLoopState(integral=integral), accel, yaw_t, yawrate,
+            s[6:9], s[9:12], dt_attitude=0.02,
+        )
+        control = jnp.concatenate([thrust[None], rates])
+        ref_state = s
+        for _ in range(2):
+            ref_state = px4_rate_tracking_step(ref_state, control, body, rl, 0.01)
+
+        new_state, ctrl_f, att_f, int_f = allocation_plant_tick_fused(
+            s, accel, yawrate, yaw_t, integral,
+            body.mass, body.gravity, body.k_drag_linear,
+            (rl.tau_roll, rl.tau_pitch, rl.tau_yaw), 0.02, 2, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state), np.asarray(ref_state, np.float32), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ctrl_f), np.asarray(control, np.float32), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(att_f), np.asarray(att_sp, np.float32), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(int_f), np.asarray(carry.integral, np.float32), atol=5e-6
+        )

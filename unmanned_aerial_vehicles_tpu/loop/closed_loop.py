@@ -161,17 +161,32 @@ def mpc_flight_rollout(
         accel_des = jnp.clip(u_opt[0:3], accel_lo, accel_hi)
         yawrate_des = jnp.clip(u_opt[3], -cfg.yawrate_limit, cfg.yawrate_limit)
 
-        thrust, rate_cmd, att_sp, att_carry = geometric_control_allocation(
-            att_carry,
-            accel_des,
-            yaw_ref,
-            yawrate_des,
-            state[6:9],
-            state[9:12],
-            dt_attitude=cfg.control_dt,
-        )
-        control = jnp.concatenate([thrust[None], rate_cmd])
-        new_state = _plant_substeps(state, control, body, rate_loop, cfg)
+        if cfg.use_pallas_plant:
+            # allocation + attitude PID + all plant substeps in ONE kernel
+            from ..control.allocation import AttitudeLoopState
+            from ..ops.plant_pallas import allocation_plant_tick_fused
+
+            new_state, control, att_sp, new_int = allocation_plant_tick_fused(
+                state, accel_des, yawrate_des, yaw_ref, att_carry.integral,
+                body.mass, body.gravity, body.k_drag_linear,
+                (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
+                cfg.control_dt, cfg.plant_substeps,
+            )
+            new_state = new_state.astype(state.dtype)
+            att_carry = AttitudeLoopState(integral=new_int.astype(dtype))
+            thrust, rate_cmd = control[0], control[1:4]
+        else:
+            thrust, rate_cmd, att_sp, att_carry = geometric_control_allocation(
+                att_carry,
+                accel_des,
+                yaw_ref,
+                yawrate_des,
+                state[6:9],
+                state[9:12],
+                dt_attitude=cfg.control_dt,
+            )
+            control = jnp.concatenate([thrust[None], rate_cmd])
+            new_state = _plant_substeps(state, control, body, rate_loop, cfg)
 
         out = {
             "state": state,

@@ -85,6 +85,150 @@ def _make_kernel(mass, gravity, k_drag_linear, taus, dt, substeps):
     return kernel
 
 
+def _allocation(s, cmd, integral, dt, gravity,
+                kp=3.2, ki=0.6, kd=0.6, integral_max=0.3):
+    """Scalar transcription of ``control.allocation.
+    geometric_control_allocation`` (mpc.py:2057-2113)."""
+    ax, ay, az, yawrate_des, target_yaw = cmd[0], cmd[1], cmd[2], cmd[3], cmd[4]
+
+    tvx, tvy, tvz = ax, ay, az + gravity
+    tmag = jnp.sqrt(tvx * tvx + tvy * tvy + tvz * tvz)
+    thrust = jnp.clip(tmag / gravity, 0.25, 1.2)
+
+    inv = 1.0 / jnp.maximum(tmag, 1e-9)
+
+    def asin(x):
+        # Pallas TPU lowers neither asin nor atan2. Inputs are clipped to
+        # +-0.4, where the Maclaurin series through x^13 is accurate to
+        # ~1.5e-8 — below f32 epsilon at these magnitudes.
+        x2 = x * x
+        return x * (
+            1.0
+            + x2 * (1.0 / 6.0
+            + x2 * (3.0 / 40.0
+            + x2 * (15.0 / 336.0
+            + x2 * (105.0 / 3456.0
+            + x2 * (945.0 / 42240.0
+                    + x2 * (10395.0 / 599040.0))))))
+        )
+
+    pitch_cmd = -asin(jnp.clip(tvx * inv, -0.4, 0.4))
+    roll_cmd = asin(jnp.clip(tvy * inv, -0.4, 0.4))
+    degenerate = tmag <= 0.1
+    pitch_cmd = jnp.where(degenerate, 0.0, pitch_cmd)
+    roll_cmd = jnp.where(degenerate, 0.0, roll_cmd)
+
+    two_pi = 2.0 * jnp.pi
+    wrap = lambda a: (a + jnp.pi) % two_pi - jnp.pi
+    e0 = wrap(roll_cmd - s[6])
+    e1 = wrap(pitch_cmd - s[7])
+    e2 = wrap(target_yaw - s[8])
+
+    i0 = jnp.clip(integral[0] + e0 * dt, -integral_max, integral_max)
+    i1 = jnp.clip(integral[1] + e1 * dt, -integral_max, integral_max)
+    i2 = jnp.clip(integral[2] + e2 * dt, -integral_max, integral_max)
+
+    rollrate = jnp.clip(kp * e0 + ki * i0 - kd * s[9], -1.2, 1.2)
+    pitchrate = jnp.clip(kp * e1 + ki * i1 - kd * s[10], -1.2, 1.2)
+    yawrate = jnp.clip(yawrate_des + kp * e2 + ki * i2 - kd * s[11], -0.8, 0.8)
+
+    control = (thrust, rollrate, pitchrate, yawrate)
+    att_sp = (roll_cmd, pitch_cmd, target_yaw)
+    return control, att_sp, (i0, i1, i2)
+
+
+def _make_tick_kernel(mass, gravity, k_drag_linear, taus, dt, substeps):
+    def kernel(state_ref, cmd_ref, integral_ref,
+               out_state_ref, out_ctrl_ref, out_int_ref):
+        s = tuple(state_ref[0, i] for i in range(12))
+        cmd = tuple(cmd_ref[0, i] for i in range(5))
+        integral = tuple(integral_ref[0, i] for i in range(3))
+
+        c, att_sp, new_int = _allocation(s, cmd, integral, dt, gravity)
+
+        h = dt / substeps
+        for _ in range(substeps):
+            k1 = _derivative(s, c, mass, gravity, k_drag_linear, taus)
+            k2 = _derivative(_axpy(s, k1, 0.5 * h), c, mass, gravity, k_drag_linear, taus)
+            k3 = _derivative(_axpy(s, k2, 0.5 * h), c, mass, gravity, k_drag_linear, taus)
+            k4 = _derivative(_axpy(s, k3, h), c, mass, gravity, k_drag_linear, taus)
+            s = tuple(
+                s[i] + (h / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
+                for i in range(12)
+            )
+        zero = jnp.float32(0.0)
+        out_state_ref[:] = jnp.stack(s + (zero,) * (PAD - 12)).reshape(1, PAD)
+        # control (4) + attitude setpoint (3) packed in one row
+        out_ctrl_ref[:] = jnp.stack(
+            c + att_sp + (zero,) * (PAD - 7)
+        ).reshape(1, PAD)
+        out_int_ref[:] = jnp.stack(new_int + (zero,) * (PAD - 3)).reshape(1, PAD)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mass", "gravity", "k_drag_linear", "taus", "dt",
+                     "substeps", "interpret"),
+)
+def allocation_plant_tick_fused(
+    state: jnp.ndarray,       # (12,)
+    accel_des: jnp.ndarray,   # (3,) already clipped
+    yawrate_des: jnp.ndarray,  # ()
+    target_yaw: jnp.ndarray,   # ()
+    att_integral: jnp.ndarray,  # (3,)
+    mass: float,
+    gravity: float,
+    k_drag_linear: float,
+    taus: tuple,
+    dt: float,
+    substeps: int = 2,
+    interpret: bool = False,
+):
+    """Geometric allocation + attitude PID + all plant RK4 substeps, fused.
+
+    Returns ``(new_state (12,), control4, att_setpoint3, new_integral (3,))``
+    — semantics identical to ``geometric_control_allocation`` followed by
+    ``px4_plant_step_fused``.
+    """
+    srow = jnp.zeros((1, PAD), jnp.float32).at[0, :12].set(state.astype(jnp.float32))
+    cmd = jnp.concatenate(
+        [accel_des.astype(jnp.float32),
+         jnp.asarray(yawrate_des, jnp.float32)[None],
+         jnp.asarray(target_yaw, jnp.float32)[None]]
+    )
+    crow = jnp.zeros((1, PAD), jnp.float32).at[0, :5].set(cmd)
+    irow = jnp.zeros((1, PAD), jnp.float32).at[0, :3].set(
+        att_integral.astype(jnp.float32)
+    )
+    new_state, ctrl, new_int = pl.pallas_call(
+        _make_tick_kernel(mass, gravity, k_drag_linear, taus, dt, substeps),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, PAD), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(srow, crow, irow)
+    return (
+        new_state[0, :12],
+        ctrl[0, 0:4],
+        ctrl[0, 4:7],
+        new_int[0, :3],
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mass", "gravity", "k_drag_linear", "taus", "dt",
