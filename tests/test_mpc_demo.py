@@ -69,11 +69,18 @@ def test_attitude_mpc_hover():
     assert abs(float(u0[1])) < 1e-6
 
     # closed loop with its own model stays near the hover target
-    carry = mpc.init_carry(state)
-    st = state
-    for _ in range(100):
-        u, _, carry = mpc.solve(carry, st, target)
-        st = attitude_mpc_step(st, u, jnp.zeros(9))
+    @jax.jit
+    def rollout(st0):
+        def body(c, _):
+            st, mc = c
+            u, _, mc = mpc.solve(mc, st, target)
+            st = attitude_mpc_step(st, u, jnp.zeros(9))
+            return (st, mc), None
+
+        (st, _), _ = jax.lax.scan(body, (st0, mpc.init_carry(st0)), None, length=100)
+        return st
+
+    st = rollout(state)
     assert 1.2 < float(st[2]) < 2.6
 
 
