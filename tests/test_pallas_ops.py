@@ -81,11 +81,11 @@ def test_linear_mpc_fused_flag_matches(rng):
     import functools
 
     # route the fused path through the interpreter on CPU
-    orig = ap.admm_box_qp_fused
-    ml_orig = getattr(ml, "admm_box_qp_fused", None)
+    orig = ap.admm_box_qp_fused_composite
+    ml_orig = getattr(ml, "admm_box_qp_fused_composite", None)
     try:
         wrapped = functools.partial(orig, interpret=True)
-        ap.admm_box_qp_fused = wrapped
+        ap.admm_box_qp_fused_composite = wrapped
 
         state = jnp.asarray([1.0, -2.0, 2.0, 0.5, 0.0, -0.1], jnp.float32)
         target = jnp.asarray([0.0, 0.0, 3.0], jnp.float32)
@@ -98,9 +98,9 @@ def test_linear_mpc_fused_flag_matches(rng):
         u_b, _, _ = b.solve(b.init_carry(state), state, target)
         np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_b), atol=1e-4)
     finally:
-        ap.admm_box_qp_fused = orig
+        ap.admm_box_qp_fused_composite = orig
         if ml_orig is not None:
-            ml.admm_box_qp_fused = ml_orig
+            ml.admm_box_qp_fused_composite = ml_orig
 
 
 def test_fused_plant_matches_xla(rng):

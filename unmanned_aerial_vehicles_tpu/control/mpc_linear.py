@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.double_integrator import CONTROL_DIM, STATE_DIM
-from ..ops.qp import AdmmState, admm_box_qp, condense_dynamics
+from ..ops.qp import AdmmState, admm_box_qp_composite, condense_dynamics
 
 
 @struct.dataclass
@@ -107,23 +107,27 @@ class LinearMPC:
         self._qbar = cast(qbar)
         self._H, self._G, self._M_inv = cast(H), cast(G), cast(M_inv)
         self._SuT_q = cast(Su.T * qbar[None, :])
+        # operator-composed ADMM data (ops.qp.admm_box_qp_composite):
+        # one matmul per iteration instead of three
+        GMinv = G @ M_inv
+        self._GMinv = cast(GMinv)
+        self._P1 = cast(GMinv @ G.T)
         self._u_lo = cast(np.tile(config.control_lower, N))
         self._u_hi = cast(np.tile(config.control_upper, N))
         self._x_lo = cast(np.tile(config.state_lower, N))
         self._x_hi = cast(np.tile(config.state_upper, N))
 
         if config.use_fused_admm:
-            # MXU-padded copies for the fused Pallas ADMM path
+            # MXU-padded copies for the fused Pallas ADMM path (composite)
             pad128 = lambda v: ((v + 127) // 128) * 128
             self._n_pad = pad128(self.n_primal)
             self._m_pad = pad128(self.n_constraints)
-            Mp = np.zeros((self._n_pad, self._n_pad), np.float32)
-            Mp[: self.n_primal, : self.n_primal] = M_inv
-            Gp = np.zeros((self._m_pad, self._n_pad), np.float32)
-            Gp[: self.n_constraints, : self.n_primal] = G
-            self._M_inv_pad = Mp
-            self._G_pad = Gp
-            self._GT_pad = Gp.T.copy()
+            P1p = np.zeros((self._m_pad, self._m_pad), np.float32)
+            P1p[: self.n_constraints, : self.n_constraints] = self._P1
+            GMinvTp = np.zeros((self._n_pad, self._m_pad), np.float32)
+            GMinvTp[: self.n_primal, : self.n_constraints] = GMinv.T
+            self._P1_pad = P1p
+            self._GMinvT_pad = GMinvTp
 
     # ------------------------------------------------------------------
     def init_carry(self, state: jnp.ndarray | None = None) -> MPCCarry:
@@ -189,16 +193,19 @@ class LinearMPC:
         lower = jnp.concatenate([self._u_lo, self._x_lo - offset])
         upper = jnp.concatenate([self._u_hi, self._x_hi - offset])
 
+        p0 = -mm(self._GMinv, f)
+        minv_f = mm(self._M_inv, f)
+
         if cfg.use_fused_admm:
-            from ..ops.admm_pallas import admm_box_qp_fused
+            from ..ops.admm_pallas import admm_box_qp_fused_composite
 
             m, n = self.n_constraints, self.n_primal
             pad_v = lambda v, size: jnp.zeros((1, size), jnp.float32).at[
                 0, : v.shape[0]
             ].set(v.astype(jnp.float32))
-            Up, zp, yp = admm_box_qp_fused(
-                self._M_inv_pad, self._G_pad, self._GT_pad,
-                pad_v(f, self._n_pad),
+            Up, zp, yp = admm_box_qp_fused_composite(
+                self._P1_pad, pad_v(p0, self._m_pad),
+                self._GMinvT_pad, pad_v(minv_f, self._n_pad),
                 pad_v(lower, self._m_pad), pad_v(upper, self._m_pad),
                 pad_v(carry.slack, self._m_pad), pad_v(carry.dual, self._m_pad),
                 cfg.admm_rho, cfg.admm_iterations, cfg.admm_over_relax,
@@ -209,10 +216,11 @@ class LinearMPC:
                 dual=yp[0, :m].astype(self.dtype),
             )
         else:
-            sol = admm_box_qp(
-                self._M_inv,
-                self._G,
-                f,
+            sol = admm_box_qp_composite(
+                self._P1,
+                p0,
+                self._GMinv.T,
+                minv_f,
                 lower,
                 upper,
                 carry.slack,

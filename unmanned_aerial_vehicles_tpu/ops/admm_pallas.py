@@ -131,6 +131,83 @@ def admm_box_qp_fused(
     )(M_inv, G, GT, f, lower, upper, z0, y0, rho_arr)
 
 
+def _make_composite_kernel(iterations: int, over_relax: float):
+    prec = jax.lax.Precision.HIGHEST
+
+    def kernel(p1_ref, p0_ref, gminvt_ref, minvf_ref, lo_ref, hi_ref,
+               z0_ref, y0_ref, rho_ref, u_ref, z_ref, y_ref):
+        P1 = p1_ref[:]
+        p0 = p0_ref[:]
+        lo = lo_ref[:]
+        hi = hi_ref[:]
+        rho = rho_ref[0, 0]
+
+        def body(_, carry):
+            z, y = carry
+            GU = p0 + jax.lax.dot_general(
+                rho * z - y, P1,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )                                   # (1, m); P1 symmetric
+            Gt = over_relax * GU + (1.0 - over_relax) * z
+            z_new = jnp.clip(Gt + y / rho, lo, hi)
+            y_new = y + rho * (Gt - z_new)
+            return (z_new, y_new)
+
+        z_fin, y_fin = jax.lax.fori_loop(0, iterations, body, (z0_ref[:], y0_ref[:]))
+        u_ref[:] = -minvf_ref[:] + jax.lax.dot_general(
+            rho * z_fin - y_fin, gminvt_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        z_ref[:] = z_fin
+        y_ref[:] = y_fin
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "over_relax", "interpret")
+)
+def admm_box_qp_fused_composite(
+    P1: jnp.ndarray,       # (m, m) padded, = G M^{-1} G'
+    p0: jnp.ndarray,       # (1, m)       = -G M^{-1} f
+    GMinvT: jnp.ndarray,   # (n, m) padded, = M^{-1} G'
+    Minv_f: jnp.ndarray,   # (1, n)
+    lower: jnp.ndarray,    # (1, m)
+    upper: jnp.ndarray,    # (1, m)
+    z0: jnp.ndarray,
+    y0: jnp.ndarray,
+    rho: float,
+    iterations: int,
+    over_relax: float = 1.6,
+    interpret: bool = False,
+):
+    """Operator-composed fused ADMM: ONE (m, m) matvec per iteration inside
+    one Pallas kernel — the shortest possible dependency chain for the
+    latency-bound solve (see ``ops.qp.admm_box_qp_composite``)."""
+    n = GMinvT.shape[0]
+    m = P1.shape[0]
+    rho_arr = jnp.asarray(rho, jnp.float32).reshape(1, 1)
+    kernel = _make_composite_kernel(iterations, over_relax)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(P1, p0, GMinvT, Minv_f, lower, upper, z0, y0, rho_arr)
+
+
 def pad_to(x: jnp.ndarray, rows: int, cols: int | None = None) -> jnp.ndarray:
     """Zero-pad a matrix/vector up to MXU-friendly dimensions."""
     import numpy as np

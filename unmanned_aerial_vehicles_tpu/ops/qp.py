@@ -110,6 +110,45 @@ def admm_box_qp(
     return jax.lax.fori_loop(0, iterations, body, init)
 
 
+def admm_box_qp_composite(
+    P1: jnp.ndarray,      # (m, m) = G M^{-1} G'
+    p0: jnp.ndarray,      # (m,)   = -G M^{-1} f   (per-tick)
+    GMinvT: jnp.ndarray,  # (n, m) = M^{-1} G'     (for the final primal)
+    Minv_f: jnp.ndarray,  # (n,)   = M^{-1} f      (per-tick)
+    lower: jnp.ndarray,
+    upper: jnp.ndarray,
+    z0: jnp.ndarray,
+    y0: jnp.ndarray,
+    rho: float,
+    iterations: int,
+    over_relax: float = 1.6,
+) -> AdmmState:
+    """Operator-composed ADMM: algebraically identical to ``admm_box_qp``
+    but with ONE matmul per iteration instead of three.
+
+        GU = G M^{-1} (-f + G'(rho z - y)) = p0 + P1 (rho z - y)
+
+    The per-iteration dependency chain is a single (m, m) matvec, so for
+    latency-bound solves (sequential MXU ops) this is ~3x shorter; the
+    primal U is recovered once at the end. ``P1`` is a compile-time constant
+    for fixed-horizon linear MPC."""
+    prec = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+
+    def body(_, state: AdmmState) -> AdmmState:
+        z, y = state.slack, state.dual
+        GU = p0 + mm(P1, rho * z - y)
+        Gt = over_relax * GU + (1.0 - over_relax) * z
+        z_new = jnp.clip(Gt + y / rho, lower, upper)
+        y_new = y + rho * (Gt - z_new)
+        return AdmmState(state.primal, z_new, y_new)
+
+    init = AdmmState(jnp.zeros(GMinvT.shape[0], dtype=lower.dtype), z0, y0)
+    out = jax.lax.fori_loop(0, iterations, body, init)
+    U = -Minv_f + mm(GMinvT, rho * out.slack - out.dual)
+    return AdmmState(U, out.slack, out.dual)
+
+
 def admm_box_qp_chol(
     M_chol: jnp.ndarray,
     G: jnp.ndarray,
