@@ -20,7 +20,8 @@ Method (real-time-iteration SQP / Gauss-Newton):
    ``jax.jacfwd`` — exact Jacobians, replacing the reference's eps=1e-8
    finite differences (``quadrotor_gp_mpc/mpc_controller.py:318-350``);
 2. condense in-graph (``ops.qp.condense_ltv``) and solve the box-QP with
-   Cholesky-ADMM (``ops.qp.admm_box_qp_chol``), fixed iterations;
+   operator-composed Cholesky-ADMM (``ops.qp.admm_box_qp_composite``: one
+   matvec per iteration), fixed iterations;
 3. roll the nonlinear dynamics forward under the new controls to re-anchor;
    repeat a fixed number of SQP iterations (no line search — warm starts
    across 50 Hz ticks keep steps small, the RTI regime).
@@ -37,7 +38,7 @@ from flax import struct
 import jax
 import jax.numpy as jnp
 
-from ..ops.qp import admm_box_qp_chol, condense_ltv
+from ..ops.qp import admm_box_qp_composite, condense_ltv
 
 
 @struct.dataclass
@@ -249,8 +250,16 @@ class SQPMPC:
             M = Hs + rho * mm(Gs.T, Gs)
             M_chol = jnp.linalg.cholesky(M)
 
-            sol = admm_box_qp_chol(
-                M_chol, Gs, fs, lower * e, upper * e,
+            # operator composition (one matvec per ADMM iteration): factor
+            # once, precompose G M^-1 G' for this tick's traced matrices
+            GMinvT_s = jax.scipy.linalg.cho_solve((M_chol, True), Gs.T)  # (n,m)
+            P1 = mm(Gs, GMinvT_s)
+            p0 = -mm(GMinvT_s.T, fs)
+            minv_f = jax.scipy.linalg.cho_solve((M_chol, True), fs)
+
+            sol = admm_box_qp_composite(
+                P1, p0, GMinvT_s, minv_f,
+                lower * e, upper * e,
                 z * e, y / e,
                 rho, cfg.admm_iterations, cfg.admm_over_relax,
             )
