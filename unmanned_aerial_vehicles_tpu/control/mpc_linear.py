@@ -230,7 +230,11 @@ class LinearMPC:
                 cfg.admm_over_relax,
             )
 
-        U = sol.primal.reshape(N, CONTROL_DIM)
+        # controls come from the slack's U-block: box-feasible by
+        # construction at every iteration (the primal can violate bounds
+        # mid-convergence or on infeasible problems, e.g. a state outside
+        # its box after a disturbance); equals the primal at convergence
+        U = sol.slack[: N * CONTROL_DIM].reshape(N, CONTROL_DIM)
         X_tail = (offset + mm(self._Su, sol.primal)).reshape(N, STATE_DIM)
         X_opt = jnp.concatenate([x0[None, :], X_tail], axis=0)
 
