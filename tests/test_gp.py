@@ -161,3 +161,20 @@ def test_checkpoint_roundtrip(tmp_path, flight_data):
     mean1, var1 = predict(post2, jnp.asarray(Xt))
     np.testing.assert_allclose(np.asarray(mean0), np.asarray(mean1), atol=1e-12)
     np.testing.assert_allclose(np.asarray(var0), np.asarray(var1), atol=1e-12)
+
+
+def test_hyperopt_restarts_at_least_as_good(flight_data):
+    import jax
+    from unmanned_aerial_vehicles_tpu.gp import optimize_hyperparameters_restarts
+
+    X, Y, _, _ = flight_data
+    Xj, Yj = jnp.asarray(X[:150]), jnp.asarray(Y[:150])
+    params = GPParams.create(2.0, 0.5, 0.5)
+    _, nll_single = optimize_hyperparameters(
+        params, Xj, Yj, jitter=1e-4, normalize_y=True, steps=30
+    )
+    _, nll_multi = optimize_hyperparameters_restarts(
+        params, Xj, Yj, jax.random.PRNGKey(0), restarts=3,
+        jitter=1e-4, normalize_y=True, steps=30,
+    )
+    assert float(nll_multi) <= float(nll_single) + 1e-6

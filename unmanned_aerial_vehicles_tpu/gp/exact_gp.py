@@ -218,3 +218,49 @@ def optimize_hyperparameters(
     best_p = jax.tree_util.tree_map(lambda b, c: jnp.where(better, c, b), best_p, p_fin)
     best_v = jnp.minimum(best_v, final_v)
     return best_p, best_v
+
+
+def optimize_hyperparameters_restarts(
+    params: GPParams,
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    key: jax.Array,
+    restarts: int = 3,
+    perturbation: float = 1.0,
+    jitter: float = 0.0,
+    normalize_y: bool = False,
+    steps: int = 100,
+) -> Tuple[GPParams, jnp.ndarray]:
+    """Multi-start LML maximisation (sklearn's ``n_restarts_optimizer``;
+    the reference trainer uses 3 restarts, ``gp_trainer.py:169``).
+
+    TPU-first: the restarts are a ``vmap`` over perturbed log-space inits —
+    all optimisations run as one batched program — followed by an argmin.
+    """
+    noise = jax.random.normal(
+        key, (restarts,) + jnp.shape(jnp.asarray(params.log_length_scale))
+    )
+    starts = GPParams(
+        log_length_scale=params.log_length_scale + perturbation * noise,
+        log_signal_variance=jnp.broadcast_to(
+            params.log_signal_variance, (restarts,)
+        ),
+        log_noise_variance=jnp.broadcast_to(
+            params.log_noise_variance, (restarts,)
+        ),
+    )
+    # include the unperturbed start as restart 0
+    starts = jax.tree_util.tree_map(
+        lambda s, p: s.at[0].set(p), starts,
+        jax.tree_util.tree_map(lambda a: jnp.asarray(a), params),
+    )
+
+    def run_one(p):
+        return optimize_hyperparameters(
+            p, X, Y, jitter=jitter, normalize_y=normalize_y, steps=steps
+        )
+
+    best_ps, nlls = jax.vmap(run_one)(starts)
+    idx = jnp.nanargmin(nlls)
+    best = jax.tree_util.tree_map(lambda a: a[idx], best_ps)
+    return best, nlls[idx]
