@@ -66,8 +66,10 @@ def test_sharded_flight_sweep_matches_single_flights():
         return mpc_flight_rollout(mpc, ref, num_steps=20, cfg=cfg, initial_state=x0)
 
     B = 16
-    starts = jnp.zeros((B, 12), jnp.float32).at[:, 2].set(cfg.takeoff_height)
-    starts = starts.at[:, 0].set(jnp.linspace(-0.5, 0.5, B))
+    starts = jnp.zeros((B, 12), jnp.float32).at[:, 2].set(
+        jnp.float32(cfg.takeoff_height)
+    )
+    starts = starts.at[:, 0].set(jnp.linspace(-0.5, 0.5, B, dtype=jnp.float32))
     result = sharded_flight_sweep(mesh, one_flight, starts)
 
     assert result["rms_per_flight"].shape == (B,)
