@@ -177,3 +177,38 @@ def test_allocation_plant_tick_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(int_f), np.asarray(carry.integral, np.float32), atol=5e-6
         )
+
+
+def test_fused_controller_matches_reference_path(rng):
+    import functools
+
+    import unmanned_aerial_vehicles_tpu.ops.controller_pallas as cp
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+
+    orig = cp.gpmpc_controller_fused
+    try:
+        cp.gpmpc_controller_fused = functools.partial(
+            orig.__wrapped__, interpret=True
+        )
+        state = jnp.asarray([4.0, -3.0, 1.0, 1.5, -0.5, 0.2], jnp.float32)
+        target = jnp.asarray([-4.0, 3.0, 3.0], jnp.float32)
+        D = jnp.zeros((20, 6), jnp.float32).at[:, 5].set(1.5)
+
+        a = LinearMPC(LinearMPCConfig(horizon=20, admm_iterations=100),
+                      dtype=jnp.float32)
+        b = LinearMPC(
+            LinearMPCConfig(horizon=20, admm_iterations=100,
+                            use_fused_controller=True),
+            dtype=jnp.float32,
+        )
+        ca, cb = a.init_carry(state), b.init_carry(state)
+        for _ in range(3):  # warm-started ticks must track each other
+            ua, Xa, ca = a.solve(ca, state, target, D)
+            ub, Xb, cb = b.solve(cb, state, target, D)
+        np.testing.assert_allclose(np.asarray(ua), np.asarray(ub), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(Xa), np.asarray(Xb), atol=1e-4)
+    finally:
+        cp.gpmpc_controller_fused = orig

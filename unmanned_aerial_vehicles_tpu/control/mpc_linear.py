@@ -51,6 +51,10 @@ class LinearMPCConfig:
     admm_over_relax: float = 1.6
     # run the whole ADMM loop as ONE Pallas kernel (latency mode; f32 only)
     use_fused_admm: bool = False
+    # run the ENTIRE controller (gradient/bounds build + composite ADMM +
+    # primal/trajectory extraction) as ONE Pallas kernel; supersedes
+    # use_fused_admm (latency mode; f32 only)
+    use_fused_controller: bool = False
 
 
 class MPCCarry(NamedTuple):
@@ -116,6 +120,14 @@ class LinearMPC:
         self._u_hi = cast(np.tile(config.control_upper, N))
         self._x_lo = cast(np.tile(config.state_lower, N))
         self._x_hi = cast(np.tile(config.state_upper, N))
+
+        if config.use_fused_controller:
+            from ..ops.controller_pallas import build_fused_controller_data
+
+            self._fc_data = build_fused_controller_data(
+                Sx, Su, Sw, Su.T * qbar[None, :], M_inv, G,
+                self._u_lo, self._u_hi, self._x_lo, self._x_hi,
+            )
 
         if config.use_fused_admm:
             # MXU-padded copies for the fused Pallas ADMM path (composite)
@@ -186,6 +198,32 @@ class LinearMPC:
             jnp.concatenate([target_pos.astype(self.dtype), jnp.zeros(3, self.dtype)]),
             N,
         )
+        if cfg.use_fused_controller:
+            from ..ops.controller_pallas import gpmpc_controller_fused
+
+            n_pad = self._fc_data.SxT.shape[0]
+            m_pad = self._fc_data.P1.shape[0]
+            row = lambda v, size: jnp.zeros((1, size), jnp.float32).at[
+                0, : v.shape[0]
+            ].set(v.astype(jnp.float32))
+
+            z_r, y_r, U_r, Xt_r = gpmpc_controller_fused(
+                self._fc_data,
+                row(x0, n_pad), row(w, n_pad), row(ref, n_pad),
+                row(carry.slack, m_pad), row(carry.dual, m_pad),
+                cfg.admm_rho, cfg.admm_iterations, cfg.admm_over_relax,
+            )
+            m = self.n_constraints
+            slack = z_r[0, :m].astype(self.dtype)
+            dual = y_r[0, :m].astype(self.dtype)
+            U = slack[: N * CONTROL_DIM].reshape(N, CONTROL_DIM)
+            X_tail = Xt_r[0, : N * STATE_DIM].astype(self.dtype).reshape(
+                N, STATE_DIM
+            )
+            X_opt = jnp.concatenate([x0[None, :], X_tail], axis=0)
+            new_carry = MPCCarry(slack=slack, dual=dual, X_prev=X_opt, U_prev=U)
+            return U[0], X_opt, new_carry
+
         mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
         offset = mm(self._Sx, x0) + mm(self._Sw, w)
         f = mm(self._SuT_q, offset - ref)
