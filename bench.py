@@ -94,6 +94,17 @@ def main():
         return outs["final_state"], rms
 
     @jax.jit
+    def run_preview(Xt, Yt, x0):
+        post = fit_residual_gp(Xt, Yt, gp_cfg)
+        rf = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
+        outs = mpc_flight_rollout(
+            mpc, ref, num_steps=NUM_TICKS, cfg=loop_cfg,
+            residual_fn=rf, initial_state=x0, preview=True,
+        )
+        err = outs["pos_ref"] - outs["state"][:, 0:3]
+        return jnp.sqrt(jnp.mean(jnp.sum(err**2, axis=-1)))
+
+    @jax.jit
     def run_batch(Xt, Yt, starts):
         post = fit_residual_gp(Xt, Yt, gp_cfg)
         rf = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
@@ -128,6 +139,7 @@ def main():
         best = min(best, dt)
 
     per_tick_us = best / NUM_TICKS * 1e6
+    rms_preview = float(run_preview(Xd, Yd, x0_base))
 
     # batched-throughput mode: 1024 concurrent GP-MPC flights (BASELINE
     # config 5 — "vmapped over 1k trajectory batches")
@@ -158,6 +170,7 @@ def main():
                 "vs_baseline": round(per_tick_us / BASELINE_US, 6),
                 "baseline_us": BASELINE_US,
                 "fig8_rms_pos_m": round(rms_val, 4),
+                "fig8_rms_pos_m_preview": round(rms_preview, 4),
                 "batched_1024_flights_us_per_tick": round(batched_us, 3),
             }
         )

@@ -125,3 +125,32 @@ def test_closed_loop_pid_circle():
     assert np.isfinite(rms)
     # Reference cascade-PID campaign: 2.524 m RMS (BASELINE.md row 7).
     assert rms < 4.0, f"PID circle RMS position error too high: {rms:.3f} m"
+
+
+def test_preview_mode_slashes_tracking_lag():
+    """Per-stage horizon references (preview) must dramatically beat the
+    reference's point-target tracking (1.086 m published; measured 8x
+    improvement on TPU: 0.96 -> 0.14 m RMS)."""
+    mpc = LinearMPC(LinearMPCConfig(admm_iterations=60), dtype=jnp.float64)
+    cfg = FlightLoopConfig()
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=6.0, frequency=0.02)
+        return pos + jnp.array([0.0, 0.0, cfg.takeoff_height]), yaw
+
+    outs_point = jax.jit(
+        lambda: mpc_flight_rollout(mpc, ref, 1500, cfg=cfg, dtype=jnp.float64)
+    )()
+    outs_prev = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, ref, 1500, cfg=cfg, preview=True, dtype=jnp.float64
+        )
+    )()
+
+    def rms(outs):
+        return float(
+            rms_position_error(outs["pos_ref"], outs["state"][:, 0:3])
+        )
+
+    assert rms(outs_prev) < 0.5 * rms(outs_point)
+    assert rms(outs_prev) < 0.35

@@ -131,7 +131,10 @@ def _cmd_fly(args) -> int:
             )
             residual_fn = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
         outs = jax.jit(
-            lambda: mpc_flight_rollout(mpc, ref, num_steps, cfg=cfg, residual_fn=residual_fn)
+            lambda: mpc_flight_rollout(
+                mpc, ref, num_steps, cfg=cfg, residual_fn=residual_fn,
+                preview=args.preview,
+            )
         )()
 
     m = tracking_metrics(
@@ -295,6 +298,8 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--duration", type=float, default=60.0)
     f.add_argument("--amplitude", type=float, default=6.0)
     f.add_argument("--gp-data", default="/root/reference/gp_datasets/*.csv")
+    f.add_argument("--preview", action="store_true",
+                   help="per-stage horizon references (removes tracking lag)")
     f.set_defaults(fn=_cmd_fly)
 
     m = sub.add_parser("mission", help="full phase-machine mission")

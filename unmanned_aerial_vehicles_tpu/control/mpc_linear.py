@@ -178,10 +178,18 @@ class LinearMPC:
         state: jnp.ndarray,
         target_pos: jnp.ndarray,
         residuals: jnp.ndarray | None = None,
+        reference_states: jnp.ndarray | None = None,
     ):
         """One MPC tick. ``state``: 6-vector, ``target_pos``: 3-vector,
         ``residuals``: optional ``(N, 6)`` stage-wise GP dynamics residuals
         d_k (already gain-scaled). Returns ``(u0, X_opt, new_carry)``.
+
+        ``reference_states``: optional ``(N, 6)`` per-stage state references
+        (trajectory *preview*). The reference controller tracks only a point
+        target per tick (``mpc.py:1384-1391``), which bakes a systematic lag
+        into its tracking numbers; previewing the trajectory over the horizon
+        is the same QP with a richer linear term and removes that lag.
+        Overrides ``target_pos`` when given.
         """
         cfg = self.config
         N = cfg.horizon
@@ -194,10 +202,15 @@ class LinearMPC:
         else:
             w = (cfg.dt * residuals.astype(self.dtype)).reshape(-1)
 
-        ref = jnp.tile(
-            jnp.concatenate([target_pos.astype(self.dtype), jnp.zeros(3, self.dtype)]),
-            N,
-        )
+        if reference_states is not None:
+            ref = reference_states.astype(self.dtype).reshape(-1)
+        else:
+            ref = jnp.tile(
+                jnp.concatenate(
+                    [target_pos.astype(self.dtype), jnp.zeros(3, self.dtype)]
+                ),
+                N,
+            )
         if cfg.use_fused_controller:
             from ..ops.controller_pallas import gpmpc_controller_fused
 

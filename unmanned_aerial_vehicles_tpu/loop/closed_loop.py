@@ -127,6 +127,7 @@ def mpc_flight_rollout(
     cfg: FlightLoopConfig = FlightLoopConfig(),
     initial_state: jnp.ndarray | None = None,
     residual_fn: Callable | None = None,
+    preview: bool = False,
     dtype=jnp.float32,
 ):
     """Closed-loop linear-MPC flight (optionally GP-enhanced).
@@ -134,6 +135,11 @@ def mpc_flight_rollout(
     ``reference_fn(t) -> (pos3, yaw)``; ``residual_fn(X_guess, U_guess)``
     optionally produces the ``(N, 6)`` stage residual array from the MPC's
     warm-start trajectory (the GP hook; see ``gp.residual_gp``).
+
+    ``preview=True`` feeds the MPC per-stage references sampled along the
+    horizon (position + finite-difference velocity) instead of the
+    reference node's single point target — same QP, removes the point
+    -target tracking lag.
     Returns a dict of stacked per-tick signals.
     """
     if initial_state is None:
@@ -156,7 +162,17 @@ def mpc_flight_rollout(
             if residual_fn is not None
             else None
         )
-        u_opt, X_opt, mpc_carry = mpc.solve(mpc_carry, mpc_state, pos_ref, residuals)
+        if preview:
+            ts = t + cfg.control_dt * jnp.arange(1, mpc.config.horizon + 2, dtype=dtype)
+            pos_refs, _ = jax.vmap(reference_fn)(ts)       # (N+1, 3)
+            pos_refs = jnp.asarray(pos_refs, dtype)
+            vel_refs = (pos_refs[1:] - pos_refs[:-1]) / cfg.control_dt
+            ref_states = jnp.concatenate([pos_refs[:-1], vel_refs], axis=1)
+        else:
+            ref_states = None
+        u_opt, X_opt, mpc_carry = mpc.solve(
+            mpc_carry, mpc_state, pos_ref, residuals, reference_states=ref_states
+        )
 
         accel_des = jnp.clip(u_opt[0:3], accel_lo, accel_hi)
         yawrate_des = jnp.clip(u_opt[3], -cfg.yawrate_limit, cfg.yawrate_limit)
