@@ -212,3 +212,32 @@ def test_fused_controller_matches_reference_path(rng):
         np.testing.assert_allclose(np.asarray(Xa), np.asarray(Xb), atol=1e-4)
     finally:
         cp.gpmpc_controller_fused = orig
+
+
+def test_fused_plant_under_vmap(rng):
+    """pallas_call batches correctly under vmap (throughput mode still
+    prefers the XLA path — see NOTES.md — but correctness must hold)."""
+    from unmanned_aerial_vehicles_tpu.models import (
+        RateLoopParams,
+        RigidBodyParams,
+        px4_rate_tracking_step,
+    )
+    from unmanned_aerial_vehicles_tpu.ops.plant_pallas import px4_plant_step_fused
+
+    body = RigidBodyParams()
+    rl = RateLoopParams()
+    B = 8
+    S = jnp.asarray(rng.normal(size=(B, 12)) * 0.2, jnp.float32)
+    C = jnp.asarray(
+        np.column_stack([np.ones(B), 0.1 * rng.normal(size=(B, 3))]), jnp.float32
+    )
+    out = jax.vmap(
+        lambda s, c: px4_plant_step_fused(
+            s, c, body.mass, body.gravity, body.k_drag_linear,
+            (0.05, 0.05, 0.08), 0.02, 2, interpret=True,
+        )
+    )(S, C)
+    ref = S
+    for _ in range(2):
+        ref = jax.vmap(lambda s, c: px4_rate_tracking_step(s, c, body, rl, 0.01))(ref, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref, np.float32), atol=5e-6)
