@@ -90,3 +90,70 @@ def test_native_csv_bad_file(tmp_path):
     bad.write_text("a,b\n1,2,3\n")
     out = load_numeric_csv(str(bad), 3)  # native rejects, numpy fallback
     assert out.shape[1] == 3
+
+
+def test_analyze_cli_on_artifact(tmp_path, capsys):
+    import json as _json
+
+    from unmanned_aerial_vehicles_tpu.cli import main
+    from unmanned_aerial_vehicles_tpu.io import save_flight_log
+
+    T = 40
+    rng2 = np.random.default_rng(1)
+    log = {
+        "state": rng2.normal(size=(T, 12)) * 0.1,
+        "pos_ref": np.zeros((T, 3)),
+        "thrust": np.full(T, 0.7),
+    }
+    path = str(tmp_path / "f.npz")
+    save_flight_log(path, log)
+    png = str(tmp_path / "f.png")
+    assert main(["analyze", "--log", path, "--plot", png]) == 0
+    out = capsys.readouterr().out
+    payload = _json.loads(out[: out.rindex("}") + 1])
+    assert "rms_pos" in payload
+    assert os.path.getsize(png) > 10_000
+
+
+def test_device_timeit_and_metrics_logger(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from unmanned_aerial_vehicles_tpu.metrics import (
+        MetricsLogger,
+        measure_time,
+        mpc_metrics_summary,
+    )
+    from unmanned_aerial_vehicles_tpu.utils import device_timeit
+
+    f = jax.jit(lambda x: jnp.sum(x**2))
+    dt = device_timeit(f, jnp.arange(1024.0), reps=2)
+    assert dt > 0
+
+    @measure_time
+    def slowish():
+        return 42
+
+    assert slowish() == 42 and len(slowish.timings) == 1
+
+    logger = MetricsLogger(str(tmp_path))
+    m = mpc_metrics_summary(
+        np.zeros((10, 9)), np.ones((10, 4)), np.full(3, 1e-3)
+    )
+    path = logger.save_mpc_metrics(m)
+    assert os.path.exists(path)
+
+
+def test_gp_checkpoint_metadata(tmp_path):
+    import jax.numpy as jnp
+
+    from unmanned_aerial_vehicles_tpu.gp import fit_residual_gp
+    from unmanned_aerial_vehicles_tpu.io import save_gp_checkpoint
+
+    X, Y = load_gp_dataset(CSV)
+    post = fit_residual_gp(jnp.asarray(X[:50]), jnp.asarray(Y[:50]))
+    path = str(tmp_path / "m.npz")
+    save_gp_checkpoint(path, post, X[:50], Y[:50], jitter=1e-4,
+                       metadata={"training_count": 3})
+    data = np.load(path)
+    assert int(data["meta_training_count"]) == 3

@@ -228,6 +228,22 @@ def _cmd_online(args) -> int:
     return 0
 
 
+def _cmd_analyze(args) -> int:
+    """Post-hoc flight-log analysis (the rosbag-analyzer role)."""
+    from .io import analyze_flight_log, load_flight_log
+
+    log = load_flight_log(args.log)
+    metrics = analyze_flight_log(log)
+    print(json.dumps(metrics, indent=2))
+    if args.plot:
+        from .metrics.plots import plot_flight_log
+
+        out = args.plot if isinstance(args.plot, str) else args.log + ".png"
+        plot_flight_log(log, out, title=os.path.basename(args.log))
+        print(f"plot written to {out}")
+    return 0
+
+
 def _cmd_compare(args) -> int:
     from .loop import run_full_comparison
 
@@ -314,6 +330,12 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--refit-every", type=int, default=250)
     o.add_argument("--save-model", default=None)
     o.set_defaults(fn=_cmd_online)
+
+    an = sub.add_parser("analyze", help="flight-log metrics (+ optional plot)")
+    an.add_argument("--log", required=True, help="npz flight log")
+    an.add_argument("--plot", nargs="?", const=True, default=False,
+                    help="write analysis figure (optional path)")
+    an.set_defaults(fn=_cmd_analyze)
 
     c = sub.add_parser("compare", help="standalone PID vs GP-MPC comparison")
     c.add_argument("--duration", type=float, default=30.0)
