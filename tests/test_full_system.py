@@ -151,3 +151,28 @@ def test_flight_log_roundtrip(tmp_path):
     m = analyze_flight_log(log)
     assert "rms_pos" in m and "mean_thrust_sat_pct" in m
     assert m["mean_thrust_sat_pct"] == 0.0
+
+
+def test_online_with_preview():
+    """The everything-on configuration: in-flight GP learning + trajectory
+    preview must beat point-target tracking decisively."""
+    cfg_pt = OnlineGPMPCConfig(
+        gp=ResidualGPConfig(max_data_points=64), gp_refit_every=200
+    )
+    cfg_pv = OnlineGPMPCConfig(
+        gp=ResidualGPConfig(max_data_points=64), gp_refit_every=200, preview=True
+    )
+    mpc = small_mpc()
+
+    def run(cfg):
+        outs, _, _ = jax.jit(
+            lambda: online_gp_mpc_rollout(
+                mpc, ref_fn(cfg.flight), 600, cfg=cfg, dtype=jnp.float64
+            )
+        )()
+        err = outs["pos_ref"] - outs["state"][:, 0:3]
+        return float(jnp.sqrt(jnp.mean(jnp.sum(err**2, axis=-1))))
+
+    rms_point = run(cfg_pt)
+    rms_preview = run(cfg_pv)
+    assert rms_preview < 0.6 * rms_point

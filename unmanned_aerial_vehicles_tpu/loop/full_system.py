@@ -50,6 +50,7 @@ class OnlineGPMPCConfig:
     gp_refit_every: int = 250      # ticks; 5 s at 50 Hz (gaussian_process.py:122)
     gp_min_samples: int = 30       # simple_gp.py:158
     mpc_every: int = 1             # solve every k-th tick (10 Hz MPC = 5)
+    preview: bool = False          # per-stage horizon references
 
 
 def online_gp_mpc_rollout(
@@ -115,9 +116,22 @@ def online_gp_mpc_rollout(
             jnp.zeros((mpc.config.horizon, 6), dtype),
         )
 
+        if cfg.preview:
+            ts = t + fcfg.control_dt * jnp.arange(
+                1, mpc.config.horizon + 2, dtype=dtype
+            )
+            pos_refs, _ = jax.vmap(reference_fn)(ts)
+            pos_refs = jnp.asarray(pos_refs, dtype)
+            vel_refs = (pos_refs[1:] - pos_refs[:-1]) / fcfg.control_dt
+            ref_states = jnp.concatenate([pos_refs[:-1], vel_refs], axis=1)
+        else:
+            ref_states = None
+
         def do_solve(args):
             mc, st = args
-            u, _, mc = mpc.solve(mc, st[0:6], pos_ref, residuals)
+            u, _, mc = mpc.solve(
+                mc, st[0:6], pos_ref, residuals, reference_states=ref_states
+            )
             return u, mc
 
         def hold(args):
