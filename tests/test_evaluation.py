@@ -191,3 +191,23 @@ def test_per_dim_residuals_drive_mpc():
     np.testing.assert_allclose(np.asarray(D[:, 0:3]), 0.0)
     assert bool(jnp.all(jnp.isfinite(D)))
     assert float(jnp.max(jnp.abs(D[:, 3:6]))) > 0
+
+
+def test_per_dim_gp_with_hyperopt():
+    """The optimize=True path: vmapped per-dimension ARD LML ascent."""
+    X, Y = load_gp_dataset(REF_CSV)
+    Xtr, Ytr = jnp.asarray(X[:120]), jnp.asarray(Y[:120])
+    Xte, Yte = jnp.asarray(X[120:160]), jnp.asarray(Y[120:160])
+
+    plain = fit_per_dim_gp(Xtr, Ytr)
+    tuned = fit_per_dim_gp(Xtr, Ytr, optimize=True, opt_steps=25)
+
+    def mse(model):
+        mean, _ = predict_per_dim(model, Xte)
+        return float(jnp.mean((mean - Yte) ** 2))
+
+    assert np.isfinite(mse(tuned))
+    # tuned hyperparameters must differ from the defaults (opt actually ran)
+    ls_plain = np.asarray(plain.posteriors.params.log_length_scale)
+    ls_tuned = np.asarray(tuned.posteriors.params.log_length_scale)
+    assert np.max(np.abs(ls_plain - ls_tuned)) > 1e-3
