@@ -196,6 +196,7 @@ def _cmd_online(args) -> int:
     cfg = OnlineGPMPCConfig(
         gp=ResidualGPConfig(max_data_points=args.gp_capacity),
         gp_refit_every=args.refit_every,
+        preview=args.preview,
     )
     mpc = LinearMPC(LinearMPCConfig())
     num_steps = int(args.duration / cfg.flight.control_dt)
@@ -329,6 +330,7 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--gp-capacity", type=int, default=400)
     o.add_argument("--refit-every", type=int, default=250)
     o.add_argument("--save-model", default=None)
+    o.add_argument("--preview", action="store_true")
     o.set_defaults(fn=_cmd_online)
 
     an = sub.add_parser("analyze", help="flight-log metrics (+ optional plot)")
