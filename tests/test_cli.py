@@ -51,3 +51,10 @@ def test_online_command(tmp_path, capsys):
     assert out["gp_samples_collected"] > 30
     assert out["gp_active_final"] is True
     assert os.path.exists(model)
+
+
+def test_fly_mpc12_command(capsys):
+    assert main(["fly", "--controller", "mpc12", "--duration", "10",
+                 "--amplitude", "2"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rms_pos"] < 1.3  # reference's early 12-state run: 1.288 m

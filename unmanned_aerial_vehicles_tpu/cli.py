@@ -116,6 +116,41 @@ def _cmd_fly(args) -> int:
 
     if args.controller == "pid":
         outs = jax.jit(lambda: pid_flight_rollout(ref, num_steps, cfg=cfg))()
+    elif args.controller == "mpc12":
+        # 12-state torque MPC flying the z-up rigid-body plant directly
+        # (the mpc_FULL node's role)
+        import numpy as np
+
+        from .control import RigidBodyMPC
+        from .models import X500_PARAMS, rigid_body_rk4_step
+        from .metrics import tracking_metrics
+
+        mpc12 = RigidBodyMPC()
+
+        @jax.jit
+        def fly12():
+            def step(c, i):
+                st, mc = c
+                t = i.astype(jnp.float32) * cfg.control_dt
+                pos_ref, yaw_ref = ref(t)
+                u, _, mc = mpc12.solve(mc, st, jnp.asarray(pos_ref, jnp.float32),
+                                       jnp.asarray(yaw_ref, jnp.float32))
+                st = rigid_body_rk4_step(st, u, X500_PARAMS, cfg.control_dt)
+                out = {"state": st, "pos_ref": jnp.asarray(pos_ref, jnp.float32),
+                       "thrust": u[0] / (X500_PARAMS.mass * X500_PARAMS.gravity)}
+                return (st, mc), out
+
+            x0 = jnp.zeros(12, jnp.float32).at[2].set(cfg.takeoff_height)
+            (_, _), outs = jax.lax.scan(
+                step, (x0, mpc12.init_carry(x0)), jnp.arange(num_steps)
+            )
+            return outs
+
+        outs = fly12()
+        m = tracking_metrics(outs["pos_ref"], outs["state"][:, 0:3],
+                             thrust_normalized=outs["thrust"])
+        print(json.dumps({k: round(float(v), 4) for k, v in m.items()}, indent=2))
+        return 0
     else:
         mpc = LinearMPC(LinearMPCConfig())
         residual_fn = None
@@ -310,7 +345,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.set_defaults(fn=_cmd_evaluate_gp)
 
     f = sub.add_parser("fly", help="closed-loop flight experiment")
-    f.add_argument("--controller", choices=["pid", "mpc", "gp-mpc"], default="gp-mpc")
+    f.add_argument("--controller", choices=["pid", "mpc", "gp-mpc", "mpc12"],
+                   default="gp-mpc")
     f.add_argument("--trajectory", choices=["figure8", "circle"], default="figure8")
     f.add_argument("--duration", type=float, default=60.0)
     f.add_argument("--amplitude", type=float, default=6.0)
