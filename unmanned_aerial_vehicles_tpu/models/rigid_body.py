@@ -64,7 +64,7 @@ def rigid_body_derivative(
     W = euler_rate_transform(phi, theta)
     attitude_dot = jnp.einsum("...ij,...j->...i", W, omega)
 
-    inertia = params.inertia_diag
+    inertia = jnp.asarray(params.inertia_diag, state.dtype)  # avoid x64 promotion
     i_omega = inertia * omega
     gyroscopic = jnp.cross(omega, i_omega)
     angular_drag = -params.k_drag_angular * omega
