@@ -92,6 +92,32 @@ def test_native_csv_bad_file(tmp_path):
     assert out.shape[1] == 3
 
 
+def test_native_csv_rejects_extra_columns(tmp_path):
+    """A row with MORE than n_cols must not be silently truncated: the
+    native parser returns -3 so the loader falls back to genfromtxt, whose
+    true width then fails load_gp_dataset's schema check — matching the
+    fallback-only environments (ADVICE round 1)."""
+    import ctypes
+
+    from unmanned_aerial_vehicles_tpu.io import fast_csv
+
+    wide = tmp_path / "wide.csv"
+    wide.write_text("a,b,c\n1,2,3,4\n5,6,7,8\n")
+
+    lib = fast_csv._get_lib()
+    if lib is not None:
+        buf = np.empty((2, 3), np.float64)
+        rc = lib.uav_parse_csv(
+            str(wide).encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            2, 3, 1,
+        )
+        assert rc == -3
+
+    out = load_numeric_csv(str(wide), 3)  # falls back; keeps true width
+    assert out.shape[1] == 4
+
+
 def test_analyze_cli_on_artifact(tmp_path, capsys):
     import json as _json
 

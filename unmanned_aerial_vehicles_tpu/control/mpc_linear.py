@@ -45,7 +45,8 @@ class LinearMPCConfig:
     state_upper: Tuple[float, ...] = (30.0, 30.0, 20.0, 8.0, 8.0, 4.0)
     control_lower: Tuple[float, ...] = (-4.0, -4.0, -5.0, -1.0)
     control_upper: Tuple[float, ...] = (4.0, 4.0, 8.0, 1.0)
-    gp_residual_gain: float = 0.1  # mpc.py:1333
+    # NOTE: the GP residual gain (mpc.py:1333) lives on ResidualGPConfig —
+    # residuals arrive here already gain-scaled.
     admm_iterations: int = 80
     admm_rho: float = 8.0
     admm_over_relax: float = 1.6

@@ -78,8 +78,14 @@ long uav_parse_csv(const char* path, double* out, long max_rows, long n_cols,
                 }
             }
         }
-        // consume to end of line
-        while (p < end && *p != '\n') ++p;
+        // after the last column the line must END: a row with extra columns
+        // is malformed, matching the NumPy fallback's strict shape check
+        // (io/datasets.load_gp_dataset)
+        while (p < end && *p == '\r') ++p;
+        if (p < end && *p != '\n') {
+            std::free(buf);
+            return -3;
+        }
         if (p < end) ++p;
         ++rows;
     }

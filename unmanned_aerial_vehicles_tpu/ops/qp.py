@@ -92,6 +92,10 @@ def admm_box_qp(
     Matmuls run at HIGHEST precision — ADMM convergence to the 1e-6 parity
     bar needs true f32 accumulation, and these GEMMs are far too small to
     tax the MXU.
+
+    The returned primal is refreshed from the FINAL ``(z, y)`` pair (one
+    extra half-step after the loop), matching ``admm_box_qp_composite`` and
+    the fused Pallas kernel, so all three paths return identical iterates.
     """
     GT = G.T
     prec = jax.lax.Precision.HIGHEST
@@ -107,7 +111,9 @@ def admm_box_qp(
         return AdmmState(U, z, y)
 
     init = AdmmState(jnp.zeros(G.shape[1], dtype=f.dtype), z0, y0)
-    return jax.lax.fori_loop(0, iterations, body, init)
+    out = jax.lax.fori_loop(0, iterations, body, init)
+    U = mm(M_inv, -f + mm(GT, rho * out.slack - out.dual))
+    return AdmmState(U, out.slack, out.dual)
 
 
 def admm_box_qp_composite(
