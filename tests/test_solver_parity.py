@@ -1,0 +1,133 @@
+"""1e-6 solver parity: polished f64 ADMM vs an interior-point reference.
+
+The round-1 gap (VERDICT.md "What's missing" #2): fixed-iteration ADMM only
+matched SciPy SLSQP to ~2e-5. This suite closes it with the solve-to-
+convergence mode (``LinearMPCConfig.polish`` -> ``ops.qp.active_set_polish``)
+checked against scipy ``trust-constr`` at tight tolerances — the stand-in for
+the reference's Ipopt tol=1e-6 semantics
+(``/root/reference/src/px4/mpc.py:1427-1438``), since neither CasADi nor
+cvxpy is installable in this image.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import LinearConstraint, minimize
+
+from unmanned_aerial_vehicles_tpu.control.mpc_linear import LinearMPC, LinearMPCConfig
+from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig, mpc_flight_rollout
+from unmanned_aerial_vehicles_tpu.ops.qp import (
+    AdmmState,
+    active_set_polish,
+    admm_box_qp,
+    kkt_score,
+)
+from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+
+PARITY_TOL = 1e-6
+
+
+def solve_qp_interior_point(H, G, f, lower, upper):
+    """High-accuracy reference solve of  min 1/2 U'HU + f'U, l <= GU <= u."""
+    H, G, f = np.asarray(H), np.asarray(G), np.asarray(f)
+    res = minimize(
+        lambda x: 0.5 * x @ H @ x + f @ x,
+        np.zeros(H.shape[0]),
+        jac=lambda x: H @ x + f,
+        hess=lambda x: H,
+        method="trust-constr",
+        constraints=[LinearConstraint(G, np.asarray(lower), np.asarray(upper))],
+        options=dict(gtol=1e-12, xtol=1e-14, maxiter=3000),
+    )
+    assert res.constr_violation < 1e-9
+    return res.x
+
+
+def _make_mpc():
+    return LinearMPC(
+        LinearMPCConfig(horizon=25, admm_iterations=150, polish=True),
+        dtype=jnp.float64,
+    )
+
+
+def test_polish_single_tick_parity():
+    """Flagship tick QP (N=25, mpc.py:1338-1461 cost/bounds): polished u0
+    matches the interior-point reference to well under 1e-6."""
+    mpc = _make_mpc()
+    state = jnp.array([0.3, -0.2, 2.5, 1.0, 0.5, -0.4])
+    target = jnp.array([2.0, 1.0, 3.0])
+    H, G, f, lo, hi = mpc.qp_data(state, target)
+    x_ref = solve_qp_interior_point(H, G, f, lo, hi)
+
+    carry = mpc.init_carry(state)
+    u0, _, new_carry = jax.jit(mpc.solve)(carry, state, target)
+    np.testing.assert_allclose(np.asarray(u0), x_ref[:4], atol=1e-8)
+    # the whole control plan, not just u0
+    U = np.asarray(new_carry.slack[: 25 * 4])
+    assert np.abs(U - x_ref).max() < 1e-7
+
+
+def test_polish_beats_raw_admm_kkt():
+    """active_set_polish strictly improves (or ties) the KKT score and never
+    degrades it — the fall-back-to-input guarantee."""
+    mpc = _make_mpc()
+    state = jnp.array([0.0, 0.0, 3.0, 2.0, -1.0, 0.5])
+    target = jnp.array([-3.0, 2.0, 4.0])
+    H, G, f, lo, hi = mpc.qp_data(state, target)
+    Hj, Gj = jnp.asarray(mpc._H), jnp.asarray(mpc._G)
+
+    raw = jax.jit(
+        lambda: admm_box_qp(
+            jnp.asarray(mpc._M_inv), Gj, f, lo, hi,
+            jnp.zeros_like(lo), jnp.zeros_like(lo), 8.0, 40,
+        )
+    )()
+    raw_score = float(kkt_score(Hj, Gj, f, lo, hi, raw.primal, raw.dual))
+    U_pol, y_pol, score = jax.jit(
+        lambda s: active_set_polish(Hj, Gj, f, lo, hi, s)
+    )(raw)
+    assert float(score) <= raw_score
+    assert float(score) < 1e-8
+
+    # a garbage iterate must round-trip unharmed (score can't get worse)
+    junk = AdmmState(
+        primal=jnp.full_like(raw.primal, 37.0),
+        slack=jnp.zeros_like(lo),
+        dual=jnp.full_like(lo, -5.0),
+    )
+    junk_score = float(kkt_score(Hj, Gj, f, lo, hi, junk.primal, junk.dual))
+    _, _, s2 = jax.jit(lambda s: active_set_polish(Hj, Gj, f, lo, hi, s))(junk)
+    assert float(s2) <= junk_score
+
+
+@pytest.mark.slow
+def test_u0_parity_along_figure8():
+    """Per-tick u0 parity <=1e-6 along a 200-tick figure-8 flight.
+
+    Flies the polished f64 GP-MPC loop closed-loop, then re-derives every
+    8th tick's QP from the logged state and cross-solves it with the
+    interior-point reference (the VERDICT round-1 'done' criterion; ticks
+    are subsampled only because trust-constr needs ~1 s per QP).
+    """
+    mpc = _make_mpc()
+    cfg = FlightLoopConfig()
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=2.0, frequency=0.1)
+        return pos + jnp.array([0.0, 0.0, cfg.takeoff_height]), yaw
+
+    outs = mpc_flight_rollout(mpc, ref, num_steps=200, cfg=cfg, dtype=jnp.float64)
+    states = np.asarray(outs["state"])
+    pos_refs = np.asarray(outs["pos_ref"])
+    u_mpc = np.asarray(outs["u_mpc"])
+    assert np.isfinite(u_mpc).all()
+
+    worst = 0.0
+    for k in range(0, 200, 8):
+        H, G, f, lo, hi = mpc.qp_data(
+            jnp.asarray(states[k, :6]), jnp.asarray(pos_refs[k])
+        )
+        x_ref = solve_qp_interior_point(H, G, f, lo, hi)
+        worst = max(worst, float(np.abs(u_mpc[k] - x_ref[:4]).max()))
+    assert worst <= PARITY_TOL, f"worst per-tick u0 gap {worst:.3e}"

@@ -50,6 +50,14 @@ class LinearMPCConfig:
     admm_iterations: int = 80
     admm_rho: float = 8.0
     admm_over_relax: float = 1.6
+    # solve-to-convergence mode: active-set polish of the ADMM iterate
+    # (ops.qp.active_set_polish). With f64 this matches the reference's
+    # interior-point semantics (Ipopt tol=1e-6, mpc.py:1427-1438) to <=1e-8
+    # per-tick u0 — the 1e-6 solver-parity bar. Adds one (n+m) LU per tick;
+    # not compatible with the fused Pallas paths.
+    polish: bool = False
+    polish_tol: float = 1e-7
+    polish_passes: int = 3
     # run the whole ADMM loop as ONE Pallas kernel (latency mode; f32 only)
     use_fused_admm: bool = False
     # run the ENTIRE controller (gradient/bounds build + composite ADMM +
@@ -281,6 +289,24 @@ class LinearMPC:
                 cfg.admm_iterations,
                 cfg.admm_over_relax,
             )
+            if cfg.polish:
+                from ..ops.qp import active_set_polish
+
+                U_pol, y_pol, _ = active_set_polish(
+                    jnp.asarray(self._H),
+                    jnp.asarray(self._G),
+                    f,
+                    lower,
+                    upper,
+                    sol,
+                    tol=cfg.polish_tol,
+                    passes=cfg.polish_passes,
+                )
+                # slack = G U_pol keeps the downstream U-block extraction
+                # intact (G = [I; Su] so its first block IS U_pol)
+                sol = AdmmState(
+                    primal=U_pol, slack=mm(self._G, U_pol), dual=y_pol
+                )
 
         # controls come from the slack's U-block: box-feasible by
         # construction at every iteration (the primal can violate bounds

@@ -212,6 +212,7 @@ def mpc_flight_rollout(
             "thrust": thrust,
             "rates_cmd": rate_cmd,
             "accel_cmd": accel_des,
+            "u_mpc": u_opt,   # raw (pre-clip) QP solution — parity tests
         }
         return (new_state, mpc_carry, att_carry), out
 
