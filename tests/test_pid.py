@@ -63,3 +63,38 @@ def test_pid_output_and_integral_clamps():
         out, state = pid_step(gains, state, 10.0, 0.0, 0.02)
     assert abs(float(out)) <= 1.0
     assert abs(float(state.integral)) <= 0.1 + 1e-12
+
+
+def test_pid_circle_campaign_beats_baseline():
+    """Cascade-PID circle flight on the campaign-calibrated plant beats the
+    reference campaign's RMS position error (2.524 m, max 2.759 m —
+    bags/metrics_circle_1_PID.png). Calibration rationale lives on
+    models.px4_surrogate.PID_CAMPAIGN_RATE_LOOP."""
+    import jax
+
+    from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig, pid_flight_rollout
+    from unmanned_aerial_vehicles_tpu.models import PID_CAMPAIGN_RATE_LOOP
+    from unmanned_aerial_vehicles_tpu.trajectories import ramped_circle_reference
+
+    cfg = FlightLoopConfig()
+
+    def ref(t):
+        pos, _, yaw = ramped_circle_reference(t, amplitude=6.0,
+                                              height=cfg.takeoff_height)
+        return pos, yaw
+
+    outs = jax.jit(
+        lambda: pid_flight_rollout(
+            ref, int(105.0 / cfg.control_dt), cfg=cfg,
+            rate_loop=PID_CAMPAIGN_RATE_LOOP,
+        )
+    )()
+    st = np.asarray(outs["state"])
+    pr = np.asarray(outs["pos_ref"])
+    err = np.linalg.norm(st[:, :3] - pr, axis=1)
+    rms = float(np.sqrt((err**2).mean()))
+    assert rms <= 2.524, f"PID circle RMS {rms:.3f} m vs baseline 2.524 m"
+    assert float(err.max()) <= 2.759
+    # the calibrated plant kills the altitude droop the round-1 run had
+    z_rms = float(np.sqrt(((st[:, 2] - pr[:, 2]) ** 2).mean()))
+    assert z_rms < 0.05

@@ -1,0 +1,193 @@
+"""Regenerate the campaign artifacts (flights, comparisons, metrics summary).
+
+Reproduces the reference's experiment campaign (BASELINE.md rows) on the
+TPU-surrogate stack and writes, under ``artifacts/``:
+
+* ``<run>.npz``      — flight logs (the rosbag analogue)
+* ``<run>.png``      — analysis figure per flight
+* ``comparison_<traj>.png`` — standalone PID-vs-GPMPC comparison panels
+* ``metrics_summary.json``  — ours vs the published reference baselines
+
+Run:  PYTHONPATH=. python tools/run_campaign.py [--duration 132]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+from unmanned_aerial_vehicles_tpu.control.mpc_linear import LinearMPC, LinearMPCConfig
+from unmanned_aerial_vehicles_tpu.gp import build_horizon_residuals, fit_residual_gp
+from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+from unmanned_aerial_vehicles_tpu.io import load_gp_datasets, save_flight_log
+from unmanned_aerial_vehicles_tpu.loop import (
+    FlightLoopConfig,
+    OnlineGPMPCConfig,
+    mpc_flight_rollout,
+    online_gp_mpc_rollout,
+    pid_flight_rollout,
+    run_comparison,
+)
+from unmanned_aerial_vehicles_tpu.loop.compare import comparison_summary
+from unmanned_aerial_vehicles_tpu.metrics import (
+    plot_comparison,
+    plot_flight_log,
+    tracking_metrics,
+)
+from unmanned_aerial_vehicles_tpu.models import PID_CAMPAIGN_RATE_LOOP
+from unmanned_aerial_vehicles_tpu.trajectories import (
+    ramped_circle_reference,
+    ramped_figure8_reference,
+)
+
+ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+REFERENCE_BASELINES = {
+    "mpc_flight_figure8": {
+        "rms_pos": 1.094, "max_pos": 1.674,
+        "source": "bags/mpc_flight_figure8_20251129_170402",
+    },
+    "gpmpc_flight_figure8": {
+        "rms_pos": 1.086, "max_pos": 1.658,
+        "source": "bags/metrics_figure8_1_gpmpc (run 20251123_215457)",
+    },
+    "pid_flight_circle": {
+        "rms_pos": 2.524, "max_pos": 2.759,
+        "source": "bags/metrics_circle_1_PID (run pid_cascade_20251119_001928)",
+    },
+}
+
+
+def _metrics(outs) -> dict:
+    m = tracking_metrics(
+        outs["pos_ref"], outs["state"][:, 0:3],
+        vel_setpoint=outs.get("vel_ref"),
+        vel_current=outs["state"][:, 3:6] if "vel_ref" in outs else None,
+        att_setpoint=outs.get("att_ref"),
+        att_current=outs["state"][:, 6:9] if "att_ref" in outs else None,
+        thrust_normalized=outs["thrust"],
+    )
+    return {k: float(v) for k, v in m.items()}
+
+
+def _save(name: str, outs) -> None:
+    log = {k: np.asarray(v) for k, v in outs.items()}
+    save_flight_log(os.path.join(ARTIFACTS, f"{name}.npz"), log)
+    plot_flight_log(log, os.path.join(ARTIFACTS, f"{name}.png"), title=name)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=132.0)
+    ap.add_argument("--gp-data", default="/root/reference/gp_datasets/*.csv")
+    args = ap.parse_args()
+
+    cfg = FlightLoopConfig()
+    num_steps = int(args.duration / cfg.control_dt)
+    summary: dict = {}
+
+    def fig8(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=6.0)
+        return pos + jnp.array([0.0, 0.0, cfg.takeoff_height]), yaw
+
+    def circle(t):
+        pos, _, yaw = ramped_circle_reference(t, amplitude=6.0,
+                                              height=cfg.takeoff_height)
+        return pos, yaw
+
+    # --- GP posterior from the reference's offline corpus -----------------
+    gp_cfg = ResidualGPConfig()
+    paths = sorted(glob.glob(args.gp_data))
+    X, Y = load_gp_datasets(paths, max_samples=gp_cfg.max_data_points)
+    post = jax.jit(lambda x, y: fit_residual_gp(x, y, gp_cfg))(
+        jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
+    )
+    residual_fn = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
+
+    mpc = LinearMPC(LinearMPCConfig())
+
+    # --- flights (BASELINE.md rows 1-3) ------------------------------------
+    runs = {
+        "mpc_flight_figure8": lambda: mpc_flight_rollout(
+            mpc, fig8, num_steps, cfg=cfg),
+        "gpmpc_flight_figure8": lambda: mpc_flight_rollout(
+            mpc, fig8, num_steps, cfg=cfg, residual_fn=residual_fn),
+        "pid_flight_circle": lambda: pid_flight_rollout(
+            circle, num_steps, cfg=cfg, rate_loop=PID_CAMPAIGN_RATE_LOOP),
+        "gpmpc_preview_figure8": lambda: mpc_flight_rollout(
+            mpc, fig8, num_steps, cfg=cfg, residual_fn=residual_fn,
+            preview=True),
+    }
+    for name, fn in runs.items():
+        outs = jax.jit(fn)()
+        outs = {k: np.asarray(v) for k, v in outs.items()}
+        summary[name] = _metrics(outs)
+        _save(name, outs)
+        print(name, json.dumps(summary[name]))
+
+    # --- standalone comparison campaign (docs/images/comparison_*.png) -----
+    for traj in ("figure8", "circle", "hover", "step"):
+        outs = jax.jit(lambda tt=traj: run_comparison(tt, duration=30.0))()
+        summary[f"comparison_{traj}"] = comparison_summary(outs)
+        plot_comparison(
+            {k: np.asarray(v) for k, v in outs.items()},
+            os.path.join(ARTIFACTS, f"comparison_{traj}.png"), traj,
+        )
+        print(f"comparison_{traj}", json.dumps(summary[f"comparison_{traj}"]))
+
+    # --- online in-flight learning with preview ----------------------------
+    online_cfg = OnlineGPMPCConfig(
+        gp=ResidualGPConfig(max_data_points=400), gp_refit_every=250,
+        preview=True,
+    )
+    outs, dataset, _ = jax.jit(
+        lambda: online_gp_mpc_rollout(mpc, fig8, num_steps, cfg=online_cfg)
+    )()
+    outs = {k: np.asarray(v) for k, v in outs.items()}
+    err = np.linalg.norm(outs["pos_ref"] - outs["state"][:, 0:3], axis=1)
+    summary["online_preview_figure8"] = {
+        "rms_pos": float(np.sqrt((err**2).mean())),
+        "max_pos": float(err.max()),
+        "mean_thrust_sat_pct": float(
+            100.0 * ((outs["thrust"] >= 0.99) | (outs["thrust"] <= 0.11)).mean()
+        ),
+        "gp_samples_collected": int(dataset.count),
+    }
+    _save("online_preview_figure8", outs)
+    print("online_preview_figure8", json.dumps(summary["online_preview_figure8"]))
+
+    payload = {
+        "ours": summary,
+        "reference_baselines": REFERENCE_BASELINES,
+        "note": (
+            f"{args.duration:.0f} s flights on the PX4-surrogate plant; "
+            "pid_flight_circle uses the campaign-calibrated hover thrust "
+            "(models.px4_surrogate.PID_CAMPAIGN_RATE_LOOP); preview mode "
+            "feeds per-stage horizon references (capability beyond the "
+            "reference's point-target tracking); thrust_sat_nonhover_pct is "
+            "the informative (hover-band-excluded) saturation variant"
+        ),
+    }
+    out_path = os.path.join(ARTIFACTS, "metrics_summary.json")
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=2)
+    print("wrote", out_path)
+
+    # hard gates: the three published baselines must be beaten
+    for key in REFERENCE_BASELINES:
+        ours, ref = summary[key]["rms_pos"], REFERENCE_BASELINES[key]["rms_pos"]
+        status = "BEATS" if ours <= ref else "WORSE THAN"
+        print(f"{key}: {ours:.3f} m {status} reference {ref:.3f} m")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -115,7 +115,15 @@ def _cmd_fly(args) -> int:
             return pos, yaw
 
     if args.controller == "pid":
-        outs = jax.jit(lambda: pid_flight_rollout(ref, num_steps, cfg=cfg))()
+        # campaign-calibrated plant: the PID bags hover at ~0.7 normalized
+        # thrust (see models.px4_surrogate.PID_CAMPAIGN_RATE_LOOP)
+        from .models import PID_CAMPAIGN_RATE_LOOP
+
+        outs = jax.jit(
+            lambda: pid_flight_rollout(
+                ref, num_steps, cfg=cfg, rate_loop=PID_CAMPAIGN_RATE_LOOP
+            )
+        )()
     elif args.controller == "mpc12":
         # 12-state torque MPC flying the z-up rigid-body plant directly
         # (the mpc_FULL node's role)

@@ -57,6 +57,7 @@ def _plant_substeps(state, control, body, rate_loop, cfg: FlightLoopConfig):
             state, control, body.mass, body.gravity, body.k_drag_linear,
             (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
             cfg.control_dt, cfg.plant_substeps,
+            thrust_gain=body.gravity / rate_loop.hover_thrust_norm,
         ).astype(state.dtype)
 
     dt_sub = cfg.control_dt / cfg.plant_substeps
@@ -85,6 +86,9 @@ def pid_flight_rollout(
     """
     if gains is None:
         gains = CascadePidGains.default()
+    # pin the gain pytree to the loop dtype (CascadePidGains.default() builds
+    # f64 leaves when x64 is on, which would promote the scan carries)
+    gains = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), gains)
     if initial_state is None:
         initial_state = jnp.zeros(12, dtype).at[2].set(cfg.takeoff_height)
 
@@ -187,6 +191,7 @@ def mpc_flight_rollout(
                 body.mass, body.gravity, body.k_drag_linear,
                 (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
                 cfg.control_dt, cfg.plant_substeps,
+                thrust_gain=body.gravity / rate_loop.hover_thrust_norm,
             )
             new_state = new_state.astype(state.dtype)
             att_carry = AttitudeLoopState(integral=new_int.astype(dtype))

@@ -11,6 +11,7 @@ from .tracking import (
     max_position_error,
     rms_position_error,
     rms_velocity_error,
+    thrust_saturation_informative_pct,
     thrust_saturation_pct,
     tracking_metrics,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "max_position_error",
     "rms_position_error",
     "rms_velocity_error",
+    "thrust_saturation_informative_pct",
     "thrust_saturation_pct",
     "tracking_metrics",
 ]

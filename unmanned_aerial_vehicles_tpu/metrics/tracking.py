@@ -39,6 +39,28 @@ def thrust_saturation_pct(
     return 100.0 * jnp.mean(sat.astype(jnp.float32), axis=-1)
 
 
+def thrust_saturation_informative_pct(
+    thrust_normalized,
+    hover: float = 1.0,
+    hover_band: float = 0.05,
+    high: float = 0.99,
+    low: float = 0.11,
+) -> jnp.ndarray:
+    """Saturation % EXCLUDING the hover band (the non-quirk variant).
+
+    The reference's definition (:691-695) counts any thrust >= 0.99 as
+    saturated — but its own allocation commands ~1.0 *at hover*
+    (``mpc.py:2064``), so the parity metric pegs at ~100 % and carries no
+    information (VERDICT round 1, weak #6). This variant masks out samples
+    within ``hover_band`` of the plant's hover thrust before applying the
+    same thresholds, so it reads ~0 % in healthy flight and grows only when
+    the controller genuinely rails against the actuator limits.
+    """
+    near_hover = jnp.abs(thrust_normalized - hover) <= hover_band
+    sat = ((thrust_normalized >= high) | (thrust_normalized <= low)) & ~near_hover
+    return 100.0 * jnp.mean(sat.astype(jnp.float32), axis=-1)
+
+
 def attitude_rmse_deg(att_setpoint, att_current) -> jnp.ndarray:
     """Per-axis attitude RMSE in degrees, shape ``(..., 3)`` (:699-720)."""
     err = att_setpoint - att_current
@@ -68,4 +90,7 @@ def tracking_metrics(
         out["rms_yaw_deg"] = rmse[..., 2]
     if thrust_normalized is not None:
         out["mean_thrust_sat_pct"] = thrust_saturation_pct(thrust_normalized)
+        out["thrust_sat_nonhover_pct"] = thrust_saturation_informative_pct(
+            thrust_normalized
+        )
     return out

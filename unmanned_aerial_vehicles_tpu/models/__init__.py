@@ -8,7 +8,11 @@ from .rigid_body import (
     rigid_body_rk4_step,
     rigid_body_euler_step,
 )
-from .px4_surrogate import RateLoopParams, px4_rate_tracking_step
+from .px4_surrogate import (
+    PID_CAMPAIGN_RATE_LOOP,
+    RateLoopParams,
+    px4_rate_tracking_step,
+)
 
 __all__ = [
     "RigidBodyParams",
@@ -20,6 +24,7 @@ __all__ = [
     "rigid_body_derivative",
     "rigid_body_rk4_step",
     "rigid_body_euler_step",
+    "PID_CAMPAIGN_RATE_LOOP",
     "RateLoopParams",
     "px4_rate_tracking_step",
 ]

@@ -42,11 +42,21 @@ from .params import RigidBodyParams
 
 @struct.dataclass
 class RateLoopParams:
-    """First-order body-rate tracking constants (``mpc_direct_rates.py:150-165``)."""
+    """First-order body-rate tracking constants (``mpc_direct_rates.py:150-165``)
+    plus the normalized-thrust calibration of the PX4 inner loop.
+
+    ``hover_thrust_norm`` is the normalized thrust at which the plant hovers:
+    thrust acceleration = ``thrust_norm * g / hover_thrust_norm``. It absorbs
+    PX4's actuator normalization, which the recorded campaign pins
+    *differently per run* (see ``PID_CAMPAIGN_RATE_LOOP``). Default 1.0
+    matches the MPC allocation's ``|a_des + g e3| / g`` convention
+    (``mpc.py:2064``), under which hover commands exactly 1.0.
+    """
 
     tau_roll: float = 0.05
     tau_pitch: float = 0.05
     tau_yaw: float = 0.08
+    hover_thrust_norm: float = 1.0
 
     @property
     def taus(self) -> jnp.ndarray:
@@ -68,9 +78,10 @@ def _derivative(
 
     R = euler_to_rotation_matrix(phi, theta, psi)
     # mixed-NED thrust mapping: xy components flip sign (see module docstring);
-    # normalized thrust 1.0 -> acceleration g along the thrust axis.
+    # normalized hover_thrust_norm -> acceleration g along the thrust axis.
     t_dir = R[..., :, 2] * jnp.asarray([-1.0, -1.0, 1.0], state.dtype)
-    thrust_accel_world = t_dir * (thrust_norm * body.gravity)[..., None]
+    thrust_gain = body.gravity / rates.hover_thrust_norm
+    thrust_accel_world = t_dir * (thrust_norm * thrust_gain)[..., None]
 
     speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
     drag_accel = -(body.k_drag_linear / body.mass) * speed * vel
@@ -85,6 +96,18 @@ def _derivative(
     omega_dot = (rate_cmd - omega) / taus
 
     return jnp.concatenate([vel, acceleration, attitude_dot, omega_dot], axis=-1)
+
+
+# Calibration for reproducing the cascade-PID campaign runs: the PID node
+# feeds a HOVER_THRUST = 0.7 baseline forward
+# (``/root/reference/src/px4/cascade_pid_demo.py:405``) and its recorded bag
+# holds altitude at 3.00 +- 0.05 m for the whole 105 s trajectory phase
+# (``bags/pid_cascade_20251119_001928_comprehensive_analysis.png``) — i.e.
+# that run's plant hovered at ~0.7 normalized thrust, or the vehicle would
+# visibly droop/climb. (The MPC bags instead record thrust >= 0.99 at hover
+# for 99.2 % of samples — the campaign's own normalization is inconsistent
+# across runs, hence per-campaign calibration rather than one global value.)
+PID_CAMPAIGN_RATE_LOOP = RateLoopParams(hover_thrust_norm=0.7)
 
 
 def px4_rate_tracking_step(

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = 16  # state row padded to 16 lanes (12 used)
 
 
-def _derivative(s, c, mass, gravity, k_drag_linear, taus):
+def _derivative(s, c, mass, gravity, k_drag_linear, taus, thrust_gain):
     """Scalar-register transcription of ``px4_surrogate._derivative``."""
     vx, vy, vz = s[3], s[4], s[5]
     phi, theta, psi = s[6], s[7], s[8]
@@ -40,7 +40,7 @@ def _derivative(s, c, mass, gravity, k_drag_linear, taus):
     t0 = -(cphi * sth * cpsi + sphi * spsi)
     t1 = -(cphi * sth * spsi - sphi * cpsi)
     t2 = cphi * cth
-    a_thrust = thrust_norm * gravity
+    a_thrust = thrust_norm * thrust_gain
 
     speed = jnp.sqrt(vx * vx + vy * vy + vz * vz)
     kd = k_drag_linear / mass
@@ -65,16 +65,16 @@ def _axpy(s, k, h):
     return tuple(s[i] + h * k[i] for i in range(12))
 
 
-def _make_kernel(mass, gravity, k_drag_linear, taus, dt, substeps):
+def _make_kernel(mass, gravity, k_drag_linear, taus, dt, substeps, thrust_gain):
     def kernel(state_ref, control_ref, out_ref):
         s = tuple(state_ref[0, i] for i in range(12))
         c = tuple(control_ref[0, i] for i in range(4))
         h = dt / substeps
         for _ in range(substeps):
-            k1 = _derivative(s, c, mass, gravity, k_drag_linear, taus)
-            k2 = _derivative(_axpy(s, k1, 0.5 * h), c, mass, gravity, k_drag_linear, taus)
-            k3 = _derivative(_axpy(s, k2, 0.5 * h), c, mass, gravity, k_drag_linear, taus)
-            k4 = _derivative(_axpy(s, k3, h), c, mass, gravity, k_drag_linear, taus)
+            k1 = _derivative(s, c, mass, gravity, k_drag_linear, taus, thrust_gain)
+            k2 = _derivative(_axpy(s, k1, 0.5 * h), c, mass, gravity, k_drag_linear, taus, thrust_gain)
+            k3 = _derivative(_axpy(s, k2, 0.5 * h), c, mass, gravity, k_drag_linear, taus, thrust_gain)
+            k4 = _derivative(_axpy(s, k3, h), c, mass, gravity, k_drag_linear, taus, thrust_gain)
             s = tuple(
                 s[i] + (h / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
                 for i in range(12)
@@ -137,7 +137,7 @@ def _allocation(s, cmd, integral, dt, gravity,
     return control, att_sp, (i0, i1, i2)
 
 
-def _make_tick_kernel(mass, gravity, k_drag_linear, taus, dt, substeps):
+def _make_tick_kernel(mass, gravity, k_drag_linear, taus, dt, substeps, thrust_gain):
     def kernel(state_ref, cmd_ref, integral_ref,
                out_state_ref, out_ctrl_ref, out_int_ref):
         s = tuple(state_ref[0, i] for i in range(12))
@@ -148,10 +148,10 @@ def _make_tick_kernel(mass, gravity, k_drag_linear, taus, dt, substeps):
 
         h = dt / substeps
         for _ in range(substeps):
-            k1 = _derivative(s, c, mass, gravity, k_drag_linear, taus)
-            k2 = _derivative(_axpy(s, k1, 0.5 * h), c, mass, gravity, k_drag_linear, taus)
-            k3 = _derivative(_axpy(s, k2, 0.5 * h), c, mass, gravity, k_drag_linear, taus)
-            k4 = _derivative(_axpy(s, k3, h), c, mass, gravity, k_drag_linear, taus)
+            k1 = _derivative(s, c, mass, gravity, k_drag_linear, taus, thrust_gain)
+            k2 = _derivative(_axpy(s, k1, 0.5 * h), c, mass, gravity, k_drag_linear, taus, thrust_gain)
+            k3 = _derivative(_axpy(s, k2, 0.5 * h), c, mass, gravity, k_drag_linear, taus, thrust_gain)
+            k4 = _derivative(_axpy(s, k3, h), c, mass, gravity, k_drag_linear, taus, thrust_gain)
             s = tuple(
                 s[i] + (h / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
                 for i in range(12)
@@ -170,7 +170,7 @@ def _make_tick_kernel(mass, gravity, k_drag_linear, taus, dt, substeps):
 @functools.partial(
     jax.jit,
     static_argnames=("mass", "gravity", "k_drag_linear", "taus", "dt",
-                     "substeps", "interpret"),
+                     "substeps", "interpret", "thrust_gain"),
 )
 def allocation_plant_tick_fused(
     state: jnp.ndarray,       # (12,)
@@ -185,6 +185,7 @@ def allocation_plant_tick_fused(
     dt: float,
     substeps: int = 2,
     interpret: bool = False,
+    thrust_gain: float | None = None,  # g / hover_thrust_norm; None -> g
 ):
     """Geometric allocation + attitude PID + all plant RK4 substeps, fused.
 
@@ -203,7 +204,7 @@ def allocation_plant_tick_fused(
         att_integral.astype(jnp.float32)
     )
     new_state, ctrl, new_int = pl.pallas_call(
-        _make_tick_kernel(mass, gravity, k_drag_linear, taus, dt, substeps),
+        _make_tick_kernel(mass, gravity, k_drag_linear, taus, dt, substeps, gravity if thrust_gain is None else thrust_gain),
         out_shape=(
             jax.ShapeDtypeStruct((1, PAD), jnp.float32),
             jax.ShapeDtypeStruct((1, PAD), jnp.float32),
@@ -232,7 +233,7 @@ def allocation_plant_tick_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("mass", "gravity", "k_drag_linear", "taus", "dt",
-                     "substeps", "interpret"),
+                     "substeps", "interpret", "thrust_gain"),
 )
 def px4_plant_step_fused(
     state: jnp.ndarray,      # (12,)
@@ -244,12 +245,13 @@ def px4_plant_step_fused(
     dt: float,
     substeps: int = 2,
     interpret: bool = False,
+    thrust_gain: float | None = None,  # g / hover_thrust_norm; None -> g
 ) -> jnp.ndarray:
     """All RK4 substeps of the surrogate plant in one Pallas dispatch."""
     srow = jnp.zeros((1, PAD), jnp.float32).at[0, :12].set(state.astype(jnp.float32))
     crow = jnp.zeros((1, PAD), jnp.float32).at[0, :4].set(control.astype(jnp.float32))
     out = pl.pallas_call(
-        _make_kernel(mass, gravity, k_drag_linear, taus, dt, substeps),
+        _make_kernel(mass, gravity, k_drag_linear, taus, dt, substeps, gravity if thrust_gain is None else thrust_gain),
         out_shape=jax.ShapeDtypeStruct((1, PAD), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
