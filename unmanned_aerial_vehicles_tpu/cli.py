@@ -37,10 +37,38 @@ def _cmd_train_gp(args) -> int:
     if not paths:
         print(f"no CSV files match {args.data!r}", file=sys.stderr)
         return 1
-    X, Y = load_gp_datasets(paths, max_samples=args.max_samples)
+    max_samples = None if args.all_samples else args.max_samples
+    X, Y = load_gp_datasets(paths, max_samples=max_samples)
     print(f"loaded {X.shape[0]} samples from {len(paths)} files")
 
     cfg = ResidualGPConfig()
+
+    if args.all_samples:
+        # full-corpus fit, rows sharded over the device mesh (removes the
+        # reference's 10k cap, train_gp_offline.py:155-163) — distributed
+        # Gram matvec + preconditioned CG with psum/all_gather collectives
+        from .parallel import (
+            fit_residual_gp_sharded,
+            make_mesh,
+            predict_mean_sharded,
+        )
+
+        mesh = make_mesh()
+        t0 = time.time()
+        post_s = fit_residual_gp_sharded(
+            X, Y, mesh=mesh, config=cfg, cg_iterations=args.cg_iterations
+        )
+        mean = predict_mean_sharded(post_s, jnp.asarray(X[:4]), mesh=mesh)
+        print(
+            f"sharded fit: n={X.shape[0]} over {mesh.devices.size} device(s) "
+            f"in {time.time()-t0:.1f}s, CG residual "
+            f"{float(post_s.cg_residual):.2e}, smoke predict "
+            f"{['%.4f' % v for v in mean[0][:3]]}"
+        )
+        save_gp_checkpoint(args.output, post_s.to_gp_posterior(), X, Y,
+                           jitter=cfg.alpha)
+        print(f"saved checkpoint to {args.output}")
+        return 0
     # precision follows the environment: f64 when JAX_ENABLE_X64 is set
     # (offline parity work), f32 otherwise (device-friendly default)
     Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
@@ -342,6 +370,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--data", default="/root/reference/gp_datasets/*.csv")
     t.add_argument("--output", default="gp_model.npz")
     t.add_argument("--max-samples", type=int, default=10000)
+    t.add_argument("--all-samples", action="store_true",
+                   help="train on the FULL corpus, row-sharded over the "
+                        "device mesh (no down-sampling)")
+    t.add_argument("--cg-iterations", type=int, default=200)
     t.add_argument("--optimize", action="store_true", help="LML hyperparameter opt")
     t.add_argument("--opt-steps", type=int, default=100)
     t.set_defaults(fn=_cmd_train_gp)

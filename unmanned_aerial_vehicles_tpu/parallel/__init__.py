@@ -1,3 +1,9 @@
+from .distributed_gp import (
+    ShardedGPPosterior,
+    fit_residual_gp_sharded,
+    predict_mean_sharded,
+    predict_sharded,
+)
 from .sharding import (
     batch_sharding,
     make_mesh,
@@ -11,6 +17,10 @@ from .sweep import (
 )
 
 __all__ = [
+    "ShardedGPPosterior",
+    "fit_residual_gp_sharded",
+    "predict_mean_sharded",
+    "predict_sharded",
     "batch_sharding",
     "make_mesh",
     "replicated_sharding",
