@@ -4,6 +4,7 @@ checkpoint round-trip (SURVEY.md section 7 stage 3)."""
 
 import glob
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -178,3 +179,72 @@ def test_hyperopt_restarts_at_least_as_good(flight_data):
         jitter=1e-4, normalize_y=True, steps=30,
     )
     assert float(nll_multi) <= float(nll_single) + 1e-6
+
+
+def test_output_correction_generation():
+    """The reference's earlier GP-MPC generation (mpc_gp.py:341-372, byte-
+    identical to mpc_original.py): GP corrects the solved control POST-solve.
+    Checks the gates and that the two GP modes genuinely differ in flight."""
+    import glob
+
+    from unmanned_aerial_vehicles_tpu.gp import (
+        OutputCorrectionConfig,
+        build_horizon_residuals,
+        fit_residual_gp,
+        make_output_correction_fn,
+        output_correction,
+    )
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+    from unmanned_aerial_vehicles_tpu.io import load_gp_datasets
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+    from unmanned_aerial_vehicles_tpu.loop import mpc_flight_rollout
+    from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+
+    paths = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))
+    if not paths:
+        pytest.skip("reference gp_datasets not mounted")
+    cfg = ResidualGPConfig()
+    X, Y = load_gp_datasets(paths, max_samples=600)
+    post = fit_residual_gp(jnp.asarray(X), jnp.asarray(Y), cfg)
+
+    state = jnp.zeros(6).at[2].set(3.0).at[3].set(0.5)
+    u0 = jnp.asarray([1.0, 0.5, 0.2, 0.0])
+    target = jnp.asarray([1.0, 0.5, 3.0])
+
+    # generous gates -> the correction applies and is clipped to +-0.1
+    loose = OutputCorrectionConfig(confidence_threshold=1e3)
+    u_corr = output_correction(post, state, u0, target, X.shape[0], loose)
+    delta = np.asarray(u_corr - u0)
+    assert np.any(delta != 0.0), "correction never applied"
+    assert np.all(np.abs(delta[:3]) <= 0.1 + 1e-7)
+    assert delta[3] == 0.0  # yaw-rate channel untouched (mpc_gp.py:369)
+
+    # n_train gate: below 500 samples the control must pass through intact
+    u_gated = output_correction(post, state, u0, target, 499, loose)
+    np.testing.assert_array_equal(np.asarray(u_gated), np.asarray(u0))
+
+    # instability gate: fast states disable the correction
+    fast = state.at[3].set(5.0)
+    u_fast = output_correction(post, fast, u0, target, X.shape[0], loose)
+    np.testing.assert_array_equal(np.asarray(u_fast), np.asarray(u0))
+
+    # closed loop: the two generations produce genuinely different flights
+    mpc = LinearMPC(LinearMPCConfig(horizon=10, admm_iterations=40))
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=2.0, frequency=0.1)
+        return pos + jnp.array([0.0, 0.0, 3.0]), yaw
+
+    fly = lambda **kw: jax.jit(
+        lambda: mpc_flight_rollout(mpc, ref, num_steps=80, **kw)
+    )()
+    out_dyn = fly(residual_fn=lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, cfg))
+    out_out = fly(output_correction_fn=make_output_correction_fn(
+        post, n_train=X.shape[0], config=loose))
+    u_dyn = np.asarray(out_dyn["u_mpc"])
+    u_out = np.asarray(out_out["u_mpc"])
+    assert np.isfinite(u_dyn).all() and np.isfinite(u_out).all()
+    assert np.abs(u_dyn - u_out).max() > 1e-4, "the two GP modes coincide"

@@ -190,6 +190,7 @@ def _cmd_fly(args) -> int:
     else:
         mpc = LinearMPC(LinearMPCConfig())
         residual_fn = None
+        output_correction_fn = None
         if args.controller == "gp-mpc":
             gp_cfg = ResidualGPConfig()
             paths = sorted(glob.glob(args.gp_data))
@@ -200,10 +201,22 @@ def _cmd_fly(args) -> int:
             post = jax.jit(lambda x, y: fit_residual_gp(x, y, gp_cfg))(
                 jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
             )
-            residual_fn = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
+            if args.gp_mode == "output":
+                # the reference's earlier generation (mpc_gp.py:341-372):
+                # GP corrects the solved control post-solve
+                from .gp import make_output_correction_fn
+
+                output_correction_fn = make_output_correction_fn(
+                    post, n_train=X.shape[0]
+                )
+            else:
+                residual_fn = lambda Xg, Ug: build_horizon_residuals(
+                    post, Xg, Ug, gp_cfg
+                )
         outs = jax.jit(
             lambda: mpc_flight_rollout(
                 mpc, ref, num_steps, cfg=cfg, residual_fn=residual_fn,
+                output_correction_fn=output_correction_fn,
                 preview=args.preview,
             )
         )()
@@ -391,6 +404,11 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--duration", type=float, default=60.0)
     f.add_argument("--amplitude", type=float, default=6.0)
     f.add_argument("--gp-data", default="/root/reference/gp_datasets/*.csv")
+    f.add_argument("--gp-mode", choices=["dynamics", "output"],
+                   default="dynamics",
+                   help="GP enters the prediction model ('dynamics', "
+                        "mpc.py generation) or corrects the solved control "
+                        "post-solve ('output', mpc_gp.py generation)")
     f.add_argument("--preview", action="store_true",
                    help="per-stage horizon references (removes tracking lag)")
     f.set_defaults(fn=_cmd_fly)

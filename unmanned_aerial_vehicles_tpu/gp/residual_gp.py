@@ -221,3 +221,78 @@ def build_horizon_residuals(
     dyn = mean / config.dt
     D = jnp.zeros((N, OUTPUT_DIM), mean.dtype)
     return D.at[:, 3:6].set(config.residual_gain * dyn[:, 3:6])
+
+
+# ---------------------------------------------------------------------------
+# Output-correction generation (the reference's EARLIER GP-MPC architecture)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class OutputCorrectionConfig:
+    """Constants of ``/root/reference/src/px4/mpc_gp.py:341-372`` (the file is
+    byte-identical to ``mpc_original.py``): the obsolete first GP-MPC
+    generation corrects the solved control POST-solve instead of entering the
+    prediction model. Kept as a distinct capability for parity; the
+    in-dynamics mode (``build_horizon_residuals``) superseded it."""
+
+    correction_gain: float = 0.01       # mpc_gp.py:362
+    correction_clip: float = 0.1        # mpc_gp.py:368
+    confidence_threshold: float = 0.1   # mpc_gp.py:134 (uncertainty gate)
+    min_train_samples: int = 500        # mpc_gp.py:346
+    max_velocity_norm: float = 2.0      # mpc_gp.py:352 "system is stable"
+    max_position_error: float = 5.0     # mpc_gp.py:352
+
+
+def output_correction(
+    posterior: GPPosterior,
+    state6: jnp.ndarray,
+    u_opt: jnp.ndarray,
+    target_pos: jnp.ndarray,
+    n_train: jnp.ndarray | int,
+    config: OutputCorrectionConfig = OutputCorrectionConfig(),
+) -> jnp.ndarray:
+    """Post-solve GP control correction, all gates in-graph.
+
+    The reference applies ``clip(0.01 * residual_mean[3:6], -0.1, 0.1)`` to
+    the solved accelerations, but only when the GP has >= 500 samples, the
+    state is "stable" (velocity < 2 m/s, position error < 5 m) and the mean
+    posterior std over outputs is below the confidence threshold
+    (``simple_gp.py:203-208``). The reference evaluates those gates in
+    Python branches per tick; here they collapse to one ``jnp.where`` so the
+    corrected controller still fuses into a single XLA program.
+    """
+    x = jnp.concatenate([state6[:6], u_opt[:4]])[None, :]
+    mean, var = predict(posterior, x)
+    uncertainty = jnp.mean(jnp.sqrt(var[0]))
+
+    correction = jnp.clip(
+        config.correction_gain * mean[0, 3:6],
+        -config.correction_clip,
+        config.correction_clip,
+    )
+    stable = (
+        (jnp.linalg.norm(state6[3:6]) < config.max_velocity_norm)
+        & (jnp.linalg.norm(state6[0:3] - target_pos) < config.max_position_error)
+    )
+    apply = (
+        (jnp.asarray(n_train) >= config.min_train_samples)
+        & stable
+        & (uncertainty < config.confidence_threshold)
+    )
+    return u_opt.at[0:3].add(jnp.where(apply, correction, 0.0))
+
+
+def make_output_correction_fn(
+    posterior: GPPosterior,
+    n_train: int,
+    config: OutputCorrectionConfig = OutputCorrectionConfig(),
+):
+    """Bind a posterior into the rollout hook signature
+    ``(state6, u_opt, target_pos) -> u_corrected``."""
+
+    def fn(state6, u_opt, target_pos):
+        return output_correction(posterior, state6, u_opt, target_pos,
+                                 n_train, config)
+
+    return fn

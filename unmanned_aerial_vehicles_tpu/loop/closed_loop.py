@@ -131,6 +131,7 @@ def mpc_flight_rollout(
     cfg: FlightLoopConfig = FlightLoopConfig(),
     initial_state: jnp.ndarray | None = None,
     residual_fn: Callable | None = None,
+    output_correction_fn: Callable | None = None,
     preview: bool = False,
     dtype=jnp.float32,
 ):
@@ -139,6 +140,12 @@ def mpc_flight_rollout(
     ``reference_fn(t) -> (pos3, yaw)``; ``residual_fn(X_guess, U_guess)``
     optionally produces the ``(N, 6)`` stage residual array from the MPC's
     warm-start trajectory (the GP hook; see ``gp.residual_gp``).
+
+    ``output_correction_fn(state6, u_opt, pos_ref) -> u_opt`` is the OTHER
+    GP generation — the reference's earlier architecture where the GP
+    corrects the solved control post-solve instead of entering the dynamics
+    (``gp.residual_gp.make_output_correction_fn``; mpc_gp.py:341-372). The
+    two hooks are independent, matching the reference's two generations.
 
     ``preview=True`` feeds the MPC per-stage references sampled along the
     horizon (position + finite-difference velocity) instead of the
@@ -177,6 +184,8 @@ def mpc_flight_rollout(
         u_opt, X_opt, mpc_carry = mpc.solve(
             mpc_carry, mpc_state, pos_ref, residuals, reference_states=ref_states
         )
+        if output_correction_fn is not None:
+            u_opt = output_correction_fn(mpc_state, u_opt, pos_ref)
 
         accel_des = jnp.clip(u_opt[0:3], accel_lo, accel_hi)
         yawrate_des = jnp.clip(u_opt[3], -cfg.yawrate_limit, cfg.yawrate_limit)
