@@ -197,7 +197,7 @@ class SQPMPC:
         mm = lambda a, b: jnp.matmul(a, b, precision=prec)
 
         def sqp_iter(loop_carry, _):
-            X_bar, U_bar, z, y = loop_carry
+            X_bar, U_bar, X_anchor, z, y = loop_carry
             # linearise the discrete step about the current trajectory
             A, B = step_jac(X_bar[:-1], U_bar, residuals)
             X_next = jax.vmap(self.step_fn)(X_bar[:-1], U_bar, residuals)
@@ -215,10 +215,18 @@ class SQPMPC:
             upper = jnp.concatenate([self._u_hi, self._x_hi - offset])
 
             if self.num_obstacles:
-                # linearised half-space obstacle rows: n'(p_k) >= r + m + n'obs
+                # linearised half-space obstacle rows: n'(p_k) >= r + m + n'obs.
+                # Normals anchor to the WARM-START plan (X_anchor), not the
+                # linearisation trajectory: an LTV controller linearises
+                # dynamics about the reference, and when the reference passes
+                # through the obstacle the normals degenerate (opposing
+                # half-spaces -> infeasible rows -> the plan cuts through).
+                # The previous plan already detours, so its normals are
+                # well-conditioned; later SQP iterations re-anchor to the
+                # fresh plan.
                 Su3 = Su.reshape(N, nx, N * nu)[:, 0:3, :]       # (N,3,NU)
                 off3 = offset.reshape(N, nx)[:, 0:3]             # (N,3)
-                p_bar = X_bar[1:, 0:3]                           # (N,3)
+                p_bar = X_anchor[1:, 0:3]                        # (N,3)
                 diff = p_bar[:, None, :] - obstacles[None, :, 0:3]  # (N,K,3)
                 dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-9)
                 n_vec = diff / dist[..., None]                   # (N,K,3)
@@ -271,7 +279,7 @@ class SQPMPC:
             # commands mid-convergence
             U_new = sol_slack[: N * nu].reshape(N, nu)
             X_new = self._rollout(x0, U_new, residuals)
-            return (X_new, U_new, sol_slack, sol_dual), None
+            return (X_new, U_new, X_new, sol_slack, sol_dual), None
 
         if lin_trajectory is not None:
             X_bar, U_bar = lin_trajectory
@@ -280,8 +288,8 @@ class SQPMPC:
         else:
             X_bar = carry.X_prev.at[0].set(x0)
             U_bar = carry.U_prev
-        init = (X_bar, U_bar, carry.slack, carry.dual)
-        (X_opt, U_opt, z, y), _ = jax.lax.scan(
+        init = (X_bar, U_bar, carry.X_prev, carry.slack, carry.dual)
+        (X_opt, U_opt, _, z, y), _ = jax.lax.scan(
             sqp_iter, init, None, length=cfg.sqp_iterations
         )
 
