@@ -22,55 +22,169 @@ def _plt():
     return plt
 
 
-def plot_flight_log(log: dict, save_path: str, title: str = "flight"):
-    """Multi-panel flight analysis (trajectory, per-axis tracking, attitude,
-    thrust; the ``enhanced_plot_mpc_bag`` panel set)."""
+def plot_flight_log(log: dict, save_path: str, title: str = "flight",
+                    dt: float = 0.02):
+    """12-panel flight analysis — the full ``enhanced_plot_mpc_bag`` layout
+    (``create_analysis_plots`` panels at :863-990 plus the attitude/rate
+    channels its monitoring topics carry and the ``plot_metrics_summary``
+    card at :727-765, all in one figure):
+
+    XY tracking / altitude / position errors / velocity tracking /
+    XY trajectory / control outputs / attitude tracking / attitude errors /
+    body rates vs commands / thrust + saturation bands / error histogram /
+    metrics summary card.
+
+    Optional log keys (``att_ref``, ``vel_ref``, ``rates_cmd``, ``u_mpc``,
+    ``accel_cmd``, ``thrust``) populate their panels when present."""
     plt = _plt()
     state = np.asarray(log["state"])
     pos_ref = np.asarray(log["pos_ref"])
     T = state.shape[0]
-    t = np.arange(T)
+    t = np.arange(T) * dt
 
-    fig, axes = plt.subplots(3, 3, figsize=(16, 10))
-    fig.suptitle(title)
+    fig, axes = plt.subplots(4, 3, figsize=(19, 16))
+    fig.suptitle(f"Flight Analysis — {title}")
 
+    # 1. Position XY tracking (:882-895)
     ax = axes[0, 0]
-    ax.plot(pos_ref[:, 0], pos_ref[:, 1], "k--", label="reference")
-    ax.plot(state[:, 0], state[:, 1], label="actual")
-    ax.set_title("XY trajectory")
-    ax.legend()
+    ax.plot(t, pos_ref[:, 0], "b-", label="X setpoint")
+    ax.plot(t, state[:, 0], "r--", label="X actual")
+    ax.plot(t, pos_ref[:, 1], "g-", label="Y setpoint")
+    ax.plot(t, state[:, 1], "m--", label="Y actual")
+    ax.set_title("Position XY Tracking")
+    ax.set_xlabel("Time [s]")
+    ax.legend(fontsize=7)
+
+    # 2. Altitude tracking (:898-910)
+    ax = axes[0, 1]
+    ax.plot(t, pos_ref[:, 2], "b-", label="Z setpoint")
+    ax.plot(t, state[:, 2], "r--", label="Z actual")
+    ax.set_title("Altitude Tracking")
+    ax.legend(fontsize=7)
+
+    # 3. Position errors (:913-926)
+    err_vec = pos_ref - state[:, 0:3]
+    err = np.linalg.norm(err_vec, axis=1)
+    ax = axes[0, 2]
+    ax.plot(t, err, "r-", lw=2, label="‖pos error‖")
+    for i, (name, style) in enumerate(zip("XYZ", ["b--", "g--", "m--"])):
+        ax.plot(t, np.abs(err_vec[:, i]), style, lw=0.8, label=f"|{name} error|")
+    ax.set_title("Position Errors")
+    ax.legend(fontsize=7)
+
+    # 4. Velocity tracking (:929-945): speed setpoint vs actual + vz
+    ax = axes[1, 0]
+    if "vel_ref" in log:
+        vr = np.asarray(log["vel_ref"])
+        ax.plot(t, np.linalg.norm(vr[:, 0:2], axis=1), "b-", label="speed setpoint")
+        ax.plot(t, vr[:, 2], "g:", label="Vz setpoint")
+    ax.plot(t, np.linalg.norm(state[:, 3:5], axis=1), "r--", label="speed actual")
+    ax.plot(t, state[:, 5], "k:", label="Vz actual")
+    ax.set_title("Velocity Tracking")
+    ax.legend(fontsize=7)
+
+    # 5. XY trajectory (:948-960)
+    ax = axes[1, 1]
+    ax.plot(pos_ref[:, 0], pos_ref[:, 1], "b-", label="setpoint trajectory")
+    ax.plot(state[:, 0], state[:, 1], "r--", label="actual trajectory")
+    ax.set_title("XY Trajectory")
     ax.axis("equal")
+    ax.legend(fontsize=7)
 
-    for i, name in enumerate("xyz"):
-        ax = axes[0, 1] if i == 0 else (axes[0, 2] if i == 1 else axes[1, 0])
-        ax.plot(t, pos_ref[:, i], "k--")
-        ax.plot(t, state[:, i])
-        ax.set_title(f"{name} tracking")
+    # 6. Control outputs (:963-976)
+    ax = axes[1, 2]
+    ctrl = None
+    for key in ("u_mpc", "accel_cmd"):
+        if key in log:
+            ctrl = np.asarray(log[key])
+            break
+    if ctrl is not None:
+        for i in range(min(4, ctrl.shape[1])):
+            ax.plot(t, ctrl[:, i], label=f"Output {i + 1}")
+        ax.legend(fontsize=7)
+    ax.set_title("Control Outputs")
 
-    err = np.linalg.norm(pos_ref - state[:, 0:3], axis=1)
-    axes[1, 1].plot(t, err)
-    axes[1, 1].set_title(
-        f"position error (RMS {np.sqrt(np.mean(err**2)):.3f} m, "
-        f"max {err.max():.3f} m)"
-    )
+    # 7. Attitude tracking
+    ax = axes[2, 0]
+    att = np.degrees(state[:, 6:9])
+    if "att_ref" in log:
+        ar = np.degrees(np.asarray(log["att_ref"]))
+        ax.plot(t, ar[:, 0], "b-", label="roll sp")
+        ax.plot(t, ar[:, 1], "g-", label="pitch sp")
+    ax.plot(t, att[:, 0], "r--", label="roll")
+    ax.plot(t, att[:, 1], "m--", label="pitch")
+    ax.plot(t, att[:, 2], "k:", label="yaw")
+    ax.set_title("Attitude Tracking [deg]")
+    ax.legend(fontsize=7)
 
-    axes[1, 2].plot(t, state[:, 3:6])
-    axes[1, 2].set_title("velocity")
-    axes[1, 2].legend(["vx", "vy", "vz"])
+    # 8. Attitude errors (metric def :699-720)
+    ax = axes[2, 1]
+    if "att_ref" in log:
+        ae = np.degrees(np.asarray(log["att_ref"])) - att
+        rmse = np.sqrt((ae**2).mean(axis=0))
+        for i, name in enumerate(["roll", "pitch", "yaw"]):
+            ax.plot(t, ae[:, i], label=f"{name} (RMSE {rmse[i]:.2f}°)")
+        ax.legend(fontsize=7)
+    ax.set_title("Attitude Errors [deg]")
 
-    axes[2, 0].plot(t, np.degrees(state[:, 6:9]))
-    axes[2, 0].set_title("attitude [deg]")
-    axes[2, 0].legend(["roll", "pitch", "yaw"])
+    # 9. Body rates vs commands
+    ax = axes[2, 2]
+    for i, name in enumerate("pqr"):
+        ax.plot(t, state[:, 9 + i], label=name)
+    if "rates_cmd" in log:
+        rc = np.asarray(log["rates_cmd"])
+        for i, name in enumerate("pqr"):
+            ax.plot(t, rc[:, i], "--", lw=0.7, label=f"{name} cmd")
+    ax.set_title("Body Rates [rad/s]")
+    ax.legend(fontsize=6, ncol=2)
 
+    # 10. Thrust + saturation bands (:683-695 thresholds)
+    ax = axes[3, 0]
+    sat_line = ""
     if "thrust" in log:
         thrust = np.asarray(log["thrust"])
-        axes[2, 1].plot(t, thrust)
+        ax.plot(t, thrust, "r-")
+        ax.axhline(0.99, color="k", ls="--", lw=0.7)
+        ax.axhline(0.11, color="k", ls="--", lw=0.7)
         sat = 100.0 * np.mean((thrust >= 0.99) | (thrust <= 0.11))
-        axes[2, 1].set_title(f"normalized thrust (saturation {sat:.1f}%)")
+        near_hover = np.abs(thrust - 1.0) <= 0.05
+        sat_inf = 100.0 * np.mean(
+            ((thrust >= 0.99) | (thrust <= 0.11)) & ~near_hover
+        )
+        sat_line = (f"Thrust saturation: {sat:.1f} % (quirk) / "
+                    f"{sat_inf:.1f} % (non-hover)")
+        ax.set_title(f"Normalized Thrust — {sat_line}", fontsize=9)
+    else:
+        ax.set_title("Normalized Thrust")
 
-    axes[2, 2].plot(t, state[:, 9:12])
-    axes[2, 2].set_title("body rates")
-    axes[2, 2].legend(["p", "q", "r"])
+    # 11. Error histogram
+    ax = axes[3, 1]
+    ax.hist(err, bins=40, color="tab:red", alpha=0.8)
+    ax.set_title("Position-Error Distribution [m]")
+
+    # 12. Metrics summary card (plot_metrics_summary, :727-765)
+    ax = axes[3, 2]
+    ax.axis("off")
+    lines = [
+        f"RMS position error: {np.sqrt((err**2).mean()):.3f} m",
+        f"Max position error: {err.max():.3f} m",
+    ]
+    if "vel_ref" in log:
+        sp = np.linalg.norm(np.asarray(log["vel_ref"]), axis=1)
+        act = np.linalg.norm(state[:, 3:6], axis=1)
+        lines.append(f"RMS velocity error: {np.sqrt(((sp - act) ** 2).mean()):.3f} m/s")
+    if "att_ref" in log:
+        ae = np.degrees(np.asarray(log["att_ref"])) - att
+        rmse = np.sqrt((ae**2).mean(axis=0))
+        lines += [f"RMS roll error:  {rmse[0]:.2f} deg",
+                  f"RMS pitch error: {rmse[1]:.2f} deg",
+                  f"RMS yaw error:   {rmse[2]:.2f} deg"]
+    if sat_line:
+        lines.append(sat_line)
+    ax.text(0.0, 0.95, "Metrics Summary", fontsize=13, fontweight="bold",
+            va="top", family="monospace")
+    ax.text(0.0, 0.80, "\n".join(lines), fontsize=10, va="top",
+            family="monospace")
 
     fig.tight_layout()
     fig.savefig(save_path, dpi=110)
