@@ -241,3 +241,113 @@ def test_fused_plant_under_vmap(rng):
     for _ in range(2):
         ref = jax.vmap(lambda s, c: px4_rate_tracking_step(s, c, body, rl, 0.01))(ref, C)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref, np.float32), atol=5e-6)
+
+
+def test_fused_tick_rollout_matches_staged(rng):
+    """The whole-tick kernel (ops.tick_pallas) must reproduce the staged
+    XLA rollout (same ADMM semantics, shift, allocation, plant) closely
+    over a closed-loop flight: feedback keeps f32 path differences bounded."""
+    import glob
+
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+    from unmanned_aerial_vehicles_tpu.gp import (
+        build_horizon_residuals,
+        fit_residual_gp,
+    )
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+    from unmanned_aerial_vehicles_tpu.io import load_gp_datasets
+    from unmanned_aerial_vehicles_tpu.loop import (
+        FlightLoopConfig,
+        mpc_flight_rollout,
+    )
+    from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=2.0, frequency=0.1)
+        return pos + jnp.array([0.0, 0.0, 3.0]), yaw
+
+    paths = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))
+    residual_fn = None
+    if paths:
+        gp_cfg = ResidualGPConfig()
+        X, Y = load_gp_datasets(paths[:4], max_samples=200)
+        post = fit_residual_gp(
+            jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32), gp_cfg
+        )
+        residual_fn = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
+
+    kw = dict(horizon=10, admm_iterations=80)
+    staged = LinearMPC(LinearMPCConfig(**kw), dtype=jnp.float32)
+    fused = LinearMPC(
+        LinearMPCConfig(**kw, use_fused_controller=True), dtype=jnp.float32
+    )
+    T = 100
+    out_a = jax.jit(
+        lambda: mpc_flight_rollout(staged, ref, T, cfg=FlightLoopConfig(),
+                                   residual_fn=residual_fn)
+    )()
+    out_b = jax.jit(
+        lambda: mpc_flight_rollout(fused, ref, T,
+                                   cfg=FlightLoopConfig(use_fused_tick=True),
+                                   residual_fn=residual_fn)
+    )()
+    sa = np.asarray(out_a["state"], np.float64)
+    sb = np.asarray(out_b["state"], np.float64)
+    assert np.isfinite(sb).all()
+    # whole-flight position agreement between the two implementations
+    gap = np.abs(sa[:, 0:3] - sb[:, 0:3]).max()
+    assert gap < 5e-3, f"fused-tick position gap {gap:.2e}"
+    np.testing.assert_allclose(
+        np.asarray(out_a["u_mpc"]), np.asarray(out_b["u_mpc"]), atol=5e-3
+    )
+    # both paths must expose the identical log schema
+    assert set(out_a.keys()) == set(out_b.keys())
+
+
+def test_batched_sweep_matches_vmapped_rollout(rng):
+    """Throughput mode: the gridded batch-controller kernel must reproduce
+    the vmapped staged rollout across a batch of flights."""
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+    from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
+    from unmanned_aerial_vehicles_tpu.loop.closed_loop import (
+        batched_mpc_flight_sweep,
+        mpc_flight_rollout,
+    )
+    from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=2.0, frequency=0.1)
+        return pos + jnp.array([0.0, 0.0, 3.0]), yaw
+
+    kw = dict(horizon=10, admm_iterations=60)
+    staged = LinearMPC(LinearMPCConfig(**kw), dtype=jnp.float32)
+    fused = LinearMPC(
+        LinearMPCConfig(**kw, use_fused_controller=True), dtype=jnp.float32
+    )
+    B, T = 4, 40
+    starts = jnp.zeros((B, 12), jnp.float32).at[:, 2].set(3.0)
+    starts = starts.at[:, 0].set(jnp.linspace(-0.5, 0.5, B))
+
+    out_b = jax.jit(
+        lambda: batched_mpc_flight_sweep(
+            fused, ref, T, starts, cfg=FlightLoopConfig()
+        )
+    )()
+    out_v = jax.jit(
+        lambda: jax.vmap(
+            lambda x0: mpc_flight_rollout(
+                staged, ref, T, cfg=FlightLoopConfig(), initial_state=x0
+            )["state"]
+        )(starts)
+    )()
+    sb = np.asarray(out_b["state"])          # (T, B, 12)
+    sv = np.transpose(np.asarray(out_v), (1, 0, 2))
+    assert sb.shape == sv.shape == (T, B, 12)
+    gap = np.abs(sb[:, :, 0:3] - sv[:, :, 0:3]).max()
+    assert gap < 5e-3, f"batched sweep position gap {gap:.2e}"

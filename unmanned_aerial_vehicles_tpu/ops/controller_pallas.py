@@ -183,3 +183,299 @@ def gpmpc_controller_fused(
         data.P1, data.P0mat, data.P0matT, data.MinvT,
         data.u_lo_row, data.u_hi_row, data.x_lo_row, data.x_hi_row,
     )
+
+
+# ---------------------------------------------------------------------------
+# Throughput mode: the controller gridded over a flight batch
+# ---------------------------------------------------------------------------
+
+BATCH_BLOCK = 128
+
+
+def _make_batched_kernel(iterations: int, over_relax: float, rho: float):
+    prec = jax.lax.Precision.HIGHEST
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    def kernel(x0_ref, w_ref, ref_ref, z0_ref, y0_ref,
+               sxt_ref, swt_ref, sutqt_ref, sut_ref, emb_ref,
+               p1_ref, p0mat_ref, p0matt_ref, minvt_ref,
+               ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
+               z_ref, y_ref, u_ref, xtail_ref):
+        # identical math to the latency kernel, with a (BATCH_BLOCK, .)
+        # leading dim: every row op becomes a GEMM and — crucially — the
+        # z/y iterates stay VMEM-resident across ALL ADMM iterations
+        # instead of round-tripping to HBM per iteration as the XLA
+        # matmul chain must.
+        z0 = dot(z0_ref[:], shiftt_ref[:])
+        y0 = dot(y0_ref[:], shiftt_ref[:])
+
+        offset = dot(x0_ref[:], sxt_ref[:]) + dot(w_ref[:], swt_ref[:])
+        f = dot(offset - ref_ref[:], sutqt_ref[:])
+        off_z = dot(offset, emb_ref[:])
+        lower = ulo_ref[:] + xlo_ref[:] - off_z
+        upper = uhi_ref[:] + xhi_ref[:] - off_z
+
+        p0 = -dot(f, p0mat_ref[:])
+        minv_f = dot(f, minvt_ref[:])
+        P1 = p1_ref[:]
+
+        def body(_, carry):
+            z, y = carry
+            GU = p0 + dot(rho * z - y, P1)
+            Gt = over_relax * GU + (1.0 - over_relax) * z
+            z_new = jnp.clip(Gt + y / rho, lower, upper)
+            y_new = y + rho * (Gt - z_new)
+            return (z_new, y_new)
+
+        z_fin, y_fin = jax.lax.fori_loop(
+            0, iterations, body, (z0, y0)
+        )
+        U = -minv_f + dot(rho * z_fin - y_fin, p0matt_ref[:])
+        z_ref[:] = z_fin
+        y_ref[:] = y_fin
+        u_ref[:] = U
+        xtail_ref[:] = offset + dot(U, sut_ref[:])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "over_relax", "rho", "interpret",
+                     "block"),
+)
+def gpmpc_controller_fused_batched(
+    data: FusedControllerData,
+    ShiftT: np.ndarray,       # (m_pad, m_pad) warm-start shift (row form)
+    X0: jnp.ndarray,          # (B, n_pad) states in lanes 0:nx
+    W: jnp.ndarray,           # (B, n_pad) stacked dt*D disturbances
+    REF: jnp.ndarray,         # (B, n_pad) stacked state references
+    Z0: jnp.ndarray,          # (B, m_pad) UNshifted previous slacks
+    Y0: jnp.ndarray,          # (B, m_pad) UNshifted previous duals
+    rho: float,
+    iterations: int,
+    over_relax: float = 1.6,
+    interpret: bool = False,
+    block: int = BATCH_BLOCK,
+):
+    """Whole-controller tick for a FLIGHT BATCH: grid over B/block blocks,
+    each program solving ``block`` flights' QPs with VMEM-resident iterates.
+    ``B`` must be a multiple of ``block`` (pad flights externally).
+    Returns ``(Z, Y, U, X_tail)``, each ``(B, .)``."""
+    B = X0.shape[0]
+    if B % block:
+        raise ValueError(f"batch {B} must be a multiple of {block}")
+    m_pad = data.P1.shape[0]
+    n_pad = data.SxT.shape[0]
+    kernel = _make_batched_kernel(iterations, over_relax, rho)
+    grid = (B // block,)
+    brow = lambda cols: pl.BlockSpec(
+        (block, cols), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda rows, cols: pl.BlockSpec(
+        (rows, cols), lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
+        ),
+        in_specs=[
+            brow(n_pad), brow(n_pad), brow(n_pad), brow(m_pad), brow(m_pad),
+            full(n_pad, n_pad), full(n_pad, n_pad), full(n_pad, n_pad),
+            full(n_pad, n_pad), full(n_pad, m_pad),
+            full(m_pad, m_pad), full(n_pad, m_pad), full(m_pad, n_pad),
+            full(n_pad, n_pad),
+            full(1, m_pad), full(1, m_pad), full(1, m_pad), full(1, m_pad),
+            full(m_pad, m_pad),
+        ],
+        out_specs=(brow(m_pad), brow(m_pad), brow(n_pad), brow(n_pad)),
+        interpret=interpret,
+    )(
+        X0, W, REF, Z0, Y0,
+        data.SxT, data.SwT, data.SuTqT, data.SuT, data.Emb,
+        data.P1, data.P0mat, data.P0matT, data.MinvT,
+        data.u_lo_row, data.u_hi_row, data.x_lo_row, data.x_hi_row,
+        jnp.asarray(ShiftT),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured batched controller: exploits G = [I; Su]
+# ---------------------------------------------------------------------------
+
+
+class StructuredBatchData(NamedTuple):
+    """Split-layout statics for the structured batched kernel. Slacks/duals
+    live as separate U-space (n_pad) and X-space (n_pad) planes, so the
+    identity block of G = [I; Su] costs zero FLOPs:
+
+        G'v   = v_U + Su' v_X      (one rectangular GEMM)
+        U     = M^-1 (G'v - f)     (one GEMM)
+        (GU)_X = Su U              (one GEMM)
+
+    ~50M MACs/flight/iteration vs the dense composite's m^2 = 67M — the
+    structure is invisible to XLA's dense P1 matmul."""
+
+    SxT: np.ndarray
+    SwT: np.ndarray
+    SuTqT: np.ndarray
+    SuT: np.ndarray      # row form: X_tail = U @ SuT
+    SuRow: np.ndarray    # row form: (G'v)_contribution = v_X @ SuRow
+    MinvT: np.ndarray
+    ShiftU: np.ndarray   # (n_pad, n_pad) U-plane warm-start shift (row form)
+    ShiftX: np.ndarray   # (n_pad, n_pad) X-plane warm-start shift
+    u_lo: np.ndarray     # (1, n_pad) lo = hi = 0 in padded lanes
+    u_hi: np.ndarray
+    x_lo: np.ndarray
+    x_hi: np.ndarray
+
+
+def build_structured_batch_data(
+    data: FusedControllerData, N: int, nu: int, nx: int,
+    u_lo, u_hi, x_lo, x_hi,
+) -> StructuredBatchData:
+    n_pad = data.SxT.shape[0]
+
+    def block_shift(width):
+        n = N * width
+        S = np.zeros((n_pad, n_pad), np.float32)
+        for i in range((N - 1) * width):
+            S[i + width, i] = 1.0      # row form: new = old @ S
+        for i in range((N - 1) * width, n):
+            S[i, i] = 1.0
+        return S
+
+    row = lambda v: np.concatenate(
+        [np.asarray(v, np.float32), np.zeros(n_pad - len(v), np.float32)]
+    )[None, :]
+    return StructuredBatchData(
+        SxT=data.SxT, SwT=data.SwT, SuTqT=data.SuTqT, SuT=data.SuT,
+        SuRow=np.ascontiguousarray(data.SuT.T), MinvT=data.MinvT,
+        ShiftU=block_shift(nu), ShiftX=block_shift(nx),
+        u_lo=row(u_lo), u_hi=row(u_hi), x_lo=row(x_lo), x_hi=row(x_hi),
+    )
+
+
+def _make_structured_kernel(iterations: int, over_relax: float, rho: float):
+    def _dot(prec):
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        return dot
+
+    # Mixed precision: problem setup and the FINAL primal refresh run at
+    # HIGHEST (6-pass bf16 = true f32); the ADMM recursion runs at DEFAULT
+    # (single-pass bf16, 6x MXU throughput). The recursion is a fixed-point iteration
+    # — per-iteration rounding (~1e-3 relative) perturbs the path, not the
+    # fixed point it converges to — and the refresh recomputes U from the
+    # converged (z, y) at full precision. Closed-loop parity is asserted in
+    # tests/test_pallas_ops.py.
+    dot = _dot(jax.lax.Precision.HIGHEST)
+    dot_loop = _dot(jax.lax.Precision.DEFAULT)
+
+    def kernel(x0_ref, w_ref, ref_ref,
+               zu0_ref, zx0_ref, yu0_ref, yx0_ref,
+               sxt_ref, swt_ref, sutqt_ref, sut_ref, surow_ref, minvt_ref,
+               shiftu_ref, shiftx_ref,
+               ulo_ref, uhi_ref, xlo_ref, xhi_ref,
+               zu_ref, zx_ref, yu_ref, yx_ref, u_ref, xtail_ref):
+        zU = dot(zu0_ref[:], shiftu_ref[:])
+        zX = dot(zx0_ref[:], shiftx_ref[:])
+        yU = dot(yu0_ref[:], shiftu_ref[:])
+        yX = dot(yx0_ref[:], shiftx_ref[:])
+
+        offset = dot(x0_ref[:], sxt_ref[:]) + dot(w_ref[:], swt_ref[:])
+        f = dot(offset - ref_ref[:], sutqt_ref[:])
+        loU, hiU = ulo_ref[:], uhi_ref[:]
+        loX = xlo_ref[:] - offset
+        hiX = xhi_ref[:] - offset
+
+        SuRow, SuT, MinvT = surow_ref[:], sut_ref[:], minvt_ref[:]
+
+        def body(_, carry):
+            zU, zX, yU, yX = carry
+            vU = rho * zU - yU
+            vX = rho * zX - yX
+            t = vU + dot_loop(vX, SuRow)       # G'v (identity block free)
+            U = dot_loop(t - f, MinvT)
+            GX = dot_loop(U, SuT)
+            GtU = over_relax * U + (1.0 - over_relax) * zU
+            GtX = over_relax * GX + (1.0 - over_relax) * zX
+            zU_n = jnp.clip(GtU + yU / rho, loU, hiU)
+            zX_n = jnp.clip(GtX + yX / rho, loX, hiX)
+            yU_n = yU + rho * (GtU - zU_n)
+            yX_n = yX + rho * (GtX - zX_n)
+            return (zU_n, zX_n, yU_n, yX_n)
+
+        zU, zX, yU, yX = jax.lax.fori_loop(
+            0, iterations, body, (zU, zX, yU, yX)
+        )
+        # final primal refresh from the converged (z, y)
+        t = (rho * zU - yU) + dot(rho * zX - yX, SuRow)
+        U = dot(t - f, MinvT)
+        zu_ref[:] = zU
+        zx_ref[:] = zX
+        yu_ref[:] = yU
+        yx_ref[:] = yX
+        u_ref[:] = U
+        xtail_ref[:] = offset + dot(U, SuT)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "over_relax", "rho", "interpret", "block"),
+)
+def gpmpc_controller_structured_batched(
+    sdata: StructuredBatchData,
+    X0: jnp.ndarray,    # (B, n_pad)
+    W: jnp.ndarray,     # (B, n_pad)
+    REF: jnp.ndarray,   # (B, n_pad)
+    ZU: jnp.ndarray, ZX: jnp.ndarray,   # (B, n_pad) split slacks (unshifted)
+    YU: jnp.ndarray, YX: jnp.ndarray,   # (B, n_pad) split duals (unshifted)
+    rho: float,
+    iterations: int,
+    over_relax: float = 1.6,
+    interpret: bool = False,
+    block: int = 1024,
+):
+    """Structured whole-controller tick for a flight batch. Returns
+    ``(ZU, ZX, YU, YX, U, X_tail)``, each ``(B, n_pad)``."""
+    B = X0.shape[0]
+    block = min(block, B)
+    if B % block:
+        raise ValueError(f"batch {B} must be a multiple of {block}")
+    n_pad = sdata.SxT.shape[0]
+    kernel = _make_structured_kernel(iterations, over_relax, rho)
+    brow = pl.BlockSpec((block, n_pad), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    full = lambda rows: pl.BlockSpec((rows, n_pad), lambda b: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, n_pad), jnp.float32) for _ in range(6)
+        ),
+        in_specs=[brow] * 7 + [full(n_pad)] * 8 + [full(1)] * 4,
+        out_specs=(brow,) * 6,
+        interpret=interpret,
+    )(
+        X0, W, REF, ZU, ZX, YU, YX,
+        sdata.SxT, sdata.SwT, sdata.SuTqT, sdata.SuT, sdata.SuRow,
+        sdata.MinvT, sdata.ShiftU, sdata.ShiftX,
+        sdata.u_lo, sdata.u_hi, sdata.x_lo, sdata.x_hi,
+    )
