@@ -133,3 +133,74 @@ def test_cg_solves_a_known_system(mesh):
     x, res = jax.jit(run)(Aj, jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-8)
     assert float(res) < 1e-8
+
+
+def test_lml_grad_exact_trace_matches_jax_grad(corpus, mesh):
+    """With identity probes the sharded CG gradient equals jax.grad of the
+    dense LML to near machine precision — validating the quadratic/trace
+    decomposition and the (K o D2) matvec expansion."""
+    from unmanned_aerial_vehicles_tpu.gp import GPParams, log_marginal_likelihood
+    from unmanned_aerial_vehicles_tpu.parallel import lml_grad_sharded
+
+    X, Y = corpus
+    cfg = ResidualGPConfig()
+    params = GPParams.create(0.7, 1.3, 0.15)
+    g_ref = jax.grad(
+        lambda p: log_marginal_likelihood(
+            p, jnp.asarray(X), jnp.asarray(Y), jitter=cfg.alpha, normalize_y=True
+        )
+    )(params)
+    g_sh = lml_grad_sharded(params, X, Y, mesh=mesh, config=cfg,
+                            exact_trace=True, cg_iterations=300)
+    for field in ("log_length_scale", "log_signal_variance",
+                  "log_noise_variance"):
+        np.testing.assert_allclose(
+            float(getattr(g_sh, field)), float(getattr(g_ref, field)),
+            rtol=1e-7, err_msg=field,
+        )
+
+
+def test_lml_grad_stochastic_points_uphill(corpus, mesh):
+    """Rademacher-probe gradients are noisy but must correlate strongly
+    with the exact gradient (the SGD ascent contract)."""
+    from unmanned_aerial_vehicles_tpu.gp import GPParams, log_marginal_likelihood
+    from unmanned_aerial_vehicles_tpu.parallel import lml_grad_sharded
+
+    X, Y = corpus
+    cfg = ResidualGPConfig()
+    params = GPParams.create(0.7, 1.3, 0.15)
+    g_ref = jax.grad(
+        lambda p: log_marginal_likelihood(
+            p, jnp.asarray(X), jnp.asarray(Y), jitter=cfg.alpha, normalize_y=True
+        )
+    )(params)
+    g_st = lml_grad_sharded(params, X, Y, mesh=mesh, config=cfg,
+                            num_probes=64, cg_iterations=300,
+                            key=jax.random.PRNGKey(3))
+    a = np.asarray([float(getattr(g_st, f)) for f in (
+        "log_length_scale", "log_signal_variance", "log_noise_variance")])
+    b = np.asarray([float(getattr(g_ref, f)) for f in (
+        "log_length_scale", "log_signal_variance", "log_noise_variance")])
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.98, f"stochastic gradient misaligned (cos {cos:.3f})"
+
+
+def test_sharded_hyperopt_improves_lml(corpus, mesh):
+    """A few adam steps of the sharded stochastic-LML ascent must improve
+    the EXACT dense LML from a deliberately bad start."""
+    from unmanned_aerial_vehicles_tpu.gp import GPParams, log_marginal_likelihood
+    from unmanned_aerial_vehicles_tpu.parallel import (
+        optimize_hyperparameters_sharded,
+    )
+
+    X, Y = corpus
+    cfg = ResidualGPConfig()
+    lml = lambda p: float(log_marginal_likelihood(
+        p, jnp.asarray(X), jnp.asarray(Y), jitter=cfg.alpha, normalize_y=True
+    ))
+    start = GPParams.create(3.0, 0.2, 0.5)   # far from anything sensible
+    p_opt = optimize_hyperparameters_sharded(
+        start, X, Y, mesh=mesh, config=cfg, steps=15, learning_rate=0.1,
+        num_probes=16, cg_iterations=200, key=jax.random.PRNGKey(0),
+    )
+    assert lml(p_opt) > lml(start) + 10.0, (lml(start), lml(p_opt))

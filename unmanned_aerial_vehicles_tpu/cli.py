@@ -50,13 +50,33 @@ def _cmd_train_gp(args) -> int:
         from .parallel import (
             fit_residual_gp_sharded,
             make_mesh,
+            optimize_hyperparameters_sharded,
             predict_mean_sharded,
         )
 
         mesh = make_mesh()
+        params = default_params(cfg)
+        if args.optimize:
+            # full-corpus LML ascent: stochastic-trace gradients through the
+            # sharded CG (no Cholesky/logdet anywhere)
+            import jax
+
+            t0 = time.time()
+            params = optimize_hyperparameters_sharded(
+                params, X, Y, mesh=mesh, config=cfg, steps=args.opt_steps,
+                num_probes=16, cg_iterations=args.cg_iterations,
+                key=jax.random.PRNGKey(0),
+            )
+            print(
+                f"hyperparameters optimised on the full corpus in "
+                f"{time.time()-t0:.1f}s: ls={float(params.length_scale):.4f} "
+                f"sf2={float(params.signal_variance):.4f} "
+                f"sn2={float(params.noise_variance):.4f}"
+            )
         t0 = time.time()
         post_s = fit_residual_gp_sharded(
-            X, Y, mesh=mesh, config=cfg, cg_iterations=args.cg_iterations
+            X, Y, mesh=mesh, config=cfg, params=params,
+            cg_iterations=args.cg_iterations,
         )
         mean = predict_mean_sharded(post_s, jnp.asarray(X[:4]), mesh=mesh)
         print(

@@ -1,6 +1,8 @@
 from .distributed_gp import (
     ShardedGPPosterior,
     fit_residual_gp_sharded,
+    lml_grad_sharded,
+    optimize_hyperparameters_sharded,
     predict_mean_sharded,
     predict_sharded,
 )
@@ -19,6 +21,8 @@ from .sweep import (
 __all__ = [
     "ShardedGPPosterior",
     "fit_residual_gp_sharded",
+    "lml_grad_sharded",
+    "optimize_hyperparameters_sharded",
     "predict_mean_sharded",
     "predict_sharded",
     "batch_sharding",
