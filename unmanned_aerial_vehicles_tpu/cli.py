@@ -208,7 +208,15 @@ def _cmd_fly(args) -> int:
         print(json.dumps({k: round(float(v), 4) for k, v in m.items()}, indent=2))
         return 0
     else:
-        mpc = LinearMPC(LinearMPCConfig())
+        if args.fast:
+            # latency mode: the whole control tick as ONE Pallas kernel
+            # (bench.py's configuration; TPU only)
+            cfg = FlightLoopConfig(use_fused_tick=True,
+                                   fused_tick_loop_precision="default")
+            mpc = LinearMPC(LinearMPCConfig(horizon=20, admm_iterations=20,
+                                            use_fused_controller=True))
+        else:
+            mpc = LinearMPC(LinearMPCConfig())
         residual_fn = None
         output_correction_fn = None
         if args.controller == "gp-mpc":
@@ -431,6 +439,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "post-solve ('output', mpc_gp.py generation)")
     f.add_argument("--preview", action="store_true",
                    help="per-stage horizon references (removes tracking lag)")
+    f.add_argument("--fast", action="store_true",
+                   help="whole-tick Pallas kernel (12.5 us/tick on v5e; "
+                        "pid/mpc12 controllers ignore this)")
     f.set_defaults(fn=_cmd_fly)
 
     m = sub.add_parser("mission", help="full phase-machine mission")
