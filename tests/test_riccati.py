@@ -80,3 +80,33 @@ def test_lqr_vmaps_over_batch(rng):
         np.testing.assert_allclose(
             np.asarray(sols.U[i]), np.asarray(single.U), atol=1e-10
         )
+
+
+def test_parallel_riccati_matches_sequential():
+    """Associative-scan LQR (ops.parallel_riccati) reproduces the sequential
+    backward/forward scans to machine precision across horizons — including
+    non-power-of-two lengths (odd-split scan tree)."""
+    from unmanned_aerial_vehicles_tpu.ops.parallel_riccati import (
+        lqr_tracking_solve_parallel,
+    )
+
+    rng = np.random.default_rng(1)
+    for N in (3, 8, 37, 130):
+        nx, nu = 6, 4
+        A = jnp.asarray(np.tile(np.eye(nx), (N, 1, 1))
+                        + 0.05 * rng.normal(size=(N, nx, nx)))
+        B = jnp.asarray(0.1 * rng.normal(size=(N, nx, nu)))
+        c = jnp.asarray(0.05 * rng.normal(size=(N, nx)))
+        qd = jnp.asarray(np.abs(rng.normal(size=(N + 1, nx))) + 0.5)
+        rd = jnp.asarray(np.abs(rng.normal(size=nu)) + 0.5)
+        xr = jnp.asarray(rng.normal(size=(N + 1, nx)))
+        ur = jnp.asarray(0.3 * rng.normal(size=(N, nu)))
+        x0 = jnp.asarray(rng.normal(size=nx))
+        s = lqr_tracking_solve(A, B, c, qd, rd, xr, ur, x0)
+        p = lqr_tracking_solve_parallel(A, B, c, qd, rd, xr, ur, x0)
+        np.testing.assert_allclose(np.asarray(p.U), np.asarray(s.U),
+                                   atol=1e-8, err_msg=f"N={N}")
+        np.testing.assert_allclose(np.asarray(p.X), np.asarray(s.X),
+                                   atol=1e-8, err_msg=f"N={N}")
+        np.testing.assert_allclose(np.asarray(p.gains), np.asarray(s.gains),
+                                   atol=1e-8, err_msg=f"N={N}")

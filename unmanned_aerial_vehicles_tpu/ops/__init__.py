@@ -5,10 +5,12 @@ from .qp import (
     condense_ltv,
     kkt_residuals,
 )
+from .parallel_riccati import lqr_tracking_solve_parallel
 from .riccati import LQRSolution, lqr_tracking_solve
 
 __all__ = [
     "admm_box_qp",
+    "lqr_tracking_solve_parallel",
     "admm_box_qp_chol",
     "condense_dynamics",
     "condense_ltv",
