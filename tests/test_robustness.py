@@ -106,3 +106,71 @@ def test_trajectory_configs_under_vmap_time_batches():
     pos, vel, acc = jax.vmap(fn)(ts)
     assert pos.shape == (4, 8, 3)
     assert bool(jnp.all(jnp.isfinite(pos)))
+
+
+def test_hover_fallback_combinator():
+    """with_hover_fallback replaces non-finite commands in-graph and is a
+    no-op on healthy solves (the Ipopt-failure -> hover behaviour of
+    mpc.py:1627-1630 as a reusable wrapper)."""
+    import jax
+
+    from unmanned_aerial_vehicles_tpu.control import with_hover_fallback
+
+    def bad_controller(x):
+        return jnp.where(x[0] > 0, jnp.nan, 1.0) * jnp.ones(4), x
+
+    safe = jax.jit(with_hover_fallback(bad_controller))
+    u, _ = safe(jnp.ones(3))
+    np.testing.assert_array_equal(np.asarray(u), np.zeros(4))
+    u, _ = safe(-jnp.ones(3))
+    np.testing.assert_array_equal(np.asarray(u), np.ones(4))
+
+    custom = jax.jit(
+        with_hover_fallback(bad_controller, hover_control=[0.0, 0.0, 9.81, 0.0])
+    )
+    u, _ = custom(jnp.ones(3))
+    np.testing.assert_array_equal(np.asarray(u), [0.0, 0.0, 9.81, 0.0])
+
+
+def test_fused_tick_extreme_states_stay_finite():
+    """The whole-tick kernel path must stay finite and box-feasible from
+    hostile initial conditions (far from target, high speed, saturated)."""
+    import jax
+
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+    from unmanned_aerial_vehicles_tpu.loop import (
+        FlightLoopConfig,
+        mpc_flight_rollout,
+    )
+
+    mpc = LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=40,
+                        use_fused_controller=True)
+    )
+    cfg = FlightLoopConfig(use_fused_tick=True)
+
+    def ref(t):
+        return jnp.array([0.0, 0.0, 3.0]), jnp.zeros(())
+
+    for x0 in (
+        jnp.asarray([25.0, -25.0, 18.0, 7.0, -7.0, 3.5, 0.5, -0.5, 2.0,
+                     1.0, -1.0, 0.5], jnp.float32),
+        jnp.zeros(12, jnp.float32).at[2].set(-4.0).at[5].set(-3.9),
+    ):
+        outs = jax.jit(
+            lambda x=x0: mpc_flight_rollout(mpc, ref, 600, cfg=cfg,
+                                            initial_state=x)
+        )()
+        st = np.asarray(outs["state"])
+        u = np.asarray(outs["u_mpc"])
+        assert np.isfinite(st).all() and np.isfinite(u).all()
+        # commands obey the control box at every tick (slack extraction)
+        assert (u[:, 0:2] <= 4.0 + 1e-5).all() and (u[:, 0:2] >= -4.0 - 1e-5).all()
+        assert (u[:, 2] <= 8.0 + 1e-5).all() and (u[:, 2] >= -5.0 - 1e-5).all()
+        # and the flight recovers toward the hover target
+        final_err = np.linalg.norm(st[-1, 0:3] - np.array([0.0, 0.0, 3.0]))
+        start_err = np.linalg.norm(st[0, 0:3] - np.array([0.0, 0.0, 3.0]))
+        assert final_err < start_err

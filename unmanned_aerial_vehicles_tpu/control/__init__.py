@@ -12,6 +12,7 @@ from .allocation import (
     AttitudeLoopState,
     attitude_loop_init,
     geometric_control_allocation,
+    with_hover_fallback,
     torque_to_px4_rates,
 )
 from .mpc_linear import (
@@ -38,6 +39,7 @@ __all__ = [
     "AttitudeLoopState",
     "attitude_loop_init",
     "geometric_control_allocation",
+    "with_hover_fallback",
     "torque_to_px4_rates",
     "LinearMPCConfig",
     "LinearMPC",

@@ -110,3 +110,30 @@ def torque_to_px4_rates(
         ]
     )
     return rate_cmd, thrust_norm
+
+
+def with_hover_fallback(controller_fn, hover_control=None):
+    """Wrap any ``(*args) -> (u, *rest)`` controller with the reference's
+    solver-failure behaviour, in-graph: a non-finite command is replaced by
+    the hover command (Ipopt failure -> hover at ``src/px4/mpc.py:1627-1630``
+    and ``mpc_FULL.py:517-520``; cvxpy emergency hover at
+    ``mpc_controller.py:363-368``). Because the check is a ``jnp.where`` on
+    the output, the wrapped controller still fuses into one XLA program and
+    the fallback costs nothing when the solver is healthy.
+
+    ``hover_control`` defaults to the zero-acceleration command (4 zeros) —
+    the fused-loop convention where allocation adds gravity compensation.
+    """
+    import jax.numpy as jnp
+
+    def wrapped(*args, **kwargs):
+        out = controller_fn(*args, **kwargs)
+        u, rest = (out[0], out[1:]) if isinstance(out, tuple) else (out, ())
+        hover = (
+            jnp.zeros_like(u) if hover_control is None
+            else jnp.asarray(hover_control, u.dtype)
+        )
+        safe = jnp.where(jnp.all(jnp.isfinite(u)), u, hover)
+        return (safe, *rest) if rest else safe
+
+    return wrapped

@@ -1,4 +1,4 @@
-from .profiling import device_timeit, trace
+from .profiling import device_timeit, scan_slope_timeit, trace
 from .rotations import (
     euler_to_quaternion,
     euler_to_rotation_matrix,
@@ -9,6 +9,7 @@ from .rotations import (
 
 __all__ = [
     "device_timeit",
+    "scan_slope_timeit",
     "trace",
     "euler_to_quaternion",
     "euler_to_rotation_matrix",

@@ -60,3 +60,33 @@ def device_timeit(
         _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def scan_slope_timeit(
+    make_fn: Callable,
+    short: int,
+    long: int,
+    *args,
+    reps: int = 3,
+    perturb: Callable | None = None,
+) -> dict:
+    """Per-iteration cost of a scan-shaped program by LENGTH DIFFERENCING.
+
+    A single timed dispatch includes a fixed host->device round-trip (tens
+    of ms over remote-TPU tunnels) that masquerades as per-iteration cost
+    when divided by the scan length. Timing the same program at two lengths
+    and taking the slope ``(t_long - t_short) / (long - short)`` cancels the
+    fixed cost exactly (bench.py's headline methodology).
+
+    ``make_fn(T) -> fn(*args)`` builds the T-iteration program. Returns
+    ``{"per_iter_s", "fixed_overhead_s", "t_short_s", "t_long_s"}``.
+    """
+    t_short = device_timeit(make_fn(short), *args, reps=reps, perturb=perturb)
+    t_long = device_timeit(make_fn(long), *args, reps=reps, perturb=perturb)
+    per_iter = (t_long - t_short) / (long - short)
+    return {
+        "per_iter_s": per_iter,
+        "fixed_overhead_s": t_short - per_iter * short,
+        "t_short_s": t_short,
+        "t_long_s": t_long,
+    }
