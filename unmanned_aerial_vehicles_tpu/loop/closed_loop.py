@@ -266,11 +266,7 @@ def _fused_tick_rollout(
     except the warm-start shift runs as an exact permutation matmul."""
     from ..control.mpc_linear import MPCCarry
     from ..models.double_integrator import CONTROL_DIM, STATE_DIM
-    from ..ops.tick_pallas import (
-        FusedTickData,
-        build_shift_matrix,
-        gpmpc_tick_fused,
-    )
+    from ..ops.tick_pallas import build_tick_data, gpmpc_tick_fused
 
     if not mpc.config.use_fused_controller:
         raise ValueError("use_fused_tick requires LinearMPCConfig."
@@ -280,10 +276,7 @@ def _fused_tick_rollout(
     m = mpc.n_constraints
     n_pad = mpc._fc_data.SxT.shape[0]
     m_pad = mpc._fc_data.P1.shape[0]
-    data = FusedTickData(
-        ctrl=mpc._fc_data,
-        ShiftT=build_shift_matrix(N, CONTROL_DIM, STATE_DIM, m_pad),
-    )
+    data = build_tick_data(mpc._fc_data, N, CONTROL_DIM, STATE_DIM)
     dtype = jnp.float32
     statics = dict(
         rho=mpc.config.admm_rho,
@@ -297,6 +290,7 @@ def _fused_tick_rollout(
         accel_lo=tuple(cfg.accel_lower), accel_hi=tuple(cfg.accel_upper),
         yawrate_limit=cfg.yawrate_limit,
         loop_precision=cfg.fused_tick_loop_precision,
+        nnu=data.Nnu, nnx=data.Nnx,
         # Mosaic needs real TPU hardware; CPU (tests) runs the interpreter
         interpret=jax.default_backend() == "cpu",
     )

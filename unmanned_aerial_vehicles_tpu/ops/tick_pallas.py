@@ -40,6 +40,24 @@ from .plant_pallas import _allocation, _axpy, _derivative
 class FusedTickData(NamedTuple):
     ctrl: FusedControllerData
     ShiftT: np.ndarray  # (m_pad, m_pad) warm-start shift, row form (z @ ShiftT)
+    SxSwT: np.ndarray   # (2 n_pad, n_pad) = vstack(SxT, SwT): offset in 1 dot
+    PM: np.ndarray      # (n_pad, m_pad + n_pad) = [P0mat | MinvT]: 1 dot
+    Nnu: int            # N * nu (off_z lane offset; static)
+    Nnx: int            # N * nx
+
+
+def build_tick_data(ctrl: FusedControllerData, N: int, nu: int, nx: int) -> FusedTickData:
+    """Stack the controller matrices into the tick kernel's wide layouts
+    (fewer, larger MXU dots per tick: 10 -> 6)."""
+    m_pad = ctrl.P1.shape[0]
+    return FusedTickData(
+        ctrl=ctrl,
+        ShiftT=build_shift_matrix(N, nu, nx, m_pad),
+        SxSwT=np.concatenate([ctrl.SxT, ctrl.SwT], axis=0),
+        PM=np.concatenate([ctrl.P0mat, ctrl.MinvT], axis=1),
+        Nnu=N * nu,
+        Nnx=N * nx,
+    )
 
 
 def build_shift_matrix(N: int, nu: int, nx: int, m_pad: int) -> np.ndarray:
@@ -79,23 +97,38 @@ def _make_tick_kernel(iterations, over_relax, rho,
     dot_loop = _dot(loop_precision)
 
     def kernel(state_ref, w_ref, ref_ref, misc_ref, z0_ref, y0_ref,
-               sxt_ref, swt_ref, sutqt_ref, sut_ref, emb_ref,
-               p1_ref, p0mat_ref, p0matt_ref, minvt_ref,
+               sxswt_ref, sutqt_ref, sut_ref,
+               p1_ref, pm_ref, p0matt_ref,
                ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
-               out_ref, z_ref, y_ref, u_ref, xtail_ref):
-        # ---- warm-start shift (exact 0/1 permutation matmul) --------------
-        z0 = dot(z0_ref[:], shiftt_ref[:])
-        y0 = dot(y0_ref[:], shiftt_ref[:])
+               out_ref, z_ref, y_ref, u_ref, xtail_ref,
+               *, Nnu, Nnx):
+        m_pad = p1_ref.shape[0]
+        # ---- warm-start shift: both rows through one permutation dot ------
+        zy = dot(
+            jnp.concatenate([z0_ref[:], y0_ref[:]], axis=0), shiftt_ref[:]
+        )
+        z0, y0 = zy[0:1], zy[1:2]
 
-        # ---- condensed gradient / bounds ----------------------------------
-        offset = dot(state_ref[:], sxt_ref[:]) + dot(w_ref[:], swt_ref[:])
-        f = dot(offset - ref_ref[:], sutqt_ref[:])           # (1, n)
-        off_z = dot(offset, emb_ref[:])                      # (1, m)
+        # ---- condensed gradient / bounds (stacked wide dots) --------------
+        xw = jnp.concatenate([state_ref[:], w_ref[:]], axis=1)  # (1, 2n)
+        offset = dot(xw, sxswt_ref[:])                          # (1, n)
+        f = dot(offset - ref_ref[:], sutqt_ref[:])              # (1, n)
+        # off_z is a pure lane embedding of offset into the z layout —
+        # no matmul needed
+        off_z = jnp.concatenate(
+            [
+                jnp.zeros((1, Nnu), jnp.float32),
+                offset[:, :Nnx],
+                jnp.zeros((1, m_pad - Nnu - Nnx), jnp.float32),
+            ],
+            axis=1,
+        )
         lower = ulo_ref[:] + xlo_ref[:] - off_z
         upper = uhi_ref[:] + xhi_ref[:] - off_z
 
-        p0 = -dot(f, p0mat_ref[:])                           # (1, m)
-        minv_f = dot(f, minvt_ref[:])                        # (1, n)
+        pm = dot(f, pm_ref[:])                                  # (1, m + n)
+        p0 = -pm[:, :m_pad]
+        minv_f = pm[:, m_pad:]
         P1 = p1_ref[:]
 
         def body(_, carry):
@@ -160,7 +193,7 @@ def _make_tick_kernel(iterations, over_relax, rho,
         "iterations", "over_relax", "rho", "mass", "gravity",
         "k_drag_linear", "taus", "thrust_gain", "dt", "substeps",
         "accel_lo", "accel_hi", "yawrate_limit", "interpret",
-        "loop_precision",
+        "loop_precision", "nnu", "nnx",
     ),
 )
 def gpmpc_tick_fused(
@@ -186,6 +219,8 @@ def gpmpc_tick_fused(
     yawrate_limit: float,
     interpret: bool = False,
     loop_precision: str = "highest",
+    nnu: int = 0,   # N * nu — static lane offsets (pass data.Nnu)
+    nnx: int = 0,   # N * nx
 ):
     """One whole GP-MPC tick. Returns ``(packed, z, y, U, X_tail)`` rows;
     ``packed`` lanes: state 0:12, control 12:16, att_sp 16:19,
@@ -193,13 +228,14 @@ def gpmpc_tick_fused(
     ctrl = data.ctrl
     m_pad = ctrl.P1.shape[0]
     n_pad = ctrl.SxT.shape[0]
-    kernel = _make_tick_kernel(
+    base = _make_tick_kernel(
         iterations, over_relax, rho, mass, gravity, k_drag_linear, taus,
         thrust_gain, dt, substeps, accel_lo, accel_hi, yawrate_limit,
         loop_precision=(jax.lax.Precision.DEFAULT
                         if loop_precision == "default"
                         else jax.lax.Precision.HIGHEST),
     )
+    kernel = functools.partial(base, Nnu=nnu, Nnx=nnx)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -210,13 +246,13 @@ def gpmpc_tick_fused(
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         ),
-        in_specs=[vmem] * 20,
+        in_specs=[vmem] * 17,
         out_specs=(vmem,) * 5,
         interpret=interpret,
     )(
         state_row, w_row, ref_row, misc_row, z0, y0,
-        ctrl.SxT, ctrl.SwT, ctrl.SuTqT, ctrl.SuT, ctrl.Emb,
-        ctrl.P1, ctrl.P0mat, ctrl.P0matT, ctrl.MinvT,
+        data.SxSwT, ctrl.SuTqT, ctrl.SuT,
+        ctrl.P1, data.PM, ctrl.P0matT,
         ctrl.u_lo_row, ctrl.u_hi_row, ctrl.x_lo_row, ctrl.x_hi_row,
         data.ShiftT,
     )
