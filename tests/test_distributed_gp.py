@@ -204,3 +204,45 @@ def test_sharded_hyperopt_improves_lml(corpus, mesh):
         num_probes=16, cg_iterations=200, key=jax.random.PRNGKey(0),
     )
     assert lml(p_opt) > lml(start) + 10.0, (lml(start), lml(p_opt))
+
+
+def test_lml_grad_ard_matches_jax_grad(corpus, mesh):
+    """Per-dimension (ARD) length-scale gradients — the per-dim/GPflow
+    trainers' configuration at corpus scale — match jax.grad elementwise."""
+    from unmanned_aerial_vehicles_tpu.gp import GPParams, log_marginal_likelihood
+    from unmanned_aerial_vehicles_tpu.parallel import lml_grad_sharded
+
+    X, Y = corpus
+    cfg = ResidualGPConfig()
+    params = GPParams.create(np.linspace(0.4, 1.5, X.shape[1]), 1.3, 0.15)
+    g_ref = jax.grad(
+        lambda p: log_marginal_likelihood(
+            p, jnp.asarray(X), jnp.asarray(Y), jitter=cfg.alpha, normalize_y=True
+        )
+    )(params)
+    g_sh = lml_grad_sharded(params, X, Y, mesh=mesh, config=cfg,
+                            exact_trace=True, cg_iterations=300)
+    assert np.asarray(g_sh.log_length_scale).shape == (X.shape[1],)
+    np.testing.assert_allclose(
+        np.asarray(g_sh.log_length_scale),
+        np.asarray(g_ref.log_length_scale), rtol=1e-6,
+    )
+
+
+def test_sharded_fit_with_ard_params(corpus, mesh):
+    """The sharded fit/predict accept ARD length-scale vectors and match
+    the dense ARD fit."""
+    from unmanned_aerial_vehicles_tpu.gp import GPParams
+
+    X, Y = corpus
+    cfg = ResidualGPConfig()
+    params = GPParams.create(np.linspace(0.4, 1.5, X.shape[1]), 1.0, 0.1)
+    post_s = fit_residual_gp_sharded(X, Y, mesh=mesh, config=cfg,
+                                     params=params, cg_iterations=200)
+    post_d = fit_residual_gp(jnp.asarray(X), jnp.asarray(Y), cfg, params=params)
+    Xq = jnp.asarray(X[::31])
+    np.testing.assert_allclose(
+        np.asarray(predict_mean_sharded(post_s, Xq, mesh=mesh)),
+        np.asarray(predict_mean(post_d, Xq)),
+        atol=1e-6,
+    )

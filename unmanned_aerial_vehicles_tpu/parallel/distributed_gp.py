@@ -319,54 +319,51 @@ def predict_sharded(
 #  |xi|2 (Kz) + K(|x|2 o z) - 2 rowdot(X, K @ (X o z)) — no second matrix.)
 
 
-def _lml_grad_terms(K_loc, X_loc, X_full, mask_loc, noise_var, ls,
-                    alpha_loc, Z_loc, V_loc, out_dim, trace_scale):
+def _lml_grad_terms(K_loc, X_loc, X_full, mask_loc, noise_var, ls_vec,
+                    ard, alpha_loc, Z_loc, V_loc, out_dim, trace_scale):
     """Per-device gradient contributions. ``alpha (n/D, out)``,
     ``Z (n/D, P)`` probes, ``V = Khat^-1 Z``, ``trace_scale`` = 1/P for
-    Rademacher probes or 1 for exact identity probes. Returns
-    d(LML)/d(log ls, log sf2, log sn2) as scalars (psum-reduced)."""
-    prec = _HIGH
-    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+    Rademacher probes or 1 for exact identity probes. ``ls_vec`` is the
+    ``(d,)`` length-scale vector (broadcast from a scalar when not ARD);
+    ``ard`` selects per-dimension vs summed (isotropic) length-scale
+    gradients. Returns d(LML)/d(log ls, log sf2, log sn2), psum-reduced.
+
+    Per-dimension chain rule: dK/dlog l_j = K o (Dj^2 / l_j^2) with
+    Dj^2 = (x_ij - x_lj)^2, and (K o Dj^2) M expands into two extra K
+    matvecs per dimension (reusing K M):
+        xj^2 o (K M) + K (xj^2 o M) - 2 xj o (K (xj o M)).
+    """
+    mm = lambda a, b: jnp.matmul(a, b, precision=_HIGH)
     psum = lambda v: jax.lax.psum(v, "batch")
+    d = X_loc.shape[1]
 
-    alpha_full = jax.lax.all_gather(alpha_loc, "batch", tiled=True)
-    Z_full = jax.lax.all_gather(Z_loc, "batch", tiled=True)
+    M_loc = jnp.concatenate([alpha_loc, Z_loc], axis=1)   # (n/D, out + P)
+    M_full = jax.lax.all_gather(M_loc, "batch", tiled=True)
+    KM = mm(K_loc, M_full)
+    Ka, KZ = KM[:, :out_dim], KM[:, out_dim:]
 
-    sq_loc = jnp.sum(X_loc**2, axis=1) * mask_loc          # (n/D,)
-    sq_full = jax.lax.all_gather(sq_loc, "batch", tiled=True)
-
-    def K_dot(M_full):          # K @ M for stacked columns
-        return mm(K_loc, M_full)
-
-    def KD2_dot(M_loc, M_full):
-        """(K o D2) @ M via three K matvecs (see module comment)."""
-        KM = K_dot(M_full)                                  # (n/D, cols)
-        term1 = sq_loc[:, None] * KM
-        term2 = K_dot(M_full * sq_full[:, None])
-        # K @ (X o m): one K matvec per input dim (d = 10 here) — avoids
-        # materialising a second (n/D, n) matrix for K o D2
-        d = X_loc.shape[1]
-        term3 = jnp.zeros_like(KM)
-        for k in range(d):
-            KXm = K_dot(M_full * X_full[:, k][:, None])     # (n/D, cols)
-            term3 = term3 + X_loc[:, k][:, None] * KXm
-        return term1 + term2 - 2.0 * term3
-
-    # ---- quadratic terms: 0.5 alpha' dK alpha -----------------------------
-    Ka = K_dot(alpha_full)                                   # (n/D, out)
     quad_sf = psum(jnp.sum(alpha_loc * Ka))
-    KD2a = KD2_dot(alpha_loc, alpha_full)
-    quad_ls = psum(jnp.sum(alpha_loc * KD2a)) / (ls**2)
-    quad_sn = noise_var * psum(jnp.sum(alpha_loc * alpha_loc))
-
-    # ---- trace terms: 0.5 out tr(Khat^-1 dK) via probes --------------------
-    KZ = K_dot(Z_full)
     tr_sf = psum(jnp.sum(V_loc * KZ)) * trace_scale
-    KD2Z = KD2_dot(Z_loc, Z_full)
-    tr_ls = psum(jnp.sum(V_loc * KD2Z)) * trace_scale / ls**2
+    quad_sn = noise_var * psum(jnp.sum(alpha_loc * alpha_loc))
     tr_sn = noise_var * psum(jnp.sum(V_loc * Z_loc)) * trace_scale
 
-    g_ls = 0.5 * quad_ls - 0.5 * out_dim * tr_ls
+    g_ls_dims = []
+    for j in range(d):
+        xj_loc = X_loc[:, j][:, None]
+        xj_full = X_full[:, j][:, None]
+        Aj = (
+            xj_loc**2 * KM
+            + mm(K_loc, xj_full**2 * M_full)
+            - 2.0 * xj_loc * mm(K_loc, xj_full * M_full)
+        )
+        quad_j = psum(jnp.sum(alpha_loc * Aj[:, :out_dim]))
+        tr_j = psum(jnp.sum(V_loc * Aj[:, out_dim:])) * trace_scale
+        g_ls_dims.append(
+            (0.5 * quad_j - 0.5 * out_dim * tr_j) / ls_vec[j] ** 2
+        )
+    g_ls_vec = jnp.stack(g_ls_dims)
+    g_ls = g_ls_vec if ard else jnp.sum(g_ls_vec)
+
     g_sf = 0.5 * quad_sf - 0.5 * out_dim * tr_sf
     g_sn = 0.5 * quad_sn - 0.5 * out_dim * tr_sn
     return g_ls, g_sf, g_sn
@@ -390,8 +387,11 @@ def lml_grad_sharded(
     the Rademacher probes with the full identity (P = n) — exact but O(n)
     right-hand sides; for parity tests on small corpora.
 
-    Scalar length-scale only (the flight GP's configuration,
-    ``simple_gp.py:162``); sklearn ``normalize_y`` semantics.
+    Supports scalar (isotropic, the flight GP's ``simple_gp.py:162``
+    configuration) AND ``(d,)`` ARD length-scales (the per-dimension /
+    GPflow trainers' configuration, ``gp_trainer.py:150-156``) — ARD
+    returns a ``(d,)`` length-scale gradient. sklearn ``normalize_y``
+    semantics.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -416,7 +416,10 @@ def lml_grad_sharded(
 
     noise_var = float(np.asarray(params.noise_variance))
     c = noise_var + config.alpha
-    ls = float(np.asarray(params.length_scale))
+    ls_arr = np.asarray(params.length_scale)
+    ard = ls_arr.ndim > 0
+    ls = jnp.asarray(ls_arr, dtype)            # scalar or (d,), for kernels
+    ls_vec = jnp.broadcast_to(ls, (d,)).astype(dtype)
     sv = float(np.asarray(params.signal_variance))
 
     count = jnp.asarray(float(n), dtype)
@@ -438,7 +441,7 @@ def lml_grad_sharded(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("batch"), P("batch"), P("batch"), P("batch"), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P() if not ard else P(None), P(), P()),
     )
     def grads(X_loc, Yn_loc, Z_loc, mask_loc, X_anchor):
         X_full = jax.lax.all_gather(X_loc, "batch", tiled=True)
@@ -470,7 +473,7 @@ def lml_grad_sharded(
         alpha_loc = sol[:, :out_dim]
         V_loc = sol[:, out_dim:]
         g_ls, g_sf, g_sn = _lml_grad_terms(
-            K_loc, X_loc, X_full, mask_loc, noise_var, ls,
+            K_loc, X_loc, X_full, mask_loc, noise_var, ls_vec, ard,
             alpha_loc, Z_loc, V_loc, out_dim, trace_scale,
         )
         return g_ls, g_sf, g_sn
