@@ -82,3 +82,47 @@ def test_sharded_flight_sweep_matches_single_flights():
     np.testing.assert_allclose(
         float(result["rms_mean"]), float(jnp.mean(result["rms_per_flight"])), rtol=1e-6
     )
+
+
+def test_sharded_structured_sweep_matches_vmapped():
+    """The structured-kernel throughput sweep under shard_map agrees with
+    the plain vmapped rollout across the mesh (kernels inside shard_map)."""
+    import jax.numpy as jnp
+
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+    from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig, mpc_flight_rollout
+    from unmanned_aerial_vehicles_tpu.parallel import (
+        sharded_flight_sweep,
+        sharded_structured_flight_sweep,
+    )
+    from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=2.0, frequency=0.1)
+        return pos + jnp.array([0.0, 0.0, 3.0]), yaw
+
+    kw = dict(horizon=10, admm_iterations=40)
+    fused = LinearMPC(LinearMPCConfig(**kw, use_fused_controller=True))
+    staged = LinearMPC(LinearMPCConfig(**kw))
+    B, T = 16, 25
+    starts = jnp.zeros((B, 12), jnp.float32).at[:, 2].set(3.0)
+    starts = starts.at[:, 0].set(jnp.linspace(-0.5, 0.5, B))
+
+    mesh = make_mesh()
+    out_k = sharded_structured_flight_sweep(
+        mesh, fused, ref, T, starts, cfg=FlightLoopConfig()
+    )
+    out_v = sharded_flight_sweep(
+        mesh,
+        lambda x0: mpc_flight_rollout(staged, ref, T, cfg=FlightLoopConfig(),
+                                      initial_state=x0),
+        starts,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_k["rms_per_flight"]),
+        np.asarray(out_v["rms_per_flight"]), atol=5e-4,
+    )
+    assert abs(float(out_k["rms_mean"]) - float(out_v["rms_mean"])) < 5e-4

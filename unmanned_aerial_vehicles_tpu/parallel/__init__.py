@@ -16,6 +16,7 @@ from .sweep import (
     SweepResult,
     hyperparameter_search_step,
     sharded_flight_sweep,
+    sharded_structured_flight_sweep,
 )
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "SweepResult",
     "hyperparameter_search_step",
     "sharded_flight_sweep",
+    "sharded_structured_flight_sweep",
 ]

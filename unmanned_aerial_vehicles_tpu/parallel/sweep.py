@@ -95,3 +95,60 @@ def sharded_flight_sweep(
         }
 
     return run(states)
+
+
+def sharded_structured_flight_sweep(
+    mesh,
+    mpc,
+    reference_fn: Callable,
+    num_steps: int,
+    initial_states: jnp.ndarray,   # (B, 12)
+    cfg=None,
+    residual_fn: Callable | None = None,
+    axis_name: str = "batch",
+):
+    """B flights through the STRUCTURED batched controller kernel, sharded
+    over the mesh: each device runs its local flight block through
+    ``loop.closed_loop.batched_mpc_flight_sweep`` (one gridded Pallas
+    dispatch per tick, iterates VMEM-resident), and the cross-flight RMS
+    aggregates reduce over ICI. This is the multi-chip form of the
+    throughput mode — kernels inside ``jax.shard_map``.
+
+    ``mpc`` must be built with ``use_fused_controller=True``. Flights
+    per device are padded up to the kernel block internally, so prefer
+    ``B >= 128 * mesh size`` for efficiency. Returns the same aggregate
+    dict as ``sharded_flight_sweep``.
+    """
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..loop.closed_loop import FlightLoopConfig, batched_mpc_flight_sweep
+
+    if cfg is None:
+        cfg = FlightLoopConfig()
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs={
+            "rms_per_flight": P(axis_name),
+            "rms_mean": P(),
+            "rms_max": P(),
+        },
+        check_vma=False,   # pallas_call inside shard_map
+    )
+    def run(local_starts):
+        outs = batched_mpc_flight_sweep(
+            mpc, reference_fn, num_steps, local_starts, cfg=cfg,
+            residual_fn=residual_fn,
+        )
+        err = outs["pos_ref"][:, None, :] - outs["state"][:, :, 0:3]
+        rms = jnp.sqrt(jnp.mean(jnp.sum(err**2, axis=-1), axis=0))  # (B_loc,)
+        return {
+            "rms_per_flight": rms,
+            "rms_mean": jax.lax.pmean(jnp.mean(rms), axis_name),
+            "rms_max": jax.lax.pmax(jnp.max(rms), axis_name),
+        }
+
+    return jax.jit(run)(shard_batch(initial_states, mesh, axis_name))
