@@ -23,6 +23,7 @@ from .mpc_linear import (
 from .mpc_sqp import QuadCost, SQPCarry, SQPConfig, SQPMPC
 from .mpc_rigid import DirectRateMPC, LTVTrackingMPC, RigidBodyMPC
 from .mpc_demo import AttitudeMPC, RK4DemoMPC
+from .ilqr import ILQRRigidBodyMPC, ilqr_solve
 
 __all__ = [
     "PIDGains",
@@ -51,6 +52,8 @@ __all__ = [
     "DirectRateMPC",
     "LTVTrackingMPC",
     "RigidBodyMPC",
+    "ILQRRigidBodyMPC",
+    "ilqr_solve",
     "AttitudeMPC",
     "RK4DemoMPC",
 ]

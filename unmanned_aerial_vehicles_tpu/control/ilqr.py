@@ -1,0 +1,180 @@
+"""Fixed-iteration iLQR (Gauss-Newton) on the Riccati engine.
+
+The second nonlinear-MPC family named in SURVEY.md section 7 stage 5
+("SQP ... or iLQR with fixed iterations"). Where ``mpc_sqp.SQPMPC``
+re-linearises and solves a condensed box-QP by ADMM, iLQR solves the
+UNconstrained tracking subproblem exactly by Riccati (O(N) — or O(log N)
+with the parallel solver) and handles control bounds by clamping the
+updated sequence (box-DDP-lite). Per iteration:
+
+    X       = rollout(U)                          (nonlinear, lax.scan)
+    A_k,B_k = jacfwd(step)(X_k, U_k)              (vmapped)
+    dU      = LQR(A, B, 0, Q, R+reg, xref-X, uref-U, dx0=0)
+    U       <- clip(U + dU, lo, hi)
+
+Everything is fixed-shape / fixed-iteration — no line searches, no
+data-dependent branching — so a whole solve jits into one XLA program and
+composes under scan/vmap like every other controller here. The
+Levenberg-style ``reg`` on R keeps full steps stable without a search.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.parallel_riccati import lqr_tracking_solve_parallel
+from ..ops.riccati import lqr_tracking_solve
+
+
+class ILQRSolution(NamedTuple):
+    U: jnp.ndarray        # (N, nu)
+    X: jnp.ndarray        # (N+1, nx)
+    cost: jnp.ndarray     # () tracking cost of the returned trajectory
+
+
+def _tracking_cost(X, U, q_diag, r_diag, x_ref, u_ref):
+    ex = X - x_ref
+    eu = U - u_ref
+    return jnp.sum(q_diag * ex**2) + jnp.sum(r_diag * eu**2)
+
+
+def ilqr_solve(
+    step_fn: Callable,           # (x, u) -> x_next  (discrete dynamics)
+    x0: jnp.ndarray,             # (nx,)
+    U_init: jnp.ndarray,         # (N, nu) initial control sequence
+    q_diag: jnp.ndarray,         # (N+1, nx) stage + terminal state weights
+    r_diag: jnp.ndarray,         # (nu,)
+    x_ref: jnp.ndarray,          # (N+1, nx)
+    u_ref: jnp.ndarray,          # (N, nu)
+    iterations: int = 8,
+    reg: float = 1e-3,
+    u_lower: jnp.ndarray | None = None,
+    u_upper: jnp.ndarray | None = None,
+    parallel: bool = False,
+) -> ILQRSolution:
+    """Fixed-iteration iLQR for quadratic tracking costs.
+
+    ``parallel=True`` solves each LQR subproblem with the associative-scan
+    Riccati (worth it for long horizons). Returns the best-cost iterate —
+    a late iteration can never make the answer worse.
+    """
+    N, nu = U_init.shape
+    nx = x0.shape[0]
+    lqr = lqr_tracking_solve_parallel if parallel else lqr_tracking_solve
+    step_jac = jax.vmap(jax.jacfwd(step_fn, argnums=(0, 1)))
+
+    def rollout(U):
+        def body(x, u):
+            xn = step_fn(x, u)
+            return xn, xn
+
+        _, X_tail = jax.lax.scan(body, x0, U)
+        return jnp.concatenate([x0[None, :], X_tail], axis=0)
+
+    zeros_c = jnp.zeros((N, nx), U_init.dtype)
+    dx0 = jnp.zeros(nx, U_init.dtype)
+    r_sub = r_diag + reg
+
+    def clamp(U):
+        if u_lower is not None:
+            U = jnp.maximum(U, u_lower)
+        if u_upper is not None:
+            U = jnp.minimum(U, u_upper)
+        return U
+
+    def one_iter(carry, _):
+        U, best_U, best_cost = carry
+        X = rollout(U)
+        A, B = step_jac(X[:-1], U)
+        sol = lqr(
+            A, B, zeros_c, q_diag, r_sub,
+            x_ref - X, u_ref - U, dx0,
+        )
+        U_new = clamp(U + sol.U)
+        cost = _tracking_cost(rollout(U_new), U_new, q_diag, r_diag,
+                              x_ref, u_ref)
+        better = cost < best_cost
+        best_U = jnp.where(better, U_new, best_U)
+        best_cost = jnp.minimum(cost, best_cost)
+        return (U_new, best_U, best_cost), None
+
+    init_cost = _tracking_cost(rollout(U_init), U_init, q_diag, r_diag,
+                               x_ref, u_ref)
+    (_, U_best, cost_best), _ = jax.lax.scan(
+        one_iter, (U_init, U_init, init_cost), None, length=iterations
+    )
+    return ILQRSolution(U=U_best, X=rollout(U_best), cost=cost_best)
+
+
+class ILQRCarry(NamedTuple):
+    U_prev: jnp.ndarray   # (N, nu) warm start
+
+
+class ILQRRigidBodyMPC:
+    """The 12-state torque-MPC task (``mpc_FULL``'s costs/bounds, as in
+    ``control.mpc_rigid.RigidBodyMPC``) solved by iLQR instead of
+    SQP+ADMM — the alternative engine on the same problem, warm-started by
+    shifting the previous control sequence."""
+
+    def __init__(self, dt: float = 0.02, horizon: int = 15,
+                 iterations: int = 6, reg: float = 1e-2,
+                 parallel: bool = False, dtype=jnp.float32):
+        from ..models.params import X500_PARAMS
+        from ..models.rigid_body import rigid_body_derivative
+
+        self.params = X500_PARAMS
+        mg = self.params.mass * self.params.gravity
+        self.u_hover = jnp.asarray([mg, 0.0, 0.0, 0.0], dtype)
+        self.N = horizon
+        self.iterations = iterations
+        self.reg = reg
+        self.parallel = parallel
+        self.dtype = dtype
+
+        p = self.params
+
+        def step(x, u):
+            return x + dt * rigid_body_derivative(x, u, p)
+
+        self.step_fn = step
+        # costs: mpc_FULL.py:264-276 / :352-360 (same as RigidBodyMPC)
+        q = jnp.asarray(
+            [12.0, 12.0, 18.0, 3.0, 3.0, 4.0, 2.0, 2.0, 1.5, 0.3, 0.3, 0.3],
+            dtype,
+        )
+        term = jnp.asarray([2.5] * 3 + [1.5] * 3 + [1.5] * 3 + [0.8] * 3, dtype)
+        self.q_diag = jnp.concatenate([jnp.tile(q[None], (horizon, 1)),
+                                       (q * term)[None]], axis=0)
+        self.r_diag = jnp.asarray([0.5, 0.1, 0.1, 0.1], dtype)
+        self.u_lower = jnp.asarray([0.3 * mg, -0.8, -0.8, -0.4], dtype)
+        self.u_upper = jnp.asarray([1.2 * mg, 0.8, 0.8, 0.4], dtype)
+
+    def init_carry(self, state12) -> ILQRCarry:
+        return ILQRCarry(
+            U_prev=jnp.tile(self.u_hover[None, :], (self.N, 1))
+        )
+
+    def solve(self, carry: ILQRCarry, state12, target_pos, target_yaw=0.0
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, ILQRCarry]:
+        x = state12.astype(self.dtype)
+        N = self.N
+        x_ref_stage = jnp.concatenate(
+            [jnp.asarray(target_pos, self.dtype), jnp.zeros(3, self.dtype),
+             jnp.stack([jnp.zeros((), self.dtype), jnp.zeros((), self.dtype),
+                        jnp.asarray(target_yaw, self.dtype)]),
+             jnp.zeros(3, self.dtype)]
+        )
+        x_ref = jnp.tile(x_ref_stage[None, :], (N + 1, 1))
+        u_ref = jnp.tile(self.u_hover[None, :], (N, 1))
+
+        U0 = jnp.concatenate([carry.U_prev[1:], carry.U_prev[-1:]], axis=0)
+        sol = ilqr_solve(
+            self.step_fn, x, U0, self.q_diag, self.r_diag, x_ref, u_ref,
+            iterations=self.iterations, reg=self.reg,
+            u_lower=self.u_lower, u_upper=self.u_upper,
+            parallel=self.parallel,
+        )
+        return sol.U[0], sol.X, ILQRCarry(U_prev=sol.U)
