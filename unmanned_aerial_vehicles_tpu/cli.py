@@ -172,16 +172,18 @@ def _cmd_fly(args) -> int:
                 ref, num_steps, cfg=cfg, rate_loop=PID_CAMPAIGN_RATE_LOOP
             )
         )()
-    elif args.controller == "mpc12":
+    elif args.controller in ("mpc12", "ilqr12"):
         # 12-state torque MPC flying the z-up rigid-body plant directly
-        # (the mpc_FULL node's role)
+        # (the mpc_FULL node's role); ilqr12 runs the same task on the
+        # Riccati-based iLQR engine instead of SQP+ADMM
         import numpy as np
 
-        from .control import RigidBodyMPC
+        from .control import ILQRRigidBodyMPC, RigidBodyMPC
         from .models import X500_PARAMS, rigid_body_rk4_step
         from .metrics import tracking_metrics
 
-        mpc12 = RigidBodyMPC()
+        mpc12 = (ILQRRigidBodyMPC() if args.controller == "ilqr12"
+                 else RigidBodyMPC())
 
         @jax.jit
         def fly12():
@@ -426,7 +428,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.set_defaults(fn=_cmd_evaluate_gp)
 
     f = sub.add_parser("fly", help="closed-loop flight experiment")
-    f.add_argument("--controller", choices=["pid", "mpc", "gp-mpc", "mpc12"],
+    f.add_argument("--controller",
+                   choices=["pid", "mpc", "gp-mpc", "mpc12", "ilqr12"],
                    default="gp-mpc")
     f.add_argument("--trajectory", choices=["figure8", "circle"], default="figure8")
     f.add_argument("--duration", type=float, default=60.0)
