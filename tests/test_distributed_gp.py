@@ -246,3 +246,36 @@ def test_sharded_fit_with_ard_params(corpus, mesh):
         np.asarray(predict_mean(post_d, Xq)),
         atol=1e-6,
     )
+
+
+def test_per_dim_sharded_matches_dense_per_dim(corpus, mesh):
+    """The corpus-scale per-dimension pipeline matches gp.per_dim's dense
+    vmapped fits (same ARD params, same scalers) to 1e-6."""
+    from unmanned_aerial_vehicles_tpu.gp.per_dim import (
+        default_per_dim_params,
+        fit_per_dim_gp,
+        predict_per_dim,
+    )
+    from unmanned_aerial_vehicles_tpu.parallel import (
+        fit_per_dim_gp_sharded,
+        predict_per_dim_sharded,
+    )
+
+    X, Y = corpus
+    params = default_per_dim_params(X.shape[1], Y.shape[1])
+    # distinct per-dim hyperparameters to make the test non-trivial
+    params = params.replace(
+        log_length_scale=params.log_length_scale
+        + jnp.linspace(-0.3, 0.3, Y.shape[1])[:, None],
+        log_noise_variance=params.log_noise_variance
+        + jnp.linspace(0.0, 0.5, Y.shape[1]),
+    )
+    dense = fit_per_dim_gp(jnp.asarray(X), jnp.asarray(Y), params=params)
+    shard = fit_per_dim_gp_sharded(X, Y, mesh=mesh, params=params,
+                                   cg_iterations=250)
+    Xq = jnp.asarray(X[::23])
+    m_d, v_d = predict_per_dim(dense, Xq)
+    m_s, v_s = predict_per_dim_sharded(shard, Xq, mesh=mesh,
+                                       cg_iterations=250)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_d), atol=1e-6)

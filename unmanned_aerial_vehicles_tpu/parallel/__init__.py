@@ -1,5 +1,8 @@
 from .distributed_gp import (
+    PerDimShardedGP,
     ShardedGPPosterior,
+    fit_per_dim_gp_sharded,
+    predict_per_dim_sharded,
     fit_residual_gp_sharded,
     lml_grad_sharded,
     optimize_hyperparameters_sharded,
@@ -20,7 +23,10 @@ from .sweep import (
 )
 
 __all__ = [
+    "PerDimShardedGP",
     "ShardedGPPosterior",
+    "fit_per_dim_gp_sharded",
+    "predict_per_dim_sharded",
     "fit_residual_gp_sharded",
     "lml_grad_sharded",
     "optimize_hyperparameters_sharded",

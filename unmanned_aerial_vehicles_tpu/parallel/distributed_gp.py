@@ -192,7 +192,14 @@ def fit_residual_gp_sharded(
         CtC = jax.lax.psum(
             jnp.matmul(C_loc.T, C_loc, precision=_HIGH), "batch"
         )
-        S = c * W + CtC + 1e-8 * jnp.trace(W) * jnp.eye(W.shape[0], dtype=W.dtype)
+        S = c * W + CtC
+        # scale-aware jitter: with small noise and many anchors S is nearly
+        # singular (cond ~ 1e9 measured on the flight corpus) — f32 Cholesky
+        # would produce an indefinite preconditioner and CG diverges/NaNs.
+        eps = 1e-10 if S.dtype == jnp.float64 else 1e-5
+        S = S + (eps * jnp.trace(S) / S.shape[0]) * jnp.eye(
+            S.shape[0], dtype=S.dtype
+        )
         S_chol = jnp.linalg.cholesky(S)
 
         def precond(r_loc):
@@ -458,7 +465,14 @@ def lml_grad_sharded(
         CtC = jax.lax.psum(
             jnp.matmul(C_loc.T, C_loc, precision=_HIGH), "batch"
         )
-        S = c * W + CtC + 1e-8 * jnp.trace(W) * jnp.eye(W.shape[0], dtype=W.dtype)
+        S = c * W + CtC
+        # scale-aware jitter: with small noise and many anchors S is nearly
+        # singular (cond ~ 1e9 measured on the flight corpus) — f32 Cholesky
+        # would produce an indefinite preconditioner and CG diverges/NaNs.
+        eps = 1e-10 if S.dtype == jnp.float64 else 1e-5
+        S = S + (eps * jnp.trace(S) / S.shape[0]) * jnp.eye(
+            S.shape[0], dtype=S.dtype
+        )
         S_chol = jnp.linalg.cholesky(S)
 
         def precond(r_loc):
@@ -530,3 +544,105 @@ def optimize_hyperparameters_sharded(
         updates, state = opt.update(neg, state, p)
         p = optax.apply_updates(p, updates)
     return p
+
+
+# ---------------------------------------------------------------------------
+# Per-output-dimension GPs at corpus scale (SeparateIndependent semantics)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class PerDimShardedGP:
+    """Six independent single-output sharded posteriors + the input scaler
+    (the ``gp_trainer.py`` per-dimension pipeline without its 10k ceiling).
+    Output scaling lives inside each posterior's normalize_y stats — the
+    sklearn StandardScaler-on-y is algebraically identical."""
+
+    posteriors: tuple               # out_dim x ShardedGPPosterior
+    x_mean: jnp.ndarray             # (d,)
+    x_std: jnp.ndarray              # (d,)
+
+
+def fit_per_dim_gp_sharded(
+    X,
+    Y,
+    mesh: Mesh | None = None,
+    params: GPParams | None = None,
+    jitter: float = 1e-6,
+    optimize: bool = False,
+    opt_steps: int = 20,
+    cg_iterations: int = 200,
+    precond_size: int = 256,
+    key=None,
+) -> PerDimShardedGP:
+    """Per-dimension ARD GPs on the FULL corpus: one row-sharded CG fit per
+    output with its own (optionally LML-optimised) hyperparameters —
+    ``GPTrainer.train_gp_models`` (``gp_trainer.py:121-229``) at mesh scale.
+
+    ``params`` leaves carry a leading ``out_dim`` axis
+    (``gp.per_dim.default_per_dim_params`` layout).
+
+    Precision note: the per-dim pipeline's tiny diagonal (White 0.01 +
+    1e-6 jitter) makes the system condition ~1e5-1e6; f32 on-chip CG
+    converges to ~1e-3 relative (the f32 floor), f64 (x64 runtime, the
+    offline-parity configuration) to 1e-10.
+    """
+    from ..gp.per_dim import default_per_dim_params
+
+    if mesh is None:
+        mesh = make_mesh()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    out_dim = Y.shape[1]
+    if params is None:
+        params = default_per_dim_params(X.shape[1], out_dim)
+
+    x_mean = X.mean(axis=0)
+    x_std = X.std(axis=0)
+    x_std = np.where(x_std == 0.0, 1.0, x_std)
+    Xs = (X - x_mean) / x_std
+
+    cfg = ResidualGPConfig(alpha=jitter)
+    posts = []
+    for i in range(out_dim):
+        p_i = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[i], params)
+        if optimize:
+            key, sub = jax.random.split(key)
+            p_i = optimize_hyperparameters_sharded(
+                p_i, Xs, Y[:, i : i + 1], mesh=mesh, config=cfg,
+                steps=opt_steps, cg_iterations=cg_iterations, key=sub,
+            )
+        posts.append(
+            fit_residual_gp_sharded(
+                Xs, Y[:, i : i + 1], mesh=mesh, config=cfg, params=p_i,
+                cg_iterations=cg_iterations, precond_size=precond_size,
+            )
+        )
+    return PerDimShardedGP(
+        posteriors=tuple(posts),
+        x_mean=jnp.asarray(x_mean), x_std=jnp.asarray(x_std),
+    )
+
+
+def predict_per_dim_sharded(
+    model: PerDimShardedGP,
+    X_test,
+    mesh: Mesh | None = None,
+    jitter: float = 1e-6,
+    cg_iterations: int = 200,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean (m, out), var (m, out)) — per-dimension posteriors with the
+    input scaler applied (``pretrained_gp.py:60-100`` semantics)."""
+    if mesh is None:
+        mesh = make_mesh()
+    Xq = (jnp.asarray(X_test) - model.x_mean) / model.x_std
+    means, variances = [], []
+    for post in model.posteriors:
+        cfg = ResidualGPConfig(alpha=jitter)
+        m, v = predict_sharded(post, Xq, mesh=mesh, config=cfg,
+                               cg_iterations=cg_iterations)
+        means.append(m[:, 0])
+        variances.append(v[:, 0])
+    return jnp.stack(means, axis=1), jnp.stack(variances, axis=1)
