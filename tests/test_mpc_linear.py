@@ -154,3 +154,68 @@ def test_preview_mode_slashes_tracking_lag():
 
     assert rms(outs_prev) < 0.5 * rms(outs_point)
     assert rms(outs_prev) < 0.35
+
+
+def test_uncertainty_tightening_backs_off_bounds():
+    """Zero-order GP-MPC back-off: with tightening the planned velocities
+    keep a margin proportional to the propagated GP std; with factor 0 the
+    solution is bit-identical to the baseline."""
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+
+    base = LinearMPC(LinearMPCConfig(horizon=15, admm_iterations=120),
+                     dtype=jnp.float64)
+    tight = LinearMPC(
+        LinearMPCConfig(horizon=15, admm_iterations=120,
+                        tightening_factor=3.0),
+        dtype=jnp.float64,
+    )
+    # fast state + far target -> the baseline plan stays near the 8 m/s box
+    state = jnp.zeros(6).at[2].set(3.0).at[3].set(7.9)
+    target = jnp.asarray([60.0, 0.0, 3.0])
+    sigma = jnp.zeros((15, 6)).at[:, 3:6].set(25.0)  # large accel-row std
+
+    u_b, X_b, _ = base.solve(base.init_carry(state), state, target)
+    u_t, X_t, _ = tight.solve(tight.init_carry(state), state, target,
+                              uncertainty=sigma)
+    # baseline keeps the speed; the tightened plan brakes toward the
+    # shrunken box for as hard as its accel bounds allow
+    v_end_b = float(X_b[-1, 3])
+    v_end_t = float(X_t[-1, 3])
+    assert v_end_b > 7.0
+    assert v_end_t < v_end_b - 1.0
+
+    # factor 0 (or no uncertainty): bit-identical to baseline
+    zero = LinearMPC(LinearMPCConfig(horizon=15, admm_iterations=120),
+                     dtype=jnp.float64)
+    u_z, X_z, _ = zero.solve(zero.init_carry(state), state, target,
+                             uncertainty=sigma)
+    np.testing.assert_array_equal(np.asarray(u_z), np.asarray(u_b))
+    np.testing.assert_array_equal(np.asarray(X_z), np.asarray(X_b))
+
+
+def test_build_horizon_uncertainty_shape():
+    import glob
+
+    from unmanned_aerial_vehicles_tpu.gp import (
+        build_horizon_uncertainty,
+        fit_residual_gp,
+    )
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+    from unmanned_aerial_vehicles_tpu.io import load_gp_datasets
+
+    paths = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))
+    if not paths:
+        import pytest
+        pytest.skip("no reference data")
+    cfg = ResidualGPConfig()
+    X, Y = load_gp_datasets(paths[:4], max_samples=200)
+    post = fit_residual_gp(jnp.asarray(X), jnp.asarray(Y), cfg)
+    S = build_horizon_uncertainty(
+        post, jnp.zeros((11, 6)).at[:, 2].set(3.0), jnp.zeros((10, 4)), cfg
+    )
+    s = np.asarray(S)
+    assert s.shape == (10, 6)
+    assert (s[:, 0:3] == 0).all() and (s[:, 3:6] > 0).all()

@@ -58,6 +58,10 @@ class LinearMPCConfig:
     polish: bool = False
     polish_tol: float = 1e-7
     polish_passes: int = 3
+    # uncertainty-aware constraint tightening (zero-order GP-MPC back-off,
+    # arXiv:2211.15522): state boxes shrink by factor * propagated GP std.
+    # 0.0 disables (bit-exact baseline behaviour).
+    tightening_factor: float = 0.0
     # run the whole ADMM loop as ONE Pallas kernel (latency mode; f32 only)
     use_fused_admm: bool = False
     # run the ENTIRE controller (gradient/bounds build + composite ADMM +
@@ -129,6 +133,7 @@ class LinearMPC:
         self._u_hi = cast(np.tile(config.control_upper, N))
         self._x_lo = cast(np.tile(config.state_lower, N))
         self._x_hi = cast(np.tile(config.state_upper, N))
+        self._Sw_sq = cast(Sw**2)   # variance propagation (tightening)
 
         if config.use_fused_controller:
             from ..ops.controller_pallas import build_fused_controller_data
@@ -188,10 +193,21 @@ class LinearMPC:
         target_pos: jnp.ndarray,
         residuals: jnp.ndarray | None = None,
         reference_states: jnp.ndarray | None = None,
+        uncertainty: jnp.ndarray | None = None,
     ):
         """One MPC tick. ``state``: 6-vector, ``target_pos``: 3-vector,
         ``residuals``: optional ``(N, 6)`` stage-wise GP dynamics residuals
         d_k (already gain-scaled). Returns ``(u0, X_opt, new_carry)``.
+
+        ``uncertainty``: optional ``(N, 6)`` stage-wise GP dynamics stds
+        (``gp.build_horizon_uncertainty``). With
+        ``config.tightening_factor`` kappa > 0 the state boxes shrink by
+        kappa times the std propagated through the prediction matrix
+        (independent-disturbance variance propagation: sigma_X =
+        sqrt(Sw^2 (dt sigma_d)^2)) — the back-off of zero-order GP-MPC
+        (arXiv:2211.15522), a use of the posterior variance the reference
+        computes but never closes the loop on. Not supported on the fused
+        Pallas paths.
 
         ``reference_states``: optional ``(N, 6)`` per-stage state references
         (trajectory *preview*). The reference controller tracks only a point
@@ -250,8 +266,19 @@ class LinearMPC:
         offset = mm(self._Sx, x0) + mm(self._Sw, w)
         f = mm(self._SuT_q, offset - ref)
 
-        lower = jnp.concatenate([self._u_lo, self._x_lo - offset])
-        upper = jnp.concatenate([self._u_hi, self._x_hi - offset])
+        x_lo, x_hi = self._x_lo, self._x_hi
+        if uncertainty is not None and cfg.tightening_factor > 0.0:
+            var_x = mm(
+                self._Sw_sq,
+                (cfg.dt * uncertainty.astype(self.dtype).reshape(-1)) ** 2,
+            )
+            tight = cfg.tightening_factor * jnp.sqrt(var_x)
+            # never invert a box: cap at 45% of its width
+            tight = jnp.minimum(tight, 0.45 * (x_hi - x_lo))
+            x_lo = x_lo + tight
+            x_hi = x_hi - tight
+        lower = jnp.concatenate([self._u_lo, x_lo - offset])
+        upper = jnp.concatenate([self._u_hi, x_hi - offset])
 
         p0 = -mm(self._GMinv, f)
         minv_f = mm(self._M_inv, f)

@@ -296,3 +296,26 @@ def make_output_correction_fn(
                                  n_train, config)
 
     return fn
+
+
+def build_horizon_uncertainty(
+    posterior: GPPosterior,
+    X_guess: jnp.ndarray,
+    U_guess: jnp.ndarray,
+    config: ResidualGPConfig = ResidualGPConfig(),
+) -> jnp.ndarray:
+    """Stage-wise GP predictive std of the DYNAMICS residual, ``(N, 6)``.
+
+    The reference computes posterior variance but only ever logs or gates
+    with it (``simple_gp.py:203-208``); this surfaces it for control use —
+    uncertainty-aware constraint tightening (see
+    ``LinearMPC.solve(bound_tightening=...)``, the back-off of zero-order
+    GP-MPC, arXiv:2211.15522 — PAPERS.md). Same ``/dt`` and gain
+    conversion as the residual means, applied to the acceleration rows.
+    """
+    N = U_guess.shape[0]
+    inputs = jnp.concatenate([X_guess[:N, :6], U_guess[:, :4]], axis=1)
+    _, var = predict(posterior, inputs)            # (N, 6) state-residual var
+    std_dyn = jnp.sqrt(var) / config.dt
+    S = jnp.zeros((N, OUTPUT_DIM), var.dtype)
+    return S.at[:, 3:6].set(config.residual_gain * std_dyn[:, 3:6])
