@@ -58,3 +58,29 @@ def test_fly_mpc12_command(capsys):
                  "--amplitude", "2"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["rms_pos"] < 1.3  # reference's early 12-state run: 1.288 m
+
+
+def test_train_gp_all_samples_sharded(tmp_path, capsys):
+    """--all-samples routes through the mesh-sharded CG trainer."""
+    data = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))[0]
+    model = str(tmp_path / "gp_full.npz")
+    assert main(["train-gp", "--data", data, "--all-samples",
+                 "--cg-iterations", "120", "--output", model]) == 0
+    out = capsys.readouterr().out
+    assert "sharded fit" in out and "over 8 device(s)" in out
+    assert os.path.exists(model)
+
+
+def test_fly_ilqr12(capsys):
+    assert main(["fly", "--controller", "ilqr12", "--duration", "2",
+                 "--amplitude", "2"]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["rms_pos"] < 3.0
+
+
+def test_fly_fast_fused_tick(capsys):
+    """--fast exercises the whole-tick Pallas kernel (interpreter on CPU)."""
+    assert main(["fly", "--controller", "mpc", "--fast", "--duration", "2",
+                 "--amplitude", "2"]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["rms_pos"] < 3.0
