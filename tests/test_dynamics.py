@@ -133,4 +133,4 @@ def test_singularity_guard_no_nan():
 
 def test_params_are_pytrees():
     leaves = jax.tree_util.tree_leaves(RigidBodyParams())
-    assert len(leaves) == 7
+    assert len(leaves) == 10  # 7 physical params + 3 wind components

@@ -16,13 +16,23 @@ Sources:
 
 from __future__ import annotations
 
+from typing import Tuple
+
 from flax import struct
 import jax.numpy as jnp
 
 
 @struct.dataclass
 class RigidBodyParams:
-    """12-state rigid-body quadrotor parameters (pytree leaf values)."""
+    """12-state rigid-body quadrotor parameters (pytree leaf values).
+
+    ``wind`` is a steady world-frame wind velocity (m/s): aerodynamic drag
+    acts on the *airspeed* ``v - wind`` instead of the ground velocity. The
+    default zero wind reproduces the reference's drag term bit-for-bit
+    (``quadrotor_dynamics.py:180-182`` has no wind model); non-zero wind is
+    the disturbance axis of the Monte-Carlo robustness harness
+    (``loop.monte_carlo``).
+    """
 
     mass: float = 0.5
     gravity: float = 9.81
@@ -31,6 +41,7 @@ class RigidBodyParams:
     inertia_zz: float = 0.0046
     k_drag_linear: float = 0.25
     k_drag_angular: float = 0.01
+    wind: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     @property
     def inertia_diag(self) -> jnp.ndarray:

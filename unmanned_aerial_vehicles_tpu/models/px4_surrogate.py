@@ -83,8 +83,15 @@ def _derivative(
     thrust_gain = body.gravity / rates.hover_thrust_norm
     thrust_accel_world = t_dir * (thrust_norm * thrust_gain)[..., None]
 
-    speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
-    drag_accel = -(body.k_drag_linear / body.mass) * speed * vel
+    # drag acts on the airspeed (v - wind); zero wind = reference behaviour.
+    airspeed_vec = vel - jnp.asarray(body.wind, state.dtype)
+    # gradient-safe ||.||: exact forward value, zero (sub)gradient at 0 —
+    # same guard as rigid_body.py; a plain norm's derivative is NaN at exact
+    # hover, which poisons any autodiff through the plant (tuning.autotune
+    # back-propagates whole flights through this step).
+    sq = jnp.sum(airspeed_vec**2, axis=-1, keepdims=True)
+    speed = jnp.where(sq > 0.0, jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0)), 0.0)
+    drag_accel = -(body.k_drag_linear / body.mass) * speed * airspeed_vec
 
     gravity = jnp.zeros_like(vel).at[..., 2].set(-body.gravity)
     acceleration = thrust_accel_world + gravity + drag_accel

@@ -51,12 +51,15 @@ def rigid_body_derivative(
     R = euler_to_rotation_matrix(phi, theta, psi)
     thrust_world = R[..., :, 2] * thrust[..., None]
 
-    # gradient-safe ||v||: exact forward value, zero (sub)gradient at v = 0 —
+    # drag acts on the airspeed (v - wind); zero wind (the default, and the
+    # reference's only mode) reduces to the reference's ground-velocity drag.
+    airspeed_vec = vel - jnp.asarray(params.wind, state.dtype)
+    # gradient-safe ||.||: exact forward value, zero (sub)gradient at 0 —
     # the SQP controllers jacfwd through this at hover, where a plain norm's
     # derivative is NaN.
-    sq = jnp.sum(vel**2, axis=-1, keepdims=True)
+    sq = jnp.sum(airspeed_vec**2, axis=-1, keepdims=True)
     speed = jnp.where(sq > 0.0, jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0)), 0.0)
-    drag = -params.k_drag_linear * speed * vel
+    drag = -params.k_drag_linear * speed * airspeed_vec
 
     gravity = jnp.zeros_like(vel).at[..., 2].set(-params.mass * params.gravity)
     acceleration = (thrust_world + gravity + drag) / params.mass
