@@ -84,3 +84,22 @@ def test_fly_fast_fused_tick(capsys):
                  "--amplitude", "2"]) == 0
     payload = json.loads(capsys.readouterr().out)
     assert payload["rms_pos"] < 3.0
+
+
+def test_tune_pid_command(tmp_path, capsys):
+    out_path = str(tmp_path / "tuned.json")
+    assert main(["tune", "--controller", "pid", "--duration", "5",
+                 "--amplitude", "2", "--iterations", "5", "--save",
+                 out_path]) == 0
+    out = capsys.readouterr().out
+    payload = json.loads(out[: out.rindex("}") + 1])
+    assert payload["rms_pos_m_after"] <= payload["rms_pos_m_before"]
+    assert os.path.exists(out_path)
+
+
+def test_montecarlo_command(capsys):
+    assert main(["montecarlo", "--controller", "mpc", "--duration", "4",
+                 "--amplitude", "2", "--rollouts", "4"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert 0.0 <= out["success_rate"] <= 1.0
+    assert out["rms_pos_m_p50"] <= out["rms_pos_m_p99"] + 1e-9

@@ -402,6 +402,154 @@ def _cmd_sweep(args) -> int:
     return 0
 
 
+def _reference_fn(trajectory: str, amplitude: float, takeoff_height: float):
+    import jax.numpy as jnp
+
+    from .trajectories import ramped_circle_reference, ramped_figure8_reference
+
+    if trajectory == "figure8":
+        def ref(t):
+            pos, yaw = ramped_figure8_reference(t, amplitude=amplitude)
+            return pos + jnp.array([0.0, 0.0, takeoff_height]), yaw
+    else:
+        def ref(t):
+            pos, _, yaw = ramped_circle_reference(
+                t, amplitude=amplitude, height=takeoff_height
+            )
+            return pos, yaw
+    return ref
+
+
+def _cmd_tune(args) -> int:
+    """Differentiable closed-loop tuning (no reference counterpart — the
+    reference hand-tunes; cascade_pid_demo.py:194-210)."""
+    import jax
+    import numpy as np
+
+    from .loop import FlightLoopConfig, mpc_flight_rollout, pid_flight_rollout
+    from .tuning import TuneConfig, tune_cascade_gains, tune_mpc_weights
+
+    cfg = FlightLoopConfig()
+    num_steps = int(args.duration / cfg.control_dt)
+    ref = _reference_fn(args.trajectory, args.amplitude, cfg.takeoff_height)
+    tune_cfg = TuneConfig(
+        iterations=args.iterations, learning_rate=args.learning_rate,
+        settle_steps=min(250, num_steps // 4),
+    )
+
+    def rms(outs):
+        err = np.linalg.norm(
+            np.asarray(outs["state"][:, 0:3]) - np.asarray(outs["pos_ref"]),
+            axis=1,
+        )
+        return float(np.sqrt((err**2).mean()))
+
+    t0 = time.time()
+    if args.controller == "pid":
+        from .models import PID_CAMPAIGN_RATE_LOOP
+
+        rate_loop = PID_CAMPAIGN_RATE_LOOP
+        result = tune_cascade_gains(
+            ref, num_steps, tune_cfg=tune_cfg, rate_loop=rate_loop,
+            loop_cfg=cfg,
+        )
+        fly = lambda gains: jax.jit(
+            lambda: pid_flight_rollout(
+                ref, num_steps, gains=gains, rate_loop=rate_loop, cfg=cfg
+            )
+        )()
+        rms_before, rms_after = rms(fly(None)), rms(fly(result.params))
+        tuned = {
+            layer: {
+                k: [round(float(v), 4) for v in np.asarray(
+                    getattr(getattr(result.params, layer), k)
+                )]
+                for k in ("kp", "ki", "kd")
+            }
+            for layer in ("position", "velocity", "attitude")
+        }
+    else:
+        from .control.mpc_linear import LinearMPC, LinearMPCConfig
+
+        result, tuned_config = tune_mpc_weights(
+            ref, num_steps, tune_cfg=tune_cfg, loop_cfg=cfg,
+        )
+        fly = lambda c: jax.jit(
+            lambda: mpc_flight_rollout(LinearMPC(c), ref, num_steps, cfg=cfg)
+        )()
+        rms_before = rms(fly(LinearMPCConfig()))
+        rms_after = rms(fly(tuned_config))
+        tuned = {
+            "q_pos": [round(v, 3) for v in tuned_config.q_pos],
+            "q_vel": [round(v, 3) for v in tuned_config.q_vel],
+            "r_control": [round(v, 3) for v in tuned_config.r_control],
+            "terminal_pos_weight": round(tuned_config.terminal_pos_weight, 3),
+            "terminal_vel_weight": round(tuned_config.terminal_vel_weight, 3),
+        }
+
+    payload = {
+        "controller": args.controller,
+        "trajectory": args.trajectory,
+        "loss_initial": round(float(result.initial_loss), 5),
+        "loss_final": round(float(result.final_loss), 5),
+        "rms_pos_m_before": round(rms_before, 4),
+        "rms_pos_m_after": round(rms_after, 4),
+        "tune_seconds": round(time.time() - t0, 1),
+        "tuned": tuned,
+    }
+    print(json.dumps(payload, indent=2))
+    if args.save:
+        with open(args.save, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"saved tuned parameters to {args.save}")
+    return 0
+
+
+def _cmd_montecarlo(args) -> int:
+    """Monte-Carlo robustness study (no reference counterpart)."""
+    import jax
+
+    from .loop import FlightLoopConfig, MonteCarloConfig, monte_carlo_mpc, monte_carlo_pid
+
+    cfg = FlightLoopConfig()
+    num_steps = int(args.duration / cfg.control_dt)
+    ref = _reference_fn(args.trajectory, args.amplitude, cfg.takeoff_height)
+    mc = MonteCarloConfig(
+        n_rollouts=args.rollouts, seed=args.seed, wind_std=args.wind_std,
+        settle_steps=min(250, num_steps // 4),
+    )
+    if args.controller == "pid":
+        from .models import PID_CAMPAIGN_RATE_LOOP
+
+        stats = jax.jit(
+            lambda: monte_carlo_pid(
+                ref, num_steps, mc=mc, rate_loop=PID_CAMPAIGN_RATE_LOOP,
+                loop_cfg=cfg,
+            )
+        )()
+    else:
+        from .control.mpc_linear import LinearMPC, LinearMPCConfig
+
+        mpc = LinearMPC(LinearMPCConfig())
+        stats = jax.jit(
+            lambda: monte_carlo_mpc(mpc, ref, num_steps, mc=mc, loop_cfg=cfg)
+        )()
+
+    print(json.dumps({
+        "controller": args.controller,
+        "trajectory": args.trajectory,
+        "rollouts": args.rollouts,
+        "wind_std_mps": args.wind_std,
+        "success_rate": round(float(stats["success_rate"]), 4),
+        "rms_pos_m_mean": round(float(stats["rms_mean"]), 4),
+        "rms_pos_m_p50": round(float(stats["rms_p50"]), 4),
+        "rms_pos_m_p90": round(float(stats["rms_p90"]), 4),
+        "rms_pos_m_p99": round(float(stats["rms_p99"]), 4),
+        "worst_max_pos_m": round(float(stats["worst_max_pos"]), 4),
+    }, indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="unmanned_aerial_vehicles_tpu",
@@ -475,6 +623,33 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--flights", type=int, default=64)
     s.add_argument("--duration", type=float, default=20.0)
     s.set_defaults(fn=_cmd_sweep)
+
+    tu = sub.add_parser(
+        "tune", help="differentiable closed-loop controller tuning"
+    )
+    tu.add_argument("--controller", choices=["pid", "mpc"], default="pid")
+    tu.add_argument("--trajectory", choices=["figure8", "circle"],
+                    default="circle")
+    tu.add_argument("--duration", type=float, default=30.0)
+    tu.add_argument("--amplitude", type=float, default=6.0)
+    tu.add_argument("--iterations", type=int, default=40)
+    tu.add_argument("--learning-rate", type=float, default=0.06)
+    tu.add_argument("--save", default=None, help="write tuned params JSON")
+    tu.set_defaults(fn=_cmd_tune)
+
+    mcp = sub.add_parser(
+        "montecarlo", help="Monte-Carlo robustness study (randomized "
+        "plants / winds / initial states)"
+    )
+    mcp.add_argument("--controller", choices=["pid", "mpc"], default="mpc")
+    mcp.add_argument("--trajectory", choices=["figure8", "circle"],
+                     default="circle")
+    mcp.add_argument("--duration", type=float, default=30.0)
+    mcp.add_argument("--amplitude", type=float, default=6.0)
+    mcp.add_argument("--rollouts", type=int, default=256)
+    mcp.add_argument("--wind-std", type=float, default=0.8)
+    mcp.add_argument("--seed", type=int, default=0)
+    mcp.set_defaults(fn=_cmd_montecarlo)
     return p
 
 

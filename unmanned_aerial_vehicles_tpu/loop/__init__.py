@@ -5,6 +5,14 @@ from .closed_loop import (
 )
 from .full_system import OnlineGPMPCConfig, online_gp_mpc_rollout
 from .mission import mission_rollout
+from .monte_carlo import (
+    MonteCarloConfig,
+    monte_carlo_flights,
+    monte_carlo_mpc,
+    monte_carlo_pid,
+    robustness_stats,
+    sample_conditions,
+)
 from .compare import (
     TRAJECTORY_TYPES,
     comparison_summary,
@@ -19,6 +27,12 @@ __all__ = [
     "OnlineGPMPCConfig",
     "online_gp_mpc_rollout",
     "mission_rollout",
+    "MonteCarloConfig",
+    "monte_carlo_flights",
+    "monte_carlo_mpc",
+    "monte_carlo_pid",
+    "robustness_stats",
+    "sample_conditions",
     "TRAJECTORY_TYPES",
     "comparison_summary",
     "run_comparison",
