@@ -133,6 +133,53 @@ def main() -> int:
         _save(name, outs)
         print(name, json.dumps(summary[name]))
 
+    # --- differentiable auto-tuning (capability beyond the reference) ------
+    # tune the cascade gains on a 30 s window, then fly the FULL campaign
+    # circle with them (the reference's gains are hand-tuned "emergency
+    # safe" values, cascade_pid_demo.py:194-210)
+    from unmanned_aerial_vehicles_tpu.tuning import TuneConfig, tune_cascade_gains
+
+    tune_steps = int(30.0 / cfg.control_dt)
+    tuned = tune_cascade_gains(
+        circle, tune_steps, rate_loop=PID_CAMPAIGN_RATE_LOOP, loop_cfg=cfg,
+        tune_cfg=TuneConfig(iterations=40, learning_rate=0.06),
+    )
+    outs = jax.jit(
+        lambda: pid_flight_rollout(
+            circle, num_steps, gains=tuned.params, cfg=cfg,
+            rate_loop=PID_CAMPAIGN_RATE_LOOP,
+        )
+    )()
+    outs = {k: np.asarray(v) for k, v in outs.items()}
+    summary["pid_flight_circle_tuned"] = _metrics(outs)
+    _save("pid_flight_circle_tuned", outs)
+    print("pid_flight_circle_tuned", json.dumps(summary["pid_flight_circle_tuned"]))
+
+    # --- Monte-Carlo robustness (capability beyond the reference) ----------
+    from unmanned_aerial_vehicles_tpu.loop import (
+        MonteCarloConfig,
+        monte_carlo_mpc,
+        monte_carlo_pid,
+    )
+
+    mc = MonteCarloConfig(n_rollouts=256, wind_std=0.8)
+    mc_steps = int(30.0 / cfg.control_dt)
+    scalars = lambda s: {
+        k: float(np.asarray(v)) for k, v in s.items()
+        if np.ndim(np.asarray(v)) == 0
+    }
+    summary["montecarlo_mpc_circle"] = scalars(jax.jit(
+        lambda: monte_carlo_mpc(mpc, circle, mc_steps, mc=mc, loop_cfg=cfg)
+    )())
+    summary["montecarlo_pid_circle"] = scalars(jax.jit(
+        lambda: monte_carlo_pid(
+            circle, mc_steps, mc=mc, rate_loop=PID_CAMPAIGN_RATE_LOOP,
+            loop_cfg=cfg,
+        )
+    )())
+    for k in ("montecarlo_mpc_circle", "montecarlo_pid_circle"):
+        print(k, json.dumps(summary[k]))
+
     # --- standalone comparison campaign (docs/images/comparison_*.png) -----
     for traj in ("figure8", "circle", "hover", "step"):
         outs = jax.jit(lambda tt=traj: run_comparison(tt, duration=30.0))()
@@ -173,7 +220,11 @@ def main() -> int:
             "(models.px4_surrogate.PID_CAMPAIGN_RATE_LOOP); preview mode "
             "feeds per-stage horizon references (capability beyond the "
             "reference's point-target tracking); thrust_sat_nonhover_pct is "
-            "the informative (hover-band-excluded) saturation variant"
+            "the informative (hover-band-excluded) saturation variant; "
+            "pid_flight_circle_tuned flies gains auto-tuned by gradient "
+            "descent through the closed loop (tuning/, 30 s window); "
+            "montecarlo_* rows are 256-flight dispersion studies "
+            "(randomized mass/drag/lags/wind, loop.monte_carlo)"
         ),
     }
     out_path = os.path.join(ARTIFACTS, "metrics_summary.json")
