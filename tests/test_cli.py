@@ -103,3 +103,14 @@ def test_montecarlo_command(capsys):
     out = json.loads(capsys.readouterr().out)
     assert 0.0 <= out["success_rate"] <= 1.0
     assert out["rms_pos_m_p50"] <= out["rms_pos_m_p99"] + 1e-9
+
+
+def test_fly_save_uavlog_roundtrip(tmp_path, capsys):
+    log_path = str(tmp_path / "flight.uavlog")
+    assert main(["fly", "--controller", "pid", "--duration", "4",
+                 "--amplitude", "2", "--trajectory", "circle",
+                 "--save-log", log_path]) == 0
+    capsys.readouterr()
+    assert main(["analyze", "--log", log_path]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rms_pos"] >= 0.0

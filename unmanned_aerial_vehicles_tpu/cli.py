@@ -208,6 +208,11 @@ def _cmd_fly(args) -> int:
         m = tracking_metrics(outs["pos_ref"], outs["state"][:, 0:3],
                              thrust_normalized=outs["thrust"])
         print(json.dumps({k: round(float(v), 4) for k, v in m.items()}, indent=2))
+        if args.save_log:
+            from .io import save_flight_log
+
+            save_flight_log(args.save_log, outs)
+            print(f"flight log written to {args.save_log}")
         return 0
     else:
         if args.fast:
@@ -258,6 +263,11 @@ def _cmd_fly(args) -> int:
         thrust_normalized=outs["thrust"],
     )
     print(json.dumps({k: round(float(v), 4) for k, v in m.items()}, indent=2))
+    if args.save_log:
+        from .io import save_flight_log
+
+        save_flight_log(args.save_log, outs)
+        print(f"flight log written to {args.save_log}")
     return 0
 
 
@@ -593,6 +603,9 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--fast", action="store_true",
                    help="whole-tick Pallas kernel (12.5 us/tick on v5e; "
                         "pid/mpc12 controllers ignore this)")
+    f.add_argument("--save-log", default=None,
+                   help="write the flight log (.npz snapshot, or .uavlog "
+                        "for the streaming binary format)")
     f.set_defaults(fn=_cmd_fly)
 
     m = sub.add_parser("mission", help="full phase-machine mission")

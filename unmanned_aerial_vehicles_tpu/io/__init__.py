@@ -3,6 +3,7 @@ from .datasets import CSV_HEADER, load_gp_dataset, load_gp_datasets, save_gp_dat
 from .checkpoint import load_gp_checkpoint, save_gp_checkpoint
 from .flight_log import analyze_flight_log, load_flight_log, save_flight_log
 from .synthetic import generate_excitation_data, identify_linear_dynamics
+from .uavlog import UavLogWriter, read_uavlog, write_uavlog
 
 __all__ = [
     "CSV_HEADER",
@@ -18,4 +19,7 @@ __all__ = [
     "save_flight_log",
     "generate_excitation_data",
     "identify_linear_dynamics",
+    "UavLogWriter",
+    "read_uavlog",
+    "write_uavlog",
 ]

@@ -17,7 +17,17 @@ from ..metrics.tracking import tracking_metrics
 
 
 def save_flight_log(path: str, outs: dict, **metadata):
-    """Persist a rollout-output dict (+ scalar metadata) as npz."""
+    """Persist a rollout-output dict (+ scalar metadata).
+
+    ``.uavlog`` paths use the streaming binary format (``io.uavlog``,
+    per-tick channels only — the native recorder's role); anything else is
+    one compressed npz (whole-dict snapshot, run-level entries included).
+    """
+    if path.endswith(".uavlog"):
+        from .uavlog import write_uavlog
+
+        write_uavlog(path, outs)
+        return
     arrays = {k: np.asarray(v) for k, v in outs.items()}
     for k, v in metadata.items():
         arrays[f"meta_{k}"] = np.asarray(v)
@@ -25,6 +35,13 @@ def save_flight_log(path: str, outs: dict, **metadata):
 
 
 def load_flight_log(path: str) -> dict:
+    """Load either format — dispatched on the file magic, not the name."""
+    from .uavlog import MAGIC, read_uavlog
+
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic == MAGIC:
+        return read_uavlog(path)
     data = np.load(path)
     return {k: data[k] for k in data.files}
 
