@@ -176,3 +176,51 @@ def test_online_with_preview():
     rms_point = run(cfg_pt)
     rms_preview = run(cfg_pv)
     assert rms_preview < 0.6 * rms_point
+
+
+def test_online_gp_learns_wind_disturbance():
+    """The GP's reason to exist: an unmodelled steady crosswind produces a
+    velocity-dependent drag residual the double-integrator model misses;
+    in-flight learning must recover a large share of the wind-induced
+    tracking penalty. (The reference can only argue this offline — its
+    plant has no wind model.) Flagship config, preview mode so tracking
+    lag does not mask the disturbance; full residual gain (the reference's
+    conservative 0.1 caps the achievable correction at 10%).
+
+    Measured on this setup (40 s fig-8, wind (1.5, 0.8, 0)): no-wind
+    0.19 m -> windy plain 1.38 m -> windy online GP-MPC 0.85 m."""
+    from unmanned_aerial_vehicles_tpu.loop import mpc_flight_rollout
+    from unmanned_aerial_vehicles_tpu.models import RigidBodyParams
+
+    windy = RigidBodyParams(wind=(1.5, 0.8, 0.0))
+    steps = 2000  # 40 s
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=6.0, frequency=0.02)
+        return pos + jnp.array([0.0, 0.0, 3.0]), yaw
+
+    mpc = LinearMPC(LinearMPCConfig(horizon=20, admm_iterations=60),
+                    dtype=jnp.float32)
+
+    plain = jax.jit(
+        lambda: mpc_flight_rollout(mpc, ref, steps, body=windy, preview=True)
+    )()
+    cfg = OnlineGPMPCConfig(
+        gp=ResidualGPConfig(max_data_points=256, residual_gain=1.0),
+        gp_refit_every=200, preview=True,
+    )
+    online, dataset, _ = jax.jit(
+        lambda: online_gp_mpc_rollout(mpc, ref, steps, cfg=cfg, body=windy)
+    )()
+
+    def rms_tail(outs):
+        err = np.linalg.norm(
+            np.asarray(outs["pos_ref"] - outs["state"][:, 0:3]), axis=1
+        )
+        return float(np.sqrt((err[1000:] ** 2).mean()))  # post-learning
+
+    r_plain, r_online = rms_tail(plain), rms_tail(online)
+    assert int(dataset.count) > 100          # data was collected in-flight
+    assert bool(online["gp_active"][-1])     # refits actually happened
+    # the GP must recover a substantial share of the wind penalty
+    assert r_online < 0.75 * r_plain, (r_online, r_plain)
