@@ -60,7 +60,10 @@ BASELINE_US = 20_000.0  # reference CPU solve budget (BASELINE.md)
 T_SHORT, T_LONG = 2000, 10000
 HORIZON = 20            # BASELINE.json: "GP posterior + N=20 QP"
 GP_POINTS = 800         # flight config max_data_points (src/px4/mpc.py:1319)
-ADMM_ITERS = 20         # closed-loop RMS is iteration-invariant from 20 up
+ADMM_ITERS = 10         # closed-loop RMS is iteration-invariant from 10 up
+# (measured on v5e: iters 10/12/16/20 -> fig-8 RMS 1.0739/1.0738/1.0738/
+# 1.0738, preview RMS 0.1728 at 10; the 50 Hz warm start carries
+# convergence across ticks. Solver-parity work uses polish mode instead.)
 
 
 def load_training_data():

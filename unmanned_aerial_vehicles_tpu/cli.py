@@ -220,7 +220,7 @@ def _cmd_fly(args) -> int:
             # (bench.py's configuration; TPU only)
             cfg = FlightLoopConfig(use_fused_tick=True,
                                    fused_tick_loop_precision="default")
-            mpc = LinearMPC(LinearMPCConfig(horizon=20, admm_iterations=20,
+            mpc = LinearMPC(LinearMPCConfig(horizon=20, admm_iterations=10,
                                             use_fused_controller=True))
         else:
             mpc = LinearMPC(LinearMPCConfig())
