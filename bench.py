@@ -8,9 +8,11 @@ closed-loop ``lax.scan``. The reference's implied budget is <20 ms per solve
 (50 Hz loop, ``src/px4/mpc.py:1868``; Ipopt caps ``mpc.py:1427-1438``), with
 a north-star target of <1 ms on TPU v5e-1.
 
-Latency mode runs the WHOLE tick as one Pallas kernel (``ops.tick_pallas``:
+Latency mode runs 8 WHOLE ticks per Pallas dispatch with the GP posterior
+inside the kernel (``ops.tick_pallas.gpmpc_multitick_fused``: GP GEMMs +
 warm-start shift + ADMM + allocation + plant, bf16 ADMM recursion with f32
-setup/refresh). Throughput mode runs 1024 concurrent flights through the
+setup/refresh) — per-dispatch overhead and static-matrix VMEM loads
+amortise 8x. Throughput mode runs 1024 concurrent flights through the
 structured batched controller kernel (``ops.controller_pallas``).
 
 Measurement: per-tick cost is the SLOPE between two scan lengths,
@@ -84,9 +86,13 @@ def main():
     Yd = jnp.asarray(Y, jnp.float32)
 
     gp_cfg = ResidualGPConfig()
-    # latency mode: the whole tick as ONE Pallas kernel
+    # latency mode: 8 whole ticks per Pallas dispatch, GP posterior inside
+    # the kernel (ops.tick_pallas.gpmpc_multitick_fused) — amortises the
+    # ~6.5 us/tick of dispatch + static-matrix VMEM loads measured on the
+    # single-tick kernel (11.36 -> 4.94 us/tick on v5e, same RMS)
     loop_cfg = FlightLoopConfig(
-        use_fused_tick=True, fused_tick_loop_precision="default"
+        use_fused_tick=True, fused_tick_loop_precision="default",
+        ticks_per_dispatch=8,
     )
     mpc = LinearMPC(
         LinearMPCConfig(horizon=HORIZON, admm_iterations=ADMM_ITERS,
@@ -101,10 +107,10 @@ def main():
         @jax.jit
         def run(Xt, Yt, x0):
             post = fit_residual_gp(Xt, Yt, gp_cfg)
-            rf = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
             outs = mpc_flight_rollout(
                 mpc, ref, num_steps=T, cfg=loop_cfg,
-                residual_fn=rf, initial_state=x0, preview=preview,
+                gp_posterior=post, gp_gain=gp_cfg.residual_gain,
+                initial_state=x0, preview=preview,
             )
             err = outs["pos_ref"] - outs["state"][:, 0:3]
             return jnp.sqrt(jnp.mean(jnp.sum(err**2, axis=-1)))
@@ -170,8 +176,8 @@ def main():
                 "metric": (
                     "GP-MPC control-step latency (GP horizon posterior on "
                     f"{GP_POINTS}-pt flight GP + N={HORIZON} condensed-QP "
-                    "ADMM + allocation + plant, whole tick as one Pallas "
-                    "kernel; slope-measured)"
+                    "ADMM + allocation + plant; 8 whole ticks per Pallas "
+                    "dispatch, GP in-kernel; slope-measured)"
                 ),
                 "value": round(per_tick_us, 2),
                 "unit": "us",

@@ -351,3 +351,99 @@ def test_batched_sweep_matches_vmapped_rollout(rng):
     assert sb.shape == sv.shape == (T, B, 12)
     gap = np.abs(sb[:, :, 0:3] - sv[:, :, 0:3]).max()
     assert gap < 5e-3, f"batched sweep position gap {gap:.2e}"
+
+
+def test_multitick_rollout_matches_fused_tick(rng):
+    """K-ticks-per-dispatch kernel (GP inside) must reproduce the
+    single-tick fused rollout closely over a closed-loop flight."""
+    import glob
+
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+    from unmanned_aerial_vehicles_tpu.gp import (
+        build_horizon_residuals,
+        fit_residual_gp,
+    )
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+    from unmanned_aerial_vehicles_tpu.io import load_gp_datasets
+    from unmanned_aerial_vehicles_tpu.loop import (
+        FlightLoopConfig,
+        mpc_flight_rollout,
+    )
+    from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=2.0, frequency=0.1)
+        return pos + jnp.array([0.0, 0.0, 3.0]), yaw
+
+    gp_cfg = ResidualGPConfig()
+    paths = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))
+    residual_fn, post = None, None
+    if paths:
+        X, Y = load_gp_datasets(paths[:4], max_samples=200)
+        post = fit_residual_gp(
+            jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32), gp_cfg
+        )
+        residual_fn = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
+
+    mpc = LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=40,
+                        use_fused_controller=True),
+        dtype=jnp.float32,
+    )
+    T = 40
+    for preview in (False, True):
+        out_a = jax.jit(
+            lambda p=preview: mpc_flight_rollout(
+                mpc, ref, T, cfg=FlightLoopConfig(use_fused_tick=True),
+                residual_fn=residual_fn, preview=p,
+            )
+        )()
+        out_b = jax.jit(
+            lambda p=preview: mpc_flight_rollout(
+                mpc, ref, T,
+                cfg=FlightLoopConfig(use_fused_tick=True,
+                                     ticks_per_dispatch=4),
+                gp_posterior=post, gp_gain=gp_cfg.residual_gain, preview=p,
+            )
+        )()
+        assert set(out_a.keys()) == set(out_b.keys())
+        for key in ("state", "u_mpc", "thrust", "accel_cmd", "vel_ref",
+                    "att_ref", "rates_cmd", "pos_ref"):
+            np.testing.assert_allclose(
+                np.asarray(out_a[key]), np.asarray(out_b[key]), atol=2e-4,
+                err_msg=f"{key} (preview={preview})",
+            )
+        np.testing.assert_allclose(
+            np.asarray(out_a["final_state"]), np.asarray(out_b["final_state"]),
+            atol=2e-4,
+        )
+
+
+def test_multitick_requires_divisible_steps():
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+    from unmanned_aerial_vehicles_tpu.loop import (
+        FlightLoopConfig,
+        mpc_flight_rollout,
+    )
+
+    mpc = LinearMPC(
+        LinearMPCConfig(horizon=5, admm_iterations=10,
+                        use_fused_controller=True),
+        dtype=jnp.float32,
+    )
+    ref = lambda t: (jnp.array([0.0, 0.0, 3.0]), jnp.float32(0.0))
+    try:
+        mpc_flight_rollout(
+            mpc, ref, 10,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=4),
+        )
+    except ValueError as e:
+        assert "divisible" in str(e)
+    else:
+        raise AssertionError("expected ValueError")

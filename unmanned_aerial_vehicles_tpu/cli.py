@@ -216,16 +216,19 @@ def _cmd_fly(args) -> int:
         return 0
     else:
         if args.fast:
-            # latency mode: the whole control tick as ONE Pallas kernel
-            # (bench.py's configuration; TPU only)
+            # latency mode: 8 whole ticks per Pallas dispatch, GP posterior
+            # in-kernel (bench.py's configuration; TPU only)
             cfg = FlightLoopConfig(use_fused_tick=True,
-                                   fused_tick_loop_precision="default")
+                                   fused_tick_loop_precision="default",
+                                   ticks_per_dispatch=8)
+            num_steps -= num_steps % 8
             mpc = LinearMPC(LinearMPCConfig(horizon=20, admm_iterations=10,
                                             use_fused_controller=True))
         else:
             mpc = LinearMPC(LinearMPCConfig())
         residual_fn = None
         output_correction_fn = None
+        gp_posterior, gp_gain = None, 0.1
         if args.controller == "gp-mpc":
             gp_cfg = ResidualGPConfig()
             paths = sorted(glob.glob(args.gp_data))
@@ -244,6 +247,8 @@ def _cmd_fly(args) -> int:
                 output_correction_fn = make_output_correction_fn(
                     post, n_train=X.shape[0]
                 )
+            elif args.fast:
+                gp_posterior, gp_gain = post, gp_cfg.residual_gain
             else:
                 residual_fn = lambda Xg, Ug: build_horizon_residuals(
                     post, Xg, Ug, gp_cfg
@@ -253,6 +258,7 @@ def _cmd_fly(args) -> int:
                 mpc, ref, num_steps, cfg=cfg, residual_fn=residual_fn,
                 output_correction_fn=output_correction_fn,
                 preview=args.preview,
+                gp_posterior=gp_posterior, gp_gain=gp_gain,
             )
         )()
 

@@ -58,6 +58,12 @@ class FlightLoopConfig:
     # primal refresh always runs at HIGHEST; closed-loop RMS impact is
     # <0.2% on the fig-8 campaign, asserted in tests)
     fused_tick_loop_precision: str = "highest"
+    # with use_fused_tick: run K whole ticks per kernel dispatch (the GP
+    # horizon posterior moves INSIDE the kernel — ops.tick_pallas.
+    # gpmpc_multitick_fused), amortising dispatch + static-matrix VMEM
+    # loads. Requires num_steps % K == 0 and (for the GP) passing the raw
+    # posterior via mpc_flight_rollout(gp_posterior=...)
+    ticks_per_dispatch: int = 1
 
 
 def _plant_substeps(state, control, body, rate_loop, cfg: FlightLoopConfig):
@@ -144,6 +150,8 @@ def mpc_flight_rollout(
     residual_fn: Callable | None = None,
     output_correction_fn: Callable | None = None,
     preview: bool = False,
+    gp_posterior=None,
+    gp_gain: float = 0.1,
     dtype=jnp.float32,
 ):
     """Closed-loop linear-MPC flight (optionally GP-enhanced).
@@ -168,6 +176,17 @@ def mpc_flight_rollout(
         initial_state = jnp.zeros(12, dtype).at[2].set(cfg.takeoff_height)
 
     if cfg.use_fused_tick:
+        if cfg.ticks_per_dispatch > 1:
+            if residual_fn is not None and gp_posterior is None:
+                raise ValueError(
+                    "ticks_per_dispatch > 1 computes the GP INSIDE the "
+                    "kernel: pass the raw posterior via gp_posterior= "
+                    "(+ gp_gain=) instead of residual_fn"
+                )
+            return _multitick_rollout(
+                mpc, reference_fn, num_steps, body, rate_loop, cfg,
+                initial_state, gp_posterior, gp_gain, preview,
+            )
         return _fused_tick_rollout(
             mpc, reference_fn, num_steps, body, rate_loop, cfg,
             initial_state, residual_fn, preview,
@@ -362,6 +381,116 @@ def _fused_tick_rollout(
     )
     (final_state, _, _), outs = jax.lax.scan(step, init, jnp.arange(num_steps))
     outs["final_state"] = final_state
+    return outs
+
+
+def _multitick_rollout(
+    mpc, reference_fn, num_steps, body, rate_loop, cfg,
+    initial_state, posterior, gp_gain, preview,
+):
+    """K-ticks-per-dispatch path (``ops.tick_pallas.gpmpc_multitick_fused``):
+    dispatch + static-matrix VMEM loads amortise over K whole ticks and the
+    GP horizon posterior runs inside the kernel. Tick semantics match
+    ``_fused_tick_rollout`` with the staged GP hook."""
+    from ..models.double_integrator import CONTROL_DIM, STATE_DIM
+    from ..ops.tick_pallas import (
+        build_gp_rows,
+        build_tick_data,
+        gpmpc_multitick_fused,
+    )
+
+    if not mpc.config.use_fused_controller:
+        raise ValueError("use_fused_tick requires LinearMPCConfig."
+                         "use_fused_controller=True (padded kernel data)")
+    K = cfg.ticks_per_dispatch
+    if num_steps % K != 0:
+        raise ValueError(f"num_steps={num_steps} not divisible by "
+                         f"ticks_per_dispatch={K}")
+    N = mpc.config.horizon
+    n_pad = mpc._fc_data.SxT.shape[0]
+    m_pad = mpc._fc_data.P1.shape[0]
+    data = build_tick_data(mpc._fc_data, N, CONTROL_DIM, STATE_DIM)
+    if data.Nnx >= n_pad:
+        raise ValueError("multitick path stashes yaw_ref in the last ref "
+                         f"lane; needs N*nx < n_pad ({data.Nnx} >= {n_pad})")
+    dtype = jnp.float32
+    gp = build_gp_rows(posterior, gp_gain) if posterior is not None else None
+    statics = dict(
+        k_ticks=K, use_gp=posterior is not None,
+        rho=mpc.config.admm_rho,
+        iterations=mpc.config.admm_iterations,
+        over_relax=mpc.config.admm_over_relax,
+        mass=body.mass, gravity=body.gravity,
+        k_drag_linear=body.k_drag_linear,
+        taus=(rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
+        thrust_gain=body.gravity / rate_loop.hover_thrust_norm,
+        dt=cfg.control_dt, substeps=cfg.plant_substeps,
+        accel_lo=tuple(cfg.accel_lower), accel_hi=tuple(cfg.accel_upper),
+        yawrate_limit=cfg.yawrate_limit,
+        loop_precision=cfg.fused_tick_loop_precision,
+        nnu=data.Nnu, nnx=data.Nnx, n=N, nu=CONTROL_DIM, nx=STATE_DIM,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    def one_ref(t):
+        pos_ref, yaw_ref = reference_fn(t)
+        pos_ref = jnp.asarray(pos_ref, dtype)
+        yaw_ref = jnp.asarray(yaw_ref, dtype)
+        if preview:
+            ts = t + cfg.control_dt * jnp.arange(1, N + 2, dtype=dtype)
+            pos_refs, _ = jax.vmap(reference_fn)(ts)
+            pos_refs = jnp.asarray(pos_refs, dtype)
+            vel_refs = (pos_refs[1:] - pos_refs[:-1]) / cfg.control_dt
+            ref = jnp.concatenate([pos_refs[:-1], vel_refs], axis=1).reshape(-1)
+        else:
+            ref = jnp.tile(jnp.concatenate([pos_ref, jnp.zeros(3, dtype)]), N)
+        row = (
+            jnp.zeros(n_pad, dtype)
+            .at[: N * STATE_DIM].set(ref)
+            .at[n_pad - 1].set(yaw_ref)
+        )
+        return row, pos_ref
+
+    def row(v, size):
+        return jnp.zeros((1, size), dtype).at[0, : v.shape[0]].set(
+            v.astype(dtype)
+        )
+
+    def step(carry, i):
+        state_row, aux_row, xtail_row, z, y = carry
+        ts = (i * K + jnp.arange(K)).astype(dtype) * cfg.control_dt
+        refs, pos_refs = jax.vmap(one_ref)(ts)      # (K, n_pad), (K, 3)
+        packed, state_row, aux_row, xtail_row, z, y = gpmpc_multitick_fused(
+            data, gp, state_row, aux_row, xtail_row, z, y, refs, **statics
+        )
+        out = {
+            "state": packed[:, 0:12],
+            "pos_ref": pos_refs,
+            "vel_ref": packed[:, 29:32],
+            "att_ref": packed[:, 16:19],
+            "thrust": packed[:, 12],
+            "rates_cmd": packed[:, 13:16],
+            "accel_cmd": packed[:, 22:25],
+            "u_mpc": packed[:, 25:29],
+        }
+        return (state_row, aux_row, xtail_row, z, y), out
+
+    x0 = initial_state.astype(dtype)
+    init = (
+        row(x0, n_pad),
+        row(x0[0:6], n_pad),                        # prev x0; integral = 0
+        row(jnp.tile(x0[0:6], N), n_pad),           # X_tail = tiled x0
+        jnp.zeros((1, m_pad), dtype),
+        jnp.zeros((1, m_pad), dtype),
+    )
+    (state_row, _, _, _, _), outs = jax.lax.scan(
+        step, init, jnp.arange(num_steps // K)
+    )
+    # (C, K, ...) -> (T, ...)
+    outs = jax.tree_util.tree_map(
+        lambda a: a.reshape((num_steps,) + a.shape[2:]), outs
+    )
+    outs["final_state"] = state_row[0, 0:12]
     return outs
 
 
