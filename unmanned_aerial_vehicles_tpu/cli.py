@@ -146,21 +146,10 @@ def _cmd_fly(args) -> int:
     from .io import load_gp_datasets
     from .loop import FlightLoopConfig, mpc_flight_rollout, pid_flight_rollout
     from .metrics import tracking_metrics
-    from .trajectories import ramped_circle_reference, ramped_figure8_reference
 
     cfg = FlightLoopConfig()
     num_steps = int(args.duration / cfg.control_dt)
-
-    if args.trajectory == "figure8":
-        def ref(t):
-            pos, yaw = ramped_figure8_reference(t, amplitude=args.amplitude)
-            return pos + jnp.array([0.0, 0.0, cfg.takeoff_height]), yaw
-    else:
-        def ref(t):
-            pos, _, yaw = ramped_circle_reference(
-                t, amplitude=args.amplitude, height=cfg.takeoff_height
-            )
-            return pos, yaw
+    ref = _reference_fn(args.trajectory, args.amplitude, cfg.takeoff_height)
 
     if args.controller == "pid":
         # campaign-calibrated plant: the PID bags hover at ~0.7 normalized
@@ -551,18 +540,26 @@ def _cmd_montecarlo(args) -> int:
             lambda: monte_carlo_mpc(mpc, ref, num_steps, mc=mc, loop_cfg=cfg)
         )()
 
+    import math
+
+    # strict JSON: crashed populations yield NaN quantiles / inf worst-case
+    # (nanmean over all-NaN); map non-finite to null rather than emitting
+    # NaN/Infinity tokens that strict parsers reject
+    num = lambda k: (
+        round(float(stats[k]), 4) if math.isfinite(float(stats[k])) else None
+    )
     print(json.dumps({
         "controller": args.controller,
         "trajectory": args.trajectory,
         "rollouts": args.rollouts,
         "wind_std_mps": args.wind_std,
-        "success_rate": round(float(stats["success_rate"]), 4),
-        "rms_pos_m_mean": round(float(stats["rms_mean"]), 4),
-        "rms_pos_m_p50": round(float(stats["rms_p50"]), 4),
-        "rms_pos_m_p90": round(float(stats["rms_p90"]), 4),
-        "rms_pos_m_p99": round(float(stats["rms_p99"]), 4),
-        "worst_max_pos_m": round(float(stats["worst_max_pos"]), 4),
-    }, indent=2))
+        "success_rate": num("success_rate"),
+        "rms_pos_m_mean": num("rms_mean"),
+        "rms_pos_m_p50": num("rms_p50"),
+        "rms_pos_m_p90": num("rms_p90"),
+        "rms_pos_m_p99": num("rms_p99"),
+        "worst_max_pos_m": num("worst_max_pos"),
+    }, indent=2, allow_nan=False))
     return 0
 
 

@@ -166,10 +166,21 @@ class UavLogWriter:
                 n,
             )
             if got < 0:
+                # the native writer rolled the file back to the last
+                # complete frame; the recording remains appendable
                 raise IOError(f"uavlog append failed on {self.path}")
             self.frames = int(got)
         else:
-            self._file.write(block.tobytes())
+            pos = self._file.tell()
+            try:
+                self._file.write(block.tobytes())
+            except OSError:
+                # mirror the native writer: roll back to the last complete
+                # frame so no torn frame is left mid-file
+                self._file.flush()
+                self._file.seek(pos)
+                self._file.truncate(pos)
+                raise
             self.frames += n
         return self.frames
 

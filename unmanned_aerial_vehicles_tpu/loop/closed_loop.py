@@ -152,6 +152,7 @@ def mpc_flight_rollout(
     preview: bool = False,
     gp_posterior=None,
     gp_gain: float = 0.1,
+    gp_dt: float = 0.02,
     dtype=jnp.float32,
 ):
     """Closed-loop linear-MPC flight (optionally GP-enhanced).
@@ -181,15 +182,37 @@ def mpc_flight_rollout(
                 raise ValueError(
                     "ticks_per_dispatch > 1 computes the GP INSIDE the "
                     "kernel: pass the raw posterior via gp_posterior= "
-                    "(+ gp_gain=) instead of residual_fn"
+                    "(+ gp_gain=/gp_dt=) instead of residual_fn"
+                )
+            if output_correction_fn is not None:
+                raise ValueError(
+                    "output_correction_fn (the post-solve GP generation) is "
+                    "not supported on the fused-tick paths — use the staged "
+                    "rollout (use_fused_tick=False)"
                 )
             return _multitick_rollout(
                 mpc, reference_fn, num_steps, body, rate_loop, cfg,
-                initial_state, gp_posterior, gp_gain, preview,
+                initial_state, gp_posterior, gp_gain, gp_dt, preview,
+            )
+        if output_correction_fn is not None:
+            raise ValueError(
+                "output_correction_fn is not supported on the fused-tick "
+                "paths — use the staged rollout (use_fused_tick=False)"
+            )
+        if gp_posterior is not None:
+            raise ValueError(
+                "gp_posterior is only consumed by the multi-tick kernel "
+                "path (ticks_per_dispatch > 1); pass a residual_fn here"
             )
         return _fused_tick_rollout(
             mpc, reference_fn, num_steps, body, rate_loop, cfg,
             initial_state, residual_fn, preview,
+        )
+    if gp_posterior is not None:
+        raise ValueError(
+            "gp_posterior is only consumed by the multi-tick kernel path "
+            "(use_fused_tick=True, ticks_per_dispatch > 1); pass a "
+            "residual_fn (gp.build_horizon_residuals) on the other paths"
         )
 
     accel_lo = jnp.asarray(cfg.accel_lower, dtype)
@@ -386,7 +409,7 @@ def _fused_tick_rollout(
 
 def _multitick_rollout(
     mpc, reference_fn, num_steps, body, rate_loop, cfg,
-    initial_state, posterior, gp_gain, preview,
+    initial_state, posterior, gp_gain, gp_dt, preview,
 ):
     """K-ticks-per-dispatch path (``ops.tick_pallas.gpmpc_multitick_fused``):
     dispatch + static-matrix VMEM loads amortise over K whole ticks and the
@@ -414,7 +437,11 @@ def _multitick_rollout(
         raise ValueError("multitick path stashes yaw_ref in the last ref "
                          f"lane; needs N*nx < n_pad ({data.Nnx} >= {n_pad})")
     dtype = jnp.float32
-    gp = build_gp_rows(posterior, gp_gain) if posterior is not None else None
+    gp = (
+        build_gp_rows(posterior, gp_gain, control_dt=cfg.control_dt,
+                      gp_dt=gp_dt)
+        if posterior is not None else None
+    )
     statics = dict(
         k_ticks=K, use_gp=posterior is not None,
         rho=mpc.config.admm_rho,
@@ -428,7 +455,7 @@ def _multitick_rollout(
         accel_lo=tuple(cfg.accel_lower), accel_hi=tuple(cfg.accel_upper),
         yawrate_limit=cfg.yawrate_limit,
         loop_precision=cfg.fused_tick_loop_precision,
-        nnu=data.Nnu, nnx=data.Nnx, n=N, nu=CONTROL_DIM, nx=STATE_DIM,
+        n=N, nu=CONTROL_DIM, nx=STATE_DIM,
         interpret=jax.default_backend() == "cpu",
     )
 

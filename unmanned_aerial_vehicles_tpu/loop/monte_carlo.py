@@ -148,6 +148,12 @@ def monte_carlo_flights(
 ) -> dict:
     """Generic engine: ``flight_fn(body_i, rate_loop_i, x0_i) -> state (T,12)``
     is vmapped over sampled conditions; returns ``robustness_stats``."""
+    if loop_cfg.use_pallas_plant or loop_cfg.use_fused_tick:
+        raise ValueError(
+            "monte_carlo requires the XLA plant path (use_pallas_plant="
+            "False, use_fused_tick=False): the fused kernels bake nominal "
+            "plant scalars as static args and ignore RigidBodyParams.wind"
+        )
     key = jax.random.PRNGKey(mc.seed)
     bodies, rate_loops, x0 = sample_conditions(
         key, mc, body, rate_loop, loop_cfg.takeoff_height
@@ -197,13 +203,8 @@ def monte_carlo_mpc(
 ) -> dict:
     """(GP-)MPC population study. ``loop_cfg`` must use the XLA plant path
     (the fused Pallas plant kernels are compiled for the zero-wind nominal
-    plant and do not read ``RigidBodyParams.wind``)."""
-    if loop_cfg.use_pallas_plant or loop_cfg.use_fused_tick:
-        raise ValueError(
-            "monte_carlo_mpc requires the XLA plant path "
-            "(use_pallas_plant=False, use_fused_tick=False): the fused "
-            "kernels bake nominal plant scalars and ignore wind"
-        )
+    plant and do not read ``RigidBodyParams.wind``; ``monte_carlo_flights``
+    enforces this)."""
 
     def flight(b, r, x0):
         return mpc_flight_rollout(

@@ -29,12 +29,15 @@
 #include <cstdlib>
 #include <cstring>
 
+#include <unistd.h>  // ftruncate
+
 namespace {
 
 struct Writer {
     FILE* f;
     long width;        // f32 lanes per frame
     long frames;       // frames appended so far
+    long header;       // header length in bytes (frame data starts here)
 };
 
 // Parse "state:12,pos_ref:3,thrust:1" -> total width; returns -1 on any
@@ -91,17 +94,27 @@ void* uavlog_open_writer(const char* path, const char* spec) {
         std::remove(path);
         return nullptr;
     }
-    Writer* w = new Writer{f, width, 0};
+    Writer* w = new Writer{f, width, 0, std::ftell(f)};
     return w;
 }
 
 // Append n_frames frames (n_frames * width f32 values). Returns frames
-// appended so far, or -1 on write failure.
+// appended so far, or -1 on write failure. A short write (disk full,
+// quota) rolls the file back to the last COMPLETE frame so a caller that
+// recovers and keeps appending never leaves a torn frame in the middle —
+// the read side only drops torn FINAL frames.
 long uavlog_append(void* handle, const float* data, long n_frames) {
     Writer* w = static_cast<Writer*>(handle);
     if (!w || n_frames < 0) return -1;
     size_t count = static_cast<size_t>(n_frames) * w->width;
-    if (count && std::fwrite(data, 4, count, w->f) != count) return -1;
+    if (count && std::fwrite(data, 4, count, w->f) != count) {
+        std::fflush(w->f);
+        long good = w->header + w->frames * w->width * 4;
+        if (ftruncate(fileno(w->f), good) == 0) {
+            std::fseek(w->f, good, SEEK_SET);
+        }
+        return -1;
+    }
     w->frames += n_frames;
     return w->frames;
 }

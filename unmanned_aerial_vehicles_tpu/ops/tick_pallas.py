@@ -275,13 +275,17 @@ class GPRows(NamedTuple):
     scal_row: jnp.ndarray  # (1, 8): [signal_variance, residual_gain, 0...]
 
 
-def build_gp_rows(posterior, gain: float, dtype=jnp.float32) -> GPRows:
+def build_gp_rows(
+    posterior, gain: float, control_dt: float = 0.02, gp_dt: float = 0.02,
+    dtype=jnp.float32,
+) -> GPRows:
     """Pack a ``gp.exact_gp.GPPosterior`` for the multi-tick kernel.
 
     The kernel reproduces ``gp.residual_gp.build_horizon_residuals`` +
-    the ``w = dt * D`` conversion of the fused-tick rollout, which
-    simplifies to ``w[k, 3:6] = gain * posterior_mean[k, 3:6]`` (the /dt
-    and *dt cancel)."""
+    the ``w = control_dt * D`` conversion of the fused-tick rollout:
+    ``w[k, 3:6] = gain * (control_dt / gp_dt) * posterior_mean[k, 3:6]``
+    (``gp_dt`` is ``ResidualGPConfig.dt``, the residual-capture interval;
+    at the default 50 Hz both dts are 0.02 and the ratio is 1)."""
     X = posterior.X_train.astype(dtype)          # (P, 10)
     P, d = X.shape
     ls = jnp.broadcast_to(
@@ -299,7 +303,7 @@ def build_gp_rows(posterior, gain: float, dtype=jnp.float32) -> GPRows:
     inv_ls_row = jnp.zeros((1, 16), dtype).at[0, :d].set(1.0 / ls)
     scal_row = jnp.zeros((1, 8), dtype).at[0, 0].set(
         jnp.asarray(posterior.params.signal_variance, dtype)
-    ).at[0, 1].set(jnp.asarray(gain, dtype))
+    ).at[0, 1].set(jnp.asarray(gain * (control_dt / gp_dt), dtype))
     return GPRows(ztrT, sq2_row, alpha_s, y_mean_row, inv_ls_row, scal_row)
 
 
@@ -479,7 +483,7 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         "k_ticks", "use_gp", "iterations", "over_relax", "rho", "mass",
         "gravity", "k_drag_linear", "taus", "thrust_gain", "dt", "substeps",
         "accel_lo", "accel_hi", "yawrate_limit", "interpret",
-        "loop_precision", "nnu", "nnx", "n", "nu", "nx",
+        "loop_precision", "n", "nu", "nx",
     ),
 )
 def gpmpc_multitick_fused(
@@ -508,8 +512,6 @@ def gpmpc_multitick_fused(
     yawrate_limit: float,
     interpret: bool = False,
     loop_precision: str = "highest",
-    nnu: int = 0,
-    nnx: int = 0,
     n: int = 0,    # horizon N
     nu: int = 4,
     nx: int = 6,

@@ -309,10 +309,16 @@ class _TracedWeightMPC:
         self.n_constraints = self._G.shape[0]
         self._weights = weights
 
-    def _cost(self):
-        w = self._weights
-        N = self.config.horizon
-        q_stage = jnp.concatenate([jnp.exp(w["log_q_pos"]), jnp.exp(w["log_q_vel"])])
+        # Build the traced cost/factorisation ONCE here: the twin is
+        # constructed per loss evaluation, outside the flight scan, so
+        # these (weight-dependent, state-independent) values are
+        # loop-invariant — recomputing the (4N)^2 Cholesky per tick would
+        # multiply the tuner's hot-loop cost by num_steps.
+        cfg = config
+        w = weights
+        q_stage = jnp.concatenate(
+            [jnp.exp(w["log_q_pos"]), jnp.exp(w["log_q_vel"])]
+        )
         q_term = jnp.concatenate(
             [
                 jnp.exp(w["log_terminal_pos"]) * jnp.exp(w["log_q_pos"]),
@@ -321,7 +327,14 @@ class _TracedWeightMPC:
         )
         qbar = jnp.concatenate([jnp.tile(q_stage, N - 1), q_term])
         rbar = jnp.tile(jnp.exp(w["log_r"]), N)
-        return qbar, rbar
+        prec = jax.lax.Precision.HIGHEST
+        mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+        Su_j = jnp.asarray(self._Su)
+        G_j = jnp.asarray(self._G)
+        self._SuTq = Su_j.T * qbar[None, :]
+        H = mm(self._SuTq, Su_j) + jnp.diag(rbar)
+        M = H + cfg.admm_rho * mm(G_j.T, G_j)
+        self._M_chol = jnp.linalg.cholesky(M)
 
     def init_carry(self, state=None) -> MPCCarry:
         N = self.config.horizon
@@ -367,15 +380,12 @@ class _TracedWeightMPC:
 
         prec = jax.lax.Precision.HIGHEST
         mm = lambda a, b: jnp.matmul(a, b, precision=prec)
-        qbar, rbar = self._cost()
         Su = jnp.asarray(self._Su)
-        H = mm(Su.T * qbar[None, :], Su) + jnp.diag(rbar)
         G = jnp.asarray(self._G)
-        M = H + cfg.admm_rho * mm(G.T, G)
-        M_chol = jnp.linalg.cholesky(M)
+        M_chol = self._M_chol
 
         offset = mm(jnp.asarray(self._Sx), x0) + mm(jnp.asarray(self._Sw), w_vec)
-        f = mm(Su.T * qbar[None, :], offset - ref)
+        f = mm(self._SuTq, offset - ref)
         lower = jnp.concatenate([jnp.asarray(self._u_lo), self._x_lo - offset])
         upper = jnp.concatenate([jnp.asarray(self._u_hi), self._x_hi - offset])
 
