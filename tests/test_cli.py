@@ -114,3 +114,11 @@ def test_fly_save_uavlog_roundtrip(tmp_path, capsys):
     assert main(["analyze", "--log", log_path]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["rms_pos"] >= 0.0
+
+
+def test_fly_noisy_ekf(capsys):
+    assert main(["fly", "--controller", "mpc", "--duration", "5",
+                 "--amplitude", "2", "--trajectory", "circle",
+                 "--noisy"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rms_pos"] < 2.0

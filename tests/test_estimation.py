@@ -1,0 +1,154 @@
+"""12-state EKF + noisy-sensor closed loop (estimation/).
+
+The reference consumes PX4-EKF2 output and never runs an estimator of its
+own; these tests pin the in-graph replacement: the filter beats the raw
+sensors, covariance stays bounded/symmetric, yaw innovations wrap, and a
+full sensors->EKF->MPC->plant flight tracks close to the perfect-state
+loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+    LinearMPC,
+    LinearMPCConfig,
+)
+from unmanned_aerial_vehicles_tpu.estimation import (
+    EKFConfig,
+    ekf_init,
+    ekf_step,
+    measure,
+    noisy_mpc_flight_rollout,
+)
+from unmanned_aerial_vehicles_tpu.loop import mpc_flight_rollout
+from unmanned_aerial_vehicles_tpu.models import (
+    RateLoopParams,
+    RigidBodyParams,
+    px4_rate_tracking_step,
+)
+from unmanned_aerial_vehicles_tpu.trajectories import ramped_circle_reference
+
+
+def _circle(t):
+    pos, _, yaw = ramped_circle_reference(t, amplitude=2.0, height=3.0)
+    return pos, yaw
+
+
+def _run_filter(steps=400, seed=0, control=None, x0=None):
+    """True plant + noisy sensors + EKF, open loop (constant command)."""
+    cfg = EKFConfig()
+    body, rl, dt = RigidBodyParams(), RateLoopParams(), 0.02
+    control = (
+        jnp.asarray([1.0, 0.05, -0.03, 0.02], jnp.float32)
+        if control is None else control
+    )
+    if x0 is None:
+        x0 = jnp.zeros(12, jnp.float32).at[2].set(3.0)
+    keys = jax.random.split(jax.random.PRNGKey(seed), steps)
+
+    def step(carry, k):
+        s, ekf = carry
+        z = measure(s, k, cfg)
+        ekf, x_est = ekf_step(ekf, control, z, body, rl, dt, cfg)
+        s_new = px4_rate_tracking_step(s, control, body, rl, dt)
+        return (s_new, ekf), {"true": s, "est": x_est, "z": z}
+
+    # start the estimate OFF the truth to exercise convergence
+    ekf0 = ekf_init(x0 + 0.2, cfg)
+    (s, ekf), outs = jax.jit(
+        lambda: jax.lax.scan(step, (x0, ekf0), keys)
+    )()
+    return {k: np.asarray(v) for k, v in outs.items()}, np.asarray(ekf.P)
+
+
+def test_ekf_beats_raw_measurements():
+    outs, P = _run_filter()
+    tail = slice(100, None)   # post-transient
+    est_err = np.linalg.norm(outs["est"][tail, 0:3] - outs["true"][tail, 0:3],
+                             axis=1)
+    meas_err = np.linalg.norm(outs["z"][tail, 0:3] - outs["true"][tail, 0:3],
+                              axis=1)
+    assert est_err.mean() < 0.6 * meas_err.mean(), (
+        est_err.mean(), meas_err.mean(),
+    )
+    # unmeasured velocities are reconstructed to useful accuracy
+    vel_err = np.linalg.norm(outs["est"][tail, 3:6] - outs["true"][tail, 3:6],
+                             axis=1)
+    assert vel_err.mean() < 0.15
+
+
+def test_ekf_covariance_bounded_symmetric():
+    _, P = _run_filter(steps=300)
+    assert np.allclose(P, P.T, atol=1e-6)
+    eigs = np.linalg.eigvalsh(P.astype(np.float64))
+    assert eigs.min() > 0.0
+    assert eigs.max() < 1.0   # converged, not blown up
+
+
+def test_ekf_yaw_wrap():
+    """An estimate just below +pi fusing measurements just above -pi must
+    not traverse the whole circle."""
+    cfg = EKFConfig()
+    body, rl, dt = RigidBodyParams(), RateLoopParams(), 0.02
+    x_true = jnp.zeros(12, jnp.float32).at[2].set(3.0).at[8].set(jnp.pi - 0.02)
+    control = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    ekf = ekf_init(x_true, cfg)
+    # measurement with yaw wrapped past the seam
+    z = jnp.asarray(np.concatenate([
+        np.asarray(x_true[0:3]),
+        [0.0, 0.0, -np.pi + 0.02],
+        np.asarray(x_true[9:12]),
+    ]), jnp.float32)
+    ekf, x_est = jax.jit(
+        lambda e, zz: ekf_step(e, control, zz, body, rl, dt, cfg)
+    )(ekf, z)
+    # the fused yaw stays near the seam (magnitude ~pi), not near 0
+    assert abs(abs(float(x_est[8])) - np.pi) < 0.1
+
+
+def test_noisy_closed_loop_tracks():
+    steps = 500
+    mpc = LinearMPC(LinearMPCConfig(horizon=10, admm_iterations=40),
+                    dtype=jnp.float32)
+    ideal = jax.jit(lambda: mpc_flight_rollout(mpc, _circle, steps))()
+    noisy = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc, _circle, steps, jax.random.PRNGKey(0)
+        )
+    )()
+
+    def rms(outs):
+        err = np.linalg.norm(
+            np.asarray(outs["pos_ref"] - outs["state"][:, 0:3]), axis=1
+        )
+        return float(np.sqrt((err[100:] ** 2).mean()))
+
+    r_ideal, r_noisy = rms(ideal), rms(noisy)
+    assert np.isfinite(np.asarray(noisy["state"])).all()
+    # estimator-in-the-loop costs little tracking accuracy
+    assert r_noisy < r_ideal + 0.15, (r_noisy, r_ideal)
+    # the estimate follows the truth
+    est_err = np.linalg.norm(
+        np.asarray(noisy["state_est"][:, 0:3] - noisy["state"][:, 0:3]),
+        axis=1,
+    )
+    assert est_err[100:].mean() < 0.05
+    assert np.isfinite(np.asarray(noisy["final_covariance"])).all()
+
+
+def test_noisy_loop_rejects_fused_paths():
+    from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
+
+    mpc = LinearMPC(LinearMPCConfig(horizon=5, admm_iterations=10),
+                    dtype=jnp.float32)
+    try:
+        noisy_mpc_flight_rollout(
+            mpc, _circle, 8, jax.random.PRNGKey(0),
+            cfg=FlightLoopConfig(use_pallas_plant=True),
+        )
+    except ValueError as e:
+        assert "XLA plant" in str(e)
+    else:
+        raise AssertionError("expected ValueError")

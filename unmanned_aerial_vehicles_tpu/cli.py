@@ -242,14 +242,29 @@ def _cmd_fly(args) -> int:
                 residual_fn = lambda Xg, Ug: build_horizon_residuals(
                     post, Xg, Ug, gp_cfg
                 )
-        outs = jax.jit(
-            lambda: mpc_flight_rollout(
-                mpc, ref, num_steps, cfg=cfg, residual_fn=residual_fn,
-                output_correction_fn=output_correction_fn,
-                preview=args.preview,
-                gp_posterior=gp_posterior, gp_gain=gp_gain,
-            )
-        )()
+        if args.noisy:
+            # estimator in the loop: sensors -> EKF -> controller -> plant
+            if args.fast or output_correction_fn is not None:
+                print("--noisy uses the staged XLA path (no --fast) and "
+                      "the in-dynamics GP mode", file=sys.stderr)
+                return 1
+            from .estimation import noisy_mpc_flight_rollout
+
+            outs = jax.jit(
+                lambda: noisy_mpc_flight_rollout(
+                    mpc, ref, num_steps, jax.random.PRNGKey(args.seed),
+                    cfg=cfg, residual_fn=residual_fn, preview=args.preview,
+                )
+            )()
+        else:
+            outs = jax.jit(
+                lambda: mpc_flight_rollout(
+                    mpc, ref, num_steps, cfg=cfg, residual_fn=residual_fn,
+                    output_correction_fn=output_correction_fn,
+                    preview=args.preview,
+                    gp_posterior=gp_posterior, gp_gain=gp_gain,
+                )
+            )()
 
     m = tracking_metrics(
         outs["pos_ref"], outs["state"][:, 0:3],
@@ -609,6 +624,11 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--save-log", default=None,
                    help="write the flight log (.npz snapshot, or .uavlog "
                         "for the streaming binary format)")
+    f.add_argument("--noisy", action="store_true",
+                   help="fly on EKF-estimated state from noisy sensors "
+                        "(estimation/; mpc and gp-mpc controllers)")
+    f.add_argument("--seed", type=int, default=0,
+                   help="sensor-noise PRNG seed (--noisy)")
     f.set_defaults(fn=_cmd_fly)
 
     m = sub.add_parser("mission", help="full phase-machine mission")
