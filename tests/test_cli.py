@@ -122,3 +122,10 @@ def test_fly_noisy_ekf(capsys):
                  "--noisy"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["rms_pos"] < 2.0
+
+
+def test_fly_mppi12(capsys):
+    assert main(["fly", "--controller", "mppi12", "--duration", "5",
+                 "--amplitude", "2", "--trajectory", "circle"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rms_pos"] < 1.3

@@ -161,18 +161,25 @@ def _cmd_fly(args) -> int:
                 ref, num_steps, cfg=cfg, rate_loop=PID_CAMPAIGN_RATE_LOOP
             )
         )()
-    elif args.controller in ("mpc12", "ilqr12"):
+    elif args.controller in ("mpc12", "ilqr12", "mppi12"):
         # 12-state torque MPC flying the z-up rigid-body plant directly
         # (the mpc_FULL node's role); ilqr12 runs the same task on the
-        # Riccati-based iLQR engine instead of SQP+ADMM
+        # Riccati-based iLQR engine instead of SQP+ADMM; mppi12 on the
+        # sampling-based MPPI controller (512 vmapped rollouts per tick)
         import numpy as np
 
         from .control import ILQRRigidBodyMPC, RigidBodyMPC
         from .models import X500_PARAMS, rigid_body_rk4_step
         from .metrics import tracking_metrics
 
-        mpc12 = (ILQRRigidBodyMPC() if args.controller == "ilqr12"
-                 else RigidBodyMPC())
+        if args.controller == "ilqr12":
+            mpc12 = ILQRRigidBodyMPC()
+        elif args.controller == "mppi12":
+            from .control import MPPIController
+
+            mpc12 = MPPIController()
+        else:
+            mpc12 = RigidBodyMPC()
 
         @jax.jit
         def fly12():
@@ -605,7 +612,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     f = sub.add_parser("fly", help="closed-loop flight experiment")
     f.add_argument("--controller",
-                   choices=["pid", "mpc", "gp-mpc", "mpc12", "ilqr12"],
+                   choices=["pid", "mpc", "gp-mpc", "mpc12", "ilqr12",
+                            "mppi12"],
                    default="gp-mpc")
     f.add_argument("--trajectory", choices=["figure8", "circle"], default="figure8")
     f.add_argument("--duration", type=float, default=60.0)

@@ -24,6 +24,7 @@ from .mpc_sqp import QuadCost, SQPCarry, SQPConfig, SQPMPC
 from .mpc_rigid import DirectRateMPC, LTVTrackingMPC, RigidBodyMPC
 from .mpc_demo import AttitudeMPC, RK4DemoMPC
 from .ilqr import ILQRRigidBodyMPC, ilqr_solve
+from .mppi import MPPIConfig, MPPIController
 
 __all__ = [
     "PIDGains",
@@ -53,6 +54,8 @@ __all__ = [
     "LTVTrackingMPC",
     "RigidBodyMPC",
     "ILQRRigidBodyMPC",
+    "MPPIConfig",
+    "MPPIController",
     "ilqr_solve",
     "AttitudeMPC",
     "RK4DemoMPC",
