@@ -129,3 +129,10 @@ def test_fly_mppi12(capsys):
                  "--amplitude", "2", "--trajectory", "circle"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["rms_pos"] < 1.3
+
+
+def test_montecarlo_gpmpc_command(capsys):
+    assert main(["montecarlo", "--controller", "gp-mpc", "--duration", "4",
+                 "--amplitude", "2", "--rollouts", "4"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert 0.0 <= out["success_rate"] <= 1.0

@@ -555,11 +555,34 @@ def _cmd_montecarlo(args) -> int:
             )
         )()
     else:
+        import jax.numpy as jnp
+
         from .control.mpc_linear import LinearMPC, LinearMPCConfig
 
         mpc = LinearMPC(LinearMPCConfig())
+        residual_fn = None
+        if args.controller == "gp-mpc":
+            from .gp import build_horizon_residuals, fit_residual_gp
+            from .gp.residual_gp import ResidualGPConfig
+            from .io import load_gp_datasets
+
+            gp_cfg = ResidualGPConfig()
+            paths = sorted(glob.glob(args.gp_data))
+            if not paths:
+                print(f"no GP data matches {args.gp_data!r}", file=sys.stderr)
+                return 1
+            X, Y = load_gp_datasets(paths, max_samples=gp_cfg.max_data_points)
+            post = jax.jit(lambda x, y: fit_residual_gp(x, y, gp_cfg))(
+                jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
+            )
+            residual_fn = lambda Xg, Ug: build_horizon_residuals(
+                post, Xg, Ug, gp_cfg
+            )
         stats = jax.jit(
-            lambda: monte_carlo_mpc(mpc, ref, num_steps, mc=mc, loop_cfg=cfg)
+            lambda: monte_carlo_mpc(
+                mpc, ref, num_steps, mc=mc, loop_cfg=cfg,
+                residual_fn=residual_fn,
+            )
         )()
 
     import math
@@ -685,7 +708,9 @@ def build_parser() -> argparse.ArgumentParser:
         "montecarlo", help="Monte-Carlo robustness study (randomized "
         "plants / winds / initial states)"
     )
-    mcp.add_argument("--controller", choices=["pid", "mpc"], default="mpc")
+    mcp.add_argument("--controller", choices=["pid", "mpc", "gp-mpc"],
+                     default="mpc")
+    mcp.add_argument("--gp-data", default="/root/reference/gp_datasets/*.csv")
     mcp.add_argument("--trajectory", choices=["figure8", "circle"],
                      default="circle")
     mcp.add_argument("--duration", type=float, default=30.0)
