@@ -650,7 +650,7 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--preview", action="store_true",
                    help="per-stage horizon references (removes tracking lag)")
     f.add_argument("--fast", action="store_true",
-                   help="whole-tick Pallas kernel (12.5 us/tick on v5e; "
+                   help="latency mode: 8 ticks/Pallas dispatch, GP in-kernel (5.1 us/tick on v5e; "
                         "pid/mpc12 controllers ignore this)")
     f.add_argument("--save-log", default=None,
                    help="write the flight log (.npz snapshot, or .uavlog "
