@@ -74,3 +74,47 @@ def test_mppi_controls_feasible_and_deterministic():
     assert (u >= lo - 1e-5).all() and (u <= hi + 1e-5).all()
     # PRNG lives in the carry: same key -> identical flight
     np.testing.assert_array_equal(outs1["state"], outs2["state"])
+
+
+def test_mppi_preview_beats_point_target():
+    """Per-stage horizon references (the preview analogue) must beat the
+    point-target formulation on a moving reference."""
+    ctrl = MPPIController(CFG)
+    dt = ctrl.config.dt
+    N = ctrl.config.horizon
+
+    def ref(t):
+        pos, _, yaw = ramped_circle_reference(t, amplitude=2.0, height=3.0)
+        return pos, yaw
+
+    def fly(preview, steps=400):
+        x0 = jnp.zeros(12, jnp.float32).at[2].set(3.0)
+
+        def step(c, i):
+            st, mc = c
+            t = i.astype(jnp.float32) * dt
+            pos_ref, yaw_ref = ref(t)
+            if preview:
+                ts = t + dt * jnp.arange(1, N + 1, dtype=jnp.float32)
+                refs, _ = jax.vmap(ref)(ts)
+            else:
+                refs = None
+            u, _, mc = ctrl.solve(mc, st, pos_ref, yaw_ref,
+                                  reference_positions=refs)
+            st = rigid_body_rk4_step(st, u, X500_PARAMS, dt)
+            return (st, mc), {"state": st, "pos_ref": pos_ref}
+
+        _, outs = jax.lax.scan(step, (x0, ctrl.init_carry(x0)),
+                               jnp.arange(steps))
+        return outs
+
+    def rms(outs):
+        err = np.linalg.norm(
+            np.asarray(outs["state"][:, 0:3]) - np.asarray(outs["pos_ref"]),
+            axis=1,
+        )
+        return float(np.sqrt((err[100:] ** 2).mean()))
+
+    r_point = rms(jax.jit(lambda: fly(False))())
+    r_prev = rms(jax.jit(lambda: fly(True))())
+    assert r_prev < r_point, (r_prev, r_point)

@@ -97,16 +97,18 @@ class MPPIController:
             + jnp.sum(r * du**2)
         )
 
-    def _rollout_cost(self, x0, Useq, target_pos, target_yaw):
+    def _rollout_cost(self, x0, Useq, targets, target_yaw):
+        """``targets``: (N, 3) per-stage positions (a point target is tiled)."""
         cfg = self.config
 
-        def step(x, u):
+        def step(x, inputs):
+            u, tgt = inputs
             x_new = rigid_body_rk4_step(x, u, self.params, cfg.dt)
-            return x_new, self._stage_cost(x_new, u, target_pos, target_yaw)
+            return x_new, self._stage_cost(x_new, u, tgt, target_yaw)
 
-        x_fin, costs = jax.lax.scan(step, x0, Useq)
+        x_fin, costs = jax.lax.scan(step, x0, (Useq, targets))
         terminal = (cfg.terminal_weight - 1.0) * (
-            cfg.q_pos * jnp.sum((x_fin[0:3] - target_pos) ** 2)
+            cfg.q_pos * jnp.sum((x_fin[0:3] - targets[-1]) ** 2)
             + cfg.q_vel * jnp.sum(x_fin[3:6] ** 2)
         )
         return jnp.sum(costs) + terminal
@@ -117,13 +119,24 @@ class MPPIController:
         state12: jnp.ndarray,
         target_pos: jnp.ndarray,
         target_yaw=0.0,
+        reference_positions: jnp.ndarray | None = None,
     ):
         """One MPPI tick; returns ``(u0, X_nom, new_carry)`` like the
-        derivative-based 12-state controllers."""
+        derivative-based 12-state controllers.
+
+        ``reference_positions``: optional ``(N, 3)`` per-stage targets
+        (trajectory *preview*, sampled along the horizon) — the sampling
+        analogue of ``LinearMPC.solve(reference_states=...)``; a point
+        ``target_pos`` is tiled otherwise.
+        """
         cfg = self.config
         x0 = state12.astype(self.dtype)
         target_pos = jnp.asarray(target_pos, self.dtype)
         target_yaw = jnp.asarray(target_yaw, self.dtype)
+        if reference_positions is not None:
+            targets = jnp.asarray(reference_positions, self.dtype)
+        else:
+            targets = jnp.tile(target_pos[None, :], (cfg.horizon, 1))
 
         key, sub = jax.random.split(carry.key)
         eps = jnp.asarray(cfg.noise_std, self.dtype) * jax.random.normal(
@@ -132,7 +145,7 @@ class MPPIController:
         U_cand = jnp.clip(carry.U_nom[None, :, :] + eps, self.u_lo, self.u_hi)
 
         costs = jax.vmap(
-            lambda Us: self._rollout_cost(x0, Us, target_pos, target_yaw)
+            lambda Us: self._rollout_cost(x0, Us, targets, target_yaw)
         )(U_cand)                                           # (K,)
 
         beta = jnp.min(costs)
