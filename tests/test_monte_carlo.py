@@ -159,3 +159,18 @@ def test_monte_carlo_rejects_fused_plant_paths():
         assert "wind" in str(e)
     else:
         raise AssertionError("expected ValueError for fused plant path")
+
+
+def test_plot_robustness(tmp_path):
+    from unmanned_aerial_vehicles_tpu.metrics import plot_robustness
+
+    stats = jax.jit(
+        lambda: monte_carlo_pid(_circle, 100,
+                                mc=MonteCarloConfig(n_rollouts=6,
+                                                    settle_steps=20))
+    )()
+    out = str(tmp_path / "mc.png")
+    plot_robustness({k: np.asarray(v) for k, v in stats.items()}, out)
+    import os
+
+    assert os.path.getsize(out) > 10_000

@@ -605,6 +605,15 @@ def _cmd_montecarlo(args) -> int:
         "rms_pos_m_p99": num("rms_p99"),
         "worst_max_pos_m": num("worst_max_pos"),
     }, indent=2, allow_nan=False))
+    if args.plot:
+        from .metrics import plot_robustness
+
+        out = args.plot if isinstance(args.plot, str) else "montecarlo.png"
+        plot_robustness(
+            {k: __import__("numpy").asarray(v) for k, v in stats.items()},
+            out, title=f"{args.controller} {args.trajectory}",
+        )
+        print(f"dispersion figure written to {out}")
     return 0
 
 
@@ -718,6 +727,8 @@ def build_parser() -> argparse.ArgumentParser:
     mcp.add_argument("--rollouts", type=int, default=256)
     mcp.add_argument("--wind-std", type=float, default=0.8)
     mcp.add_argument("--seed", type=int, default=0)
+    mcp.add_argument("--plot", nargs="?", const=True, default=False,
+                     help="write the dispersion figure (optional path)")
     mcp.set_defaults(fn=_cmd_montecarlo)
     return p
 

@@ -5,7 +5,7 @@ from .performance import (
     measure_time,
     mpc_metrics_summary,
 )
-from .plots import plot_comparison, plot_flight_log
+from .plots import plot_comparison, plot_flight_log, plot_robustness
 from .tracking import (
     attitude_rmse_deg,
     max_position_error,
@@ -24,6 +24,7 @@ __all__ = [
     "mpc_metrics_summary",
     "plot_comparison",
     "plot_flight_log",
+    "plot_robustness",
     "attitude_rmse_deg",
     "max_position_error",
     "rms_position_error",

@@ -235,3 +235,64 @@ def plot_comparison(outs: dict, save_path: str, traj_type: str = ""):
     fig.savefig(save_path, dpi=110)
     plt.close(fig)
     return save_path
+
+
+def plot_robustness(stats: dict, save_path: str, title: str = "Monte-Carlo"):
+    """Dispersion figure for a ``loop.monte_carlo`` study (no reference
+    counterpart — its campaigns evaluate one nominal plant per run).
+
+    Panels: per-rollout RMS histogram with p50/p90/p99 markers /
+    RMS-vs-worst-excursion scatter (crashes highlighted) / summary card.
+    """
+    plt = _plt()
+    rms = np.asarray(stats["rms_pos"], np.float64)
+    max_pos = np.asarray(stats["max_pos"], np.float64)
+    success = np.asarray(stats["success"], bool)
+
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4.2))
+    fig.suptitle(f"{title} — {rms.size} rollouts")
+
+    ok = success & np.isfinite(rms)
+    ax = axes[0]
+    if ok.any():
+        ax.hist(rms[ok], bins=min(40, max(8, ok.sum() // 8)),
+                color="tab:blue", alpha=0.8)
+        for key, style in (("rms_p50", "-"), ("rms_p90", "--"),
+                           ("rms_p99", ":")):
+            v = float(np.asarray(stats[key]))
+            if np.isfinite(v):
+                ax.axvline(v, color="tab:red", linestyle=style,
+                           label=f"{key[4:]} = {v:.3f} m")
+        ax.legend(fontsize=8)
+    ax.set_xlabel("RMS position error [m]")
+    ax.set_ylabel("rollouts")
+    ax.set_title("tracking dispersion (successes)")
+
+    ax = axes[1]
+    finite = np.isfinite(rms) & np.isfinite(max_pos)
+    ax.scatter(rms[finite & success], max_pos[finite & success], s=10,
+               color="tab:blue", alpha=0.6, label="success")
+    crashed = finite & ~success
+    if crashed.any():
+        ax.scatter(rms[crashed], max_pos[crashed], s=18, color="tab:red",
+                   marker="x", label="crashed")
+        ax.legend(fontsize=8)
+    ax.set_xlabel("RMS position error [m]")
+    ax.set_ylabel("max excursion [m]")
+    ax.set_title("RMS vs worst excursion")
+
+    ax = axes[2]
+    ax.axis("off")
+    lines = [f"success rate: {float(np.asarray(stats['success_rate'])) * 100:.1f} %"]
+    for key in ("rms_mean", "rms_p50", "rms_p90", "rms_p99",
+                "worst_max_pos"):
+        v = float(np.asarray(stats[key]))
+        lines.append(f"{key}: {v:.3f} m" if np.isfinite(v)
+                     else f"{key}: n/a")
+    ax.text(0.05, 0.9, "\n".join(lines), va="top", family="monospace",
+            fontsize=11)
+    ax.set_title("summary")
+
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=110)
+    plt.close(fig)
