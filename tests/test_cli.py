@@ -136,3 +136,18 @@ def test_montecarlo_gpmpc_command(capsys):
                  "--amplitude", "2", "--rollouts", "4"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert 0.0 <= out["success_rate"] <= 1.0
+
+
+def test_fly_pretrained_gp_model(tmp_path, capsys):
+    """train-gp -> fly --gp-model: the pretrained-runtime channel
+    (GP_USE_MODEL/GP_MODEL_PATH, src/px4/mpc.py:1744-1750)."""
+    data = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))[0]
+    model = str(tmp_path / "gp.npz")
+    assert main(["train-gp", "--data", data, "--output", model,
+                 "--max-samples", "150"]) == 0
+    capsys.readouterr()
+    assert main(["fly", "--controller", "gp-mpc", "--duration", "4",
+                 "--amplitude", "2", "--trajectory", "circle",
+                 "--gp-model", model]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rms_pos"] < 2.0

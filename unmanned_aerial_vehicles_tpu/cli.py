@@ -227,14 +227,28 @@ def _cmd_fly(args) -> int:
         gp_posterior, gp_gain = None, 0.1
         if args.controller == "gp-mpc":
             gp_cfg = ResidualGPConfig()
-            paths = sorted(glob.glob(args.gp_data))
-            if not paths:
-                print(f"no GP data matches {args.gp_data!r}", file=sys.stderr)
-                return 1
-            X, Y = load_gp_datasets(paths, max_samples=gp_cfg.max_data_points)
-            post = jax.jit(lambda x, y: fit_residual_gp(x, y, gp_cfg))(
-                jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
-            )
+            if args.gp_model:
+                # pretrained-model runtime — the reference's GP_USE_MODEL /
+                # GP_MODEL_PATH channel (src/px4/mpc.py:1744-1750,
+                # pretrained_gp.py): fly a saved checkpoint (possibly
+                # hyperparameter-optimised by 'train-gp --optimize')
+                # instead of refitting from CSVs
+                from .io import load_gp_checkpoint
+
+                post, X, _, _ = load_gp_checkpoint(
+                    args.gp_model, dtype=jnp.float32
+                )
+            else:
+                paths = sorted(glob.glob(args.gp_data))
+                if not paths:
+                    print(f"no GP data matches {args.gp_data!r}",
+                          file=sys.stderr)
+                    return 1
+                X, Y = load_gp_datasets(paths,
+                                        max_samples=gp_cfg.max_data_points)
+                post = jax.jit(lambda x, y: fit_residual_gp(x, y, gp_cfg))(
+                    jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
+                )
             if args.gp_mode == "output":
                 # the reference's earlier generation (mpc_gp.py:341-372):
                 # GP corrects the solved control post-solve
@@ -651,6 +665,10 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--duration", type=float, default=60.0)
     f.add_argument("--amplitude", type=float, default=6.0)
     f.add_argument("--gp-data", default="/root/reference/gp_datasets/*.csv")
+    f.add_argument("--gp-model", default=None,
+                   help="fly a saved GP checkpoint (train-gp output) "
+                        "instead of refitting from --gp-data (the "
+                        "reference's GP_USE_MODEL/GP_MODEL_PATH channel)")
     f.add_argument("--gp-mode", choices=["dynamics", "output"],
                    default="dynamics",
                    help="GP enters the prediction model ('dynamics', "
