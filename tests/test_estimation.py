@@ -152,3 +152,24 @@ def test_noisy_loop_rejects_fused_paths():
         assert "XLA plant" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_noisy_loop_matches_ideal_with_clean_sensors():
+    """Pin against divergence between noisy_mpc_flight_rollout's step and
+    the staged mpc_flight_rollout it mirrors (loop/closed_loop.py): with
+    near-noiseless sensors the two must fly the same trajectory."""
+    steps = 300
+    clean = EKFConfig(r_pos=1e-4, r_att=1e-4, r_rate=1e-4,
+                      p0_pos=1e-3, p0_vel=1e-3, p0_att=1e-3, p0_rate=1e-3)
+    mpc = LinearMPC(LinearMPCConfig(horizon=10, admm_iterations=40),
+                    dtype=jnp.float32)
+    ideal = jax.jit(lambda: mpc_flight_rollout(mpc, _circle, steps))()
+    noisy = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc, _circle, steps, jax.random.PRNGKey(0), ekf_cfg=clean
+        )
+    )()
+    gap = np.abs(
+        np.asarray(ideal["state"][:, 0:3]) - np.asarray(noisy["state"][:, 0:3])
+    ).max()
+    assert gap < 0.02, gap

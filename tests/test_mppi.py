@@ -118,3 +118,15 @@ def test_mppi_preview_beats_point_target():
     r_point = rms(jax.jit(lambda: fly(False))())
     r_prev = rms(jax.jit(lambda: fly(True))())
     assert r_prev < r_point, (r_prev, r_point)
+
+
+def test_mppi_nominal_trajectory_flag():
+    x0 = jnp.zeros(12, jnp.float32).at[2].set(3.0)
+    tgt = jnp.asarray([0.0, 0.0, 3.0], jnp.float32)
+    fast = MPPIController(CFG)
+    u, X, _ = jax.jit(lambda: fast.solve(fast.init_carry(x0), x0, tgt))()
+    assert X is None  # no wasted sequential rollout by default
+    diag = MPPIController(CFG.replace(return_trajectory=True))
+    u2, X2, _ = jax.jit(lambda: diag.solve(diag.init_carry(x0), x0, tgt))()
+    assert X2.shape == (CFG.horizon + 1, 12)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u2))

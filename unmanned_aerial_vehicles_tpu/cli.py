@@ -141,9 +141,8 @@ def _cmd_fly(args) -> int:
     import jax.numpy as jnp
 
     from .control.mpc_linear import LinearMPC, LinearMPCConfig
-    from .gp import build_horizon_residuals, fit_residual_gp
+    from .gp import build_horizon_residuals
     from .gp.residual_gp import ResidualGPConfig
-    from .io import load_gp_datasets
     from .loop import FlightLoopConfig, mpc_flight_rollout, pid_flight_rollout
     from .metrics import tracking_metrics
 
@@ -151,6 +150,10 @@ def _cmd_fly(args) -> int:
     num_steps = int(args.duration / cfg.control_dt)
     ref = _reference_fn(args.trajectory, args.amplitude, cfg.takeoff_height)
 
+    if args.noisy and args.controller not in ("mpc", "gp-mpc"):
+        print("--noisy supports the mpc and gp-mpc controllers only",
+              file=sys.stderr)
+        return 1
     if args.controller == "pid":
         # campaign-calibrated plant: the PID bags hover at ~0.7 normalized
         # thrust (see models.px4_surrogate.PID_CAMPAIGN_RATE_LOOP)
@@ -233,22 +236,35 @@ def _cmd_fly(args) -> int:
                 # pretrained_gp.py): fly a saved checkpoint (possibly
                 # hyperparameter-optimised by 'train-gp --optimize')
                 # instead of refitting from CSVs
+                from .gp.exact_gp import fit_gp
                 from .io import load_gp_checkpoint
 
-                post, X, _, _ = load_gp_checkpoint(
+                if not os.path.exists(args.gp_model):
+                    print(f"GP model not found: {args.gp_model!r}",
+                          file=sys.stderr)
+                    return 1
+                post, X, Ys, jitter = load_gp_checkpoint(
                     args.gp_model, dtype=jnp.float32
                 )
+                if X.shape[0] > gp_cfg.max_data_points:
+                    # cap to the flight-loop design size (the in-kernel GP
+                    # and per-tick GEMMs are sized for max_data_points; a
+                    # 10k/19.8k offline checkpoint would run uncapped)
+                    n = gp_cfg.max_data_points
+                    print(f"checkpoint has {X.shape[0]} rows; refitting the "
+                          f"flight posterior on the first {n} "
+                          "(checkpoint hyperparameters kept)")
+                    X = X[:n]
+                    post = fit_gp(post.params, jnp.asarray(X, jnp.float32),
+                                  jnp.asarray(Ys[:n], jnp.float32),
+                                  jitter=jitter, normalize_y=True)
             else:
-                paths = sorted(glob.glob(args.gp_data))
-                if not paths:
+                fitted = _fit_corpus_gp(args.gp_data)
+                if fitted is None:
                     print(f"no GP data matches {args.gp_data!r}",
                           file=sys.stderr)
                     return 1
-                X, Y = load_gp_datasets(paths,
-                                        max_samples=gp_cfg.max_data_points)
-                post = jax.jit(lambda x, y: fit_residual_gp(x, y, gp_cfg))(
-                    jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
-                )
+                post, gp_cfg, X = fitted
             if args.gp_mode == "output":
                 # the reference's earlier generation (mpc_gp.py:341-372):
                 # GP corrects the solved control post-solve
@@ -546,9 +562,33 @@ def _cmd_tune(args) -> int:
     return 0
 
 
+def _fit_corpus_gp(gp_data_glob: str):
+    """Fit the flight GP on the CSV corpus (shared by fly/montecarlo).
+
+    Returns ``(posterior, gp_cfg)`` or ``None`` when the glob is empty
+    (caller prints the error)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .gp import fit_residual_gp
+    from .gp.residual_gp import ResidualGPConfig
+    from .io import load_gp_datasets
+
+    gp_cfg = ResidualGPConfig()
+    paths = sorted(glob.glob(gp_data_glob))
+    if not paths:
+        return None
+    X, Y = load_gp_datasets(paths, max_samples=gp_cfg.max_data_points)
+    post = jax.jit(lambda x, y: fit_residual_gp(x, y, gp_cfg))(
+        jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
+    )
+    return post, gp_cfg, X
+
+
 def _cmd_montecarlo(args) -> int:
     """Monte-Carlo robustness study (no reference counterpart)."""
     import jax
+    import numpy as np
 
     from .loop import FlightLoopConfig, MonteCarloConfig, monte_carlo_mpc, monte_carlo_pid
 
@@ -569,26 +609,18 @@ def _cmd_montecarlo(args) -> int:
             )
         )()
     else:
-        import jax.numpy as jnp
-
         from .control.mpc_linear import LinearMPC, LinearMPCConfig
 
         mpc = LinearMPC(LinearMPCConfig())
         residual_fn = None
         if args.controller == "gp-mpc":
-            from .gp import build_horizon_residuals, fit_residual_gp
-            from .gp.residual_gp import ResidualGPConfig
-            from .io import load_gp_datasets
+            from .gp import build_horizon_residuals
 
-            gp_cfg = ResidualGPConfig()
-            paths = sorted(glob.glob(args.gp_data))
-            if not paths:
+            fitted = _fit_corpus_gp(args.gp_data)
+            if fitted is None:
                 print(f"no GP data matches {args.gp_data!r}", file=sys.stderr)
                 return 1
-            X, Y = load_gp_datasets(paths, max_samples=gp_cfg.max_data_points)
-            post = jax.jit(lambda x, y: fit_residual_gp(x, y, gp_cfg))(
-                jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
-            )
+            post, gp_cfg, _ = fitted
             residual_fn = lambda Xg, Ug: build_horizon_residuals(
                 post, Xg, Ug, gp_cfg
             )
@@ -624,7 +656,7 @@ def _cmd_montecarlo(args) -> int:
 
         out = args.plot if isinstance(args.plot, str) else "montecarlo.png"
         plot_robustness(
-            {k: __import__("numpy").asarray(v) for k, v in stats.items()},
+            {k: np.asarray(v) for k, v in stats.items()},
             out, title=f"{args.controller} {args.trajectory}",
         )
         print(f"dispersion figure written to {out}")
@@ -677,8 +709,10 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--preview", action="store_true",
                    help="per-stage horizon references (removes tracking lag)")
     f.add_argument("--fast", action="store_true",
-                   help="latency mode: 8 ticks/Pallas dispatch, GP in-kernel (5.1 us/tick on v5e; "
-                        "pid/mpc12 controllers ignore this)")
+                   help="latency mode: 8 ticks/Pallas dispatch, GP "
+                        "in-kernel (5.1 us/tick on v5e; mpc and gp-mpc "
+                        "controllers only — pid/mpc12/ilqr12/mppi12 "
+                        "ignore this)")
     f.add_argument("--save-log", default=None,
                    help="write the flight log (.npz snapshot, or .uavlog "
                         "for the streaming binary format)")

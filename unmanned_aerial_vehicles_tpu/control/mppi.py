@@ -36,6 +36,10 @@ class MPPIConfig:
     temperature: float = 0.3      # lambda: softmax sharpness over costs
     # per-channel exploration noise std: [thrust N, tau x, tau y, tau z Nm]
     noise_std: Tuple[float, float, float, float] = (3.0, 0.03, 0.03, 0.01)
+    # also roll out the updated nominal sequence and return it as X_nom
+    # (diagnostics; an extra sequential N-step chain — ~half the tick's
+    # critical path — so off by default; solve returns None in its place)
+    return_trajectory: bool = False
     # stage costs
     q_pos: float = 60.0
     q_vel: float = 6.0
@@ -154,13 +158,16 @@ class MPPIController:
         # of the box) — the standard MPPI update with bounds
         U_new = jnp.einsum("k,knu->nu", w, U_cand)
 
-        # nominal trajectory for diagnostics / parity with the MPC API
-        def nom_step(x, u):
-            x_new = rigid_body_rk4_step(x, u, self.params, cfg.dt)
-            return x_new, x_new
+        if cfg.return_trajectory:
+            # nominal trajectory for diagnostics / parity with the MPC API
+            def nom_step(x, u):
+                x_new = rigid_body_rk4_step(x, u, self.params, cfg.dt)
+                return x_new, x_new
 
-        _, X_tail = jax.lax.scan(nom_step, x0, U_new)
-        X_nom = jnp.concatenate([x0[None, :], X_tail], axis=0)
+            _, X_tail = jax.lax.scan(nom_step, x0, U_new)
+            X_nom = jnp.concatenate([x0[None, :], X_tail], axis=0)
+        else:
+            X_nom = None
 
         u0 = U_new[0]
         U_shift = jnp.concatenate([U_new[1:], U_new[-1:]], axis=0)

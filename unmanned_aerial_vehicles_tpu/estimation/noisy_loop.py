@@ -40,8 +40,13 @@ def noisy_mpc_flight_rollout(
 ):
     """MPC flight on ESTIMATED state from noisy sensors.
 
-    Mirrors ``loop.mpc_flight_rollout`` (same reference/allocation/plant
-    semantics, XLA path) with the controller consuming the EKF estimate.
+    Mirrors ``loop.mpc_flight_rollout``'s staged step (same reference/
+    allocation/plant semantics, XLA path) with the controller consuming the
+    EKF estimate. MAINTENANCE NOTE: the preview/clip/allocation block is a
+    deliberate copy of ``closed_loop.mpc_flight_rollout`` — changes there
+    must be mirrored here;
+    ``tests/test_estimation.py::test_noisy_loop_matches_ideal_with_clean_sensors``
+    pins the two paths against silent divergence.
     Adds ``state_est`` (the per-tick estimate) and ``meas_pos`` (the raw
     position sample) to the output dict.
     """
