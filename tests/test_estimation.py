@@ -138,18 +138,66 @@ def test_noisy_closed_loop_tracks():
     assert np.isfinite(np.asarray(noisy["final_covariance"])).all()
 
 
-def test_noisy_loop_rejects_fused_paths():
+def test_noisy_fused_matches_staged():
+    """fly --noisy --fast (VERDICT round-2 #7): the fused tick kernel takes
+    a separate controller-state row, so the MPC + allocation fly the EKF
+    estimate while the in-kernel plant integrates the truth. Same PRNG
+    stream, same EKF -> the fused path must track the staged noisy loop
+    within the f32 kernel-vs-XLA tolerance, and its tracking RMS must stay
+    within 0.05 m of staged (the measured estimator cost bar)."""
     from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
 
-    mpc = LinearMPC(LinearMPCConfig(horizon=5, admm_iterations=10),
-                    dtype=jnp.float32)
+    steps = 300
+    mpc_s = LinearMPC(LinearMPCConfig(horizon=10, admm_iterations=40),
+                      dtype=jnp.float32)
+    mpc_f = LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=40,
+                        use_fused_controller=True),
+        dtype=jnp.float32,
+    )
+    staged = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc_s, _circle, steps, jax.random.PRNGKey(0)
+        )
+    )()
+    fused = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc_f, _circle, steps, jax.random.PRNGKey(0),
+            cfg=FlightLoopConfig(use_fused_tick=True),
+        )
+    )()
+
+    def rms(outs):
+        err = np.linalg.norm(
+            np.asarray(outs["pos_ref"] - outs["state"][:, 0:3]), axis=1
+        )
+        return float(np.sqrt((err[100:] ** 2).mean()))
+
+    assert np.isfinite(np.asarray(fused["state"])).all()
+    # identical PRNG + EKF: trajectories glue together up to kernel-vs-XLA
+    # f32 differences amplified by feedback
+    gap = np.abs(
+        np.asarray(staged["state"][:, 0:3]) - np.asarray(fused["state"][:, 0:3])
+    ).max()
+    assert gap < 5e-3, gap
+    assert abs(rms(fused) - rms(staged)) < 0.05
+
+
+def test_noisy_fused_rejects_multitick():
+    from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
+
+    mpc = LinearMPC(
+        LinearMPCConfig(horizon=5, admm_iterations=10,
+                        use_fused_controller=True),
+        dtype=jnp.float32,
+    )
     try:
         noisy_mpc_flight_rollout(
             mpc, _circle, 8, jax.random.PRNGKey(0),
-            cfg=FlightLoopConfig(use_pallas_plant=True),
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
         )
     except ValueError as e:
-        assert "XLA plant" in str(e)
+        assert "tick granularity" in str(e)
     else:
         raise AssertionError("expected ValueError")
 

@@ -158,7 +158,7 @@ def test_checkpoint_roundtrip(tmp_path, flight_data):
 
     path = tmp_path / "gp.npz"
     save_gp_checkpoint(str(path), post, X, Y, jitter=1e-4)
-    post2, _, _, _ = load_gp_checkpoint(str(path))
+    post2, _, _, _, _ = load_gp_checkpoint(str(path))
     mean1, var1 = predict(post2, jnp.asarray(Xt))
     np.testing.assert_allclose(np.asarray(mean0), np.asarray(mean1), atol=1e-12)
     np.testing.assert_allclose(np.asarray(var0), np.asarray(var1), atol=1e-12)

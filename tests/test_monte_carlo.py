@@ -146,19 +146,63 @@ def test_crash_classification():
     ) == 0.0
 
 
-def test_monte_carlo_rejects_fused_plant_paths():
+def test_monte_carlo_fused_tick_matches_xla():
+    """Dispersion studies on the LATENCY tier (VERDICT round-2 #4): the
+    fused kernels take traced plant rows, so the same Monte-Carlo batch
+    must produce the same statistics on the fused-tick path as on the
+    staged XLA path (up to f32 kernel-vs-XLA differences)."""
+    steps = 120
+    mc = MonteCarloConfig(n_rollouts=6, settle_steps=30, wind_std=0.5)
     mpc = LinearMPC(
-        LinearMPCConfig(horizon=5, admm_iterations=10), dtype=jnp.float32
+        LinearMPCConfig(horizon=5, admm_iterations=20,
+                        use_fused_controller=True),
+        dtype=jnp.float32,
     )
-    try:
-        monte_carlo_mpc(
-            mpc, _circle, 10,
-            loop_cfg=FlightLoopConfig(use_pallas_plant=True),
+    xla = jax.jit(
+        lambda: monte_carlo_mpc(mpc, _circle, steps, mc=mc)
+    )()
+    fused = jax.jit(
+        lambda: monte_carlo_mpc(
+            mpc, _circle, steps, mc=mc,
+            loop_cfg=FlightLoopConfig(use_fused_tick=True,
+                                      ticks_per_dispatch=4),
         )
-    except ValueError as e:
-        assert "wind" in str(e)
-    else:
-        raise AssertionError("expected ValueError for fused plant path")
+    )()
+    np.testing.assert_allclose(
+        np.asarray(fused["rms_pos"]), np.asarray(xla["rms_pos"]),
+        atol=2e-3,
+    )
+    assert float(fused["success_rate"]) == float(xla["success_rate"])
+
+
+def test_fallback_bounds_monte_carlo_worst_case():
+    """The reference's divergence-triggered hover fallback
+    (src/px4/mpc.py:2276-2282) wired into the loop: under the standard
+    dispersion model the unguarded population shows multi-meter worst-case
+    excursions; with ``fallback_error_m`` the PD recovery law
+    (mpc.py:2117-2130) engages on divergence and bounds the worst case
+    (measured here: free worst 6.40 m -> guarded 4.88 m, guarded mean RMS
+    BETTER, 1.24 -> 1.04 m — VERDICT round-2 #5)."""
+    steps = 700
+    mc = MonteCarloConfig(n_rollouts=64)
+    mpc = LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=40), dtype=jnp.float32
+    )
+    free = jax.jit(
+        lambda: monte_carlo_mpc(mpc, _circle, steps, mc=mc)
+    )()
+    guarded = jax.jit(
+        lambda: monte_carlo_mpc(
+            mpc, _circle, steps, mc=mc,
+            loop_cfg=FlightLoopConfig(fallback_error_m=1.5),
+        )
+    )()
+    w_free = float(free["worst_max_pos"])
+    w_guarded = float(guarded["worst_max_pos"])
+    assert w_guarded < w_free, (w_free, w_guarded)
+    assert w_guarded < 5.0, (w_free, w_guarded)
+    # the guard must not cost nominal tracking (it actually helps here)
+    assert float(guarded["rms_mean"]) < float(free["rms_mean"]) + 0.05
 
 
 def test_plot_robustness(tmp_path):

@@ -1,0 +1,276 @@
+"""Round-3 fused-tier capabilities: online in-flight GP learning on the
+multi-tick kernel path, dispersed/windy plants on the fused kernels, and
+in-kernel GP variance + constraint tightening.
+
+These close the capability x execution-tier matrix of VERDICT round 2: the
+flagship 5 us latency path previously flew a frozen, mean-only GP on a fixed
+nominal plant; every test here exercises the upgraded fast path against its
+staged (XLA) twin or against the reference-mirroring staged behaviour.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unmanned_aerial_vehicles_tpu.control.mpc_linear import LinearMPC, LinearMPCConfig
+from unmanned_aerial_vehicles_tpu.gp import build_horizon_residuals, fit_residual_gp
+from unmanned_aerial_vehicles_tpu.gp.residual_gp import (
+    ResidualGPConfig,
+    build_horizon_uncertainty,
+)
+from unmanned_aerial_vehicles_tpu.loop import (
+    FlightLoopConfig,
+    OnlineFusedGPConfig,
+    mpc_flight_rollout,
+)
+from unmanned_aerial_vehicles_tpu.models import RigidBodyParams
+from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+
+
+def fused_mpc(**kw):
+    kw.setdefault("horizon", 10)
+    kw.setdefault("admm_iterations", 40)
+    return LinearMPC(LinearMPCConfig(use_fused_controller=True, **kw))
+
+
+def circle_ref(t):
+    pos = jnp.stack(
+        [0.5 * jnp.sin(0.3 * t), 0.5 * jnp.cos(0.3 * t), 3.0 + 0.0 * t]
+    )
+    return pos, jnp.float32(0.0)
+
+
+def rms(outs, tail=0):
+    err = np.linalg.norm(
+        np.asarray(outs["pos_ref"] - outs["state"][:, 0:3]), axis=1
+    )
+    return float(np.sqrt((err[tail:] ** 2).mean()))
+
+
+# ---------------------------------------------------------------------------
+# traced plant scalars: wind + dispersions on the fused kernels
+# ---------------------------------------------------------------------------
+
+
+def test_fused_windy_plant_matches_staged():
+    """The fused tick kernel's plant section must reproduce the staged XLA
+    plant under steady wind (airspeed drag, ``RigidBodyParams.wind``) —
+    previously the kernels baked the zero-wind nominal plant as statics."""
+    windy = RigidBodyParams(wind=(1.2, -0.7, 0.3))
+    mpc = fused_mpc()
+    T = 200
+    staged = mpc_flight_rollout(mpc, circle_ref, T, body=windy)
+    fused = mpc_flight_rollout(
+        mpc, circle_ref, T, body=windy,
+        cfg=FlightLoopConfig(use_fused_tick=True),
+    )
+    gap = np.max(
+        np.abs(np.asarray(staged["state"]) - np.asarray(fused["state"]))
+    )
+    assert gap < 5e-4, gap
+    # wind must actually matter (plant really consumed the wind lanes)
+    calm = mpc_flight_rollout(
+        mpc, circle_ref, T, cfg=FlightLoopConfig(use_fused_tick=True)
+    )
+    assert (
+        np.max(np.abs(np.asarray(calm["state"]) - np.asarray(fused["state"])))
+        > 1e-2
+    )
+
+
+def test_fused_dispersed_plants_vmap():
+    """One compiled multi-tick kernel serves a whole dispersion batch:
+    ``vmap`` over ``RigidBodyParams`` batches (mass/drag/wind) must equal
+    the per-plant runs — the Monte-Carlo fast path."""
+    mpc = fused_mpc()
+    cfg = FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=4)
+    T = 80
+    masses = jnp.asarray([0.45, 0.5, 0.55, 0.6])
+    winds = jnp.asarray(
+        [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.5], [0.5, 0.5, 0.0]]
+    )
+    bodies = jax.vmap(
+        lambda m, w: RigidBodyParams().replace(mass=m, wind=(w[0], w[1], w[2]))
+    )(masses, winds)
+
+    def flight(body):
+        return mpc_flight_rollout(mpc, circle_ref, T, body=body, cfg=cfg)[
+            "state"
+        ]
+
+    batched = jax.vmap(flight)(bodies)
+    for i in range(4):
+        body_i = jax.tree_util.tree_map(lambda a: a[i], bodies)
+        single = flight(body_i)
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(single), atol=1e-5
+        )
+
+
+# ---------------------------------------------------------------------------
+# online in-flight GP learning at the fused tier
+# ---------------------------------------------------------------------------
+
+
+def test_online_fused_gp_learns_wind_disturbance():
+    """VERDICT round-2 next-step #1 done criterion: the ONLINE ring-buffer
+    GP runs on the fused multi-tick path (``ticks_per_dispatch=8``) and
+    recovers a large share of the wind-induced tracking penalty — the
+    configuration the headline latency number describes. Mirrors the staged
+    ``test_online_gp_learns_wind_disturbance`` (no-wind 0.19 m -> windy
+    plain 1.38 m -> windy online 0.85 m); the fused path must land within
+    5% of the staged online RMS."""
+    windy = RigidBodyParams(wind=(1.5, 0.8, 0.0))
+    steps = 2000  # 40 s
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=6.0, frequency=0.02)
+        return pos + jnp.array([0.0, 0.0, 3.0]), yaw
+
+    mpc = LinearMPC(
+        LinearMPCConfig(
+            horizon=20, admm_iterations=60, use_fused_controller=True
+        ),
+        dtype=jnp.float32,
+    )
+    cfg = FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8)
+
+    plain = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, ref, steps, body=windy, cfg=cfg, preview=True
+        )
+    )()
+    ogp = OnlineFusedGPConfig(
+        gp=ResidualGPConfig(max_data_points=256, residual_gain=1.0),
+        refit_every=200,
+    )
+    online = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, ref, steps, body=windy, cfg=cfg, preview=True,
+            online_gp=ogp, gp_gain=1.0,
+        )
+    )()
+
+    r_plain = rms(plain, tail=1000)
+    r_online = rms(online, tail=1000)
+    assert int(online["gp_count"][-1]) > 100   # in-flight data collection
+    # the GP must recover a substantial share of the wind penalty
+    assert r_online < 0.75 * r_plain, (r_online, r_plain)
+    # within 5% of the staged online path's measured 0.85 m on this setup
+    assert r_online < 0.85 * 1.05, r_online
+
+
+def test_online_fused_guards():
+    mpc = fused_mpc()
+    ogp = OnlineFusedGPConfig(gp=ResidualGPConfig(max_data_points=32))
+    with pytest.raises(ValueError, match="use_fused_tick"):
+        mpc_flight_rollout(
+            mpc, circle_ref, 8, cfg=FlightLoopConfig(), online_gp=ogp
+        )
+    rng = np.random.default_rng(0)
+    post = fit_residual_gp(
+        jnp.asarray(rng.normal(size=(16, 10)), jnp.float32),
+        jnp.asarray(0.01 * rng.normal(size=(16, 6)), jnp.float32),
+    )
+    with pytest.raises(ValueError, match="in-flight"):
+        mpc_flight_rollout(
+            mpc, circle_ref, 8,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=4),
+            online_gp=ogp, gp_posterior=post,
+        )
+    with pytest.raises(ValueError, match="refit_every"):
+        mpc_flight_rollout(
+            mpc, circle_ref, 8,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+            online_gp=OnlineFusedGPConfig(
+                gp=ResidualGPConfig(max_data_points=32), refit_every=4
+            ),
+        )
+
+
+# ---------------------------------------------------------------------------
+# in-kernel GP variance + zero-order constraint tightening
+# ---------------------------------------------------------------------------
+
+
+def test_multitick_tightening_matches_staged_in_binding_regime(rng):
+    """The in-kernel variance (cached-K^{-1} quadratic) + back-off must
+    reproduce the staged ``LinearMPC.solve(uncertainty=...)`` tightening
+    (triangular-solve variance) in a regime where the tightened bounds BIND
+    — parity bar 1e-3 (VERDICT round-2 next-step #3)."""
+    X = jnp.asarray(rng.normal(size=(64, 10)) * 2.0, jnp.float32)
+    Y = jnp.asarray(4.0 * rng.normal(size=(64, 6)), jnp.float32)
+    gcfg = ResidualGPConfig()
+    post = fit_residual_gp(X, Y, gcfg)
+
+    def fast_ref(t):
+        pos = jnp.stack(
+            [2.0 * jnp.sin(t), 2.0 * jnp.cos(t), 3.0 + 0.0 * t]
+        )
+        return pos, jnp.float32(0.0)
+
+    T = 80
+    kw = dict(
+        horizon=10, admm_iterations=40,
+        state_lower=(-5.0, -5.0, 2.0, -2.5, -2.5, -1.0),
+        state_upper=(5.0, 5.0, 4.0, 2.5, 2.5, 1.0),
+    )
+    flights = {}
+    for kappa in (0.0, 3.0):
+        mpc_f = LinearMPC(
+            LinearMPCConfig(
+                tightening_factor=kappa, use_fused_controller=True, **kw
+            )
+        )
+        fused = mpc_flight_rollout(
+            mpc_f, fast_ref, T,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=4),
+            gp_posterior=post, gp_gain=gcfg.residual_gain,
+        )
+        mpc_s = LinearMPC(LinearMPCConfig(tightening_factor=kappa, **kw))
+        staged = mpc_flight_rollout(
+            mpc_s, fast_ref, T, cfg=FlightLoopConfig(),
+            residual_fn=lambda Xg, Ug: build_horizon_residuals(
+                post, Xg, Ug, gcfg
+            ),
+            uncertainty_fn=(
+                (lambda Xg, Ug: build_horizon_uncertainty(post, Xg, Ug, gcfg))
+                if kappa > 0 else None
+            ),
+        )
+        gap = np.max(
+            np.abs(
+                np.asarray(staged["state"][:, 0:3])
+                - np.asarray(fused["state"][:, 0:3])
+            )
+        )
+        assert gap < 1e-3, (kappa, gap)
+        flights[kappa] = np.asarray(fused["state"][:, 0:3])
+    # the back-off must actually bind in this regime (capability is live,
+    # not a no-op): kappa=3 visibly changes the flight
+    assert np.max(np.abs(flights[3.0] - flights[0.0])) > 0.05
+
+
+def test_tightening_requires_variance_rows():
+    from unmanned_aerial_vehicles_tpu.ops.tick_pallas import build_gp_rows
+
+    rng = np.random.default_rng(1)
+    post = fit_residual_gp(
+        jnp.asarray(rng.normal(size=(16, 10)), jnp.float32),
+        jnp.asarray(0.01 * rng.normal(size=(16, 6)), jnp.float32),
+    )
+    rows = build_gp_rows(post, 0.1)
+    assert rows.kinv is None and rows.y_std_row is None
+    rows_v = build_gp_rows(post, 0.1, with_variance=True)
+    assert rows_v.kinv.shape == (16, 16)
+    # K^{-1} parity: kinv @ K == I on the training kernel
+    from unmanned_aerial_vehicles_tpu.gp.kernels import rbf_kernel
+
+    # rebuild the exact train kernel: RBF + (noise + alpha-jitter) I
+    K = rbf_kernel(
+        post.X_train, post.X_train,
+        post.params.length_scale, post.params.signal_variance,
+    ) + (post.params.noise_variance + ResidualGPConfig().alpha) * jnp.eye(16)
+    resid = np.asarray(rows_v.kinv.astype(jnp.float64) @ K - jnp.eye(16))
+    assert np.max(np.abs(resid)) < 1e-3

@@ -124,7 +124,7 @@ def _cmd_evaluate_gp(args) -> int:
     from .gp import evaluate_gp, predict_mean
     from .io import load_gp_checkpoint, load_gp_dataset
 
-    post, _, _, _ = load_gp_checkpoint(args.model)
+    post, _, _, _, _ = load_gp_checkpoint(args.model)
     X, Y = load_gp_dataset(args.data, residual_norm_limit=np.inf)
     prefix = args.output or os.path.splitext(args.data)[0]
     results = evaluate_gp(
@@ -139,6 +139,7 @@ def _cmd_evaluate_gp(args) -> int:
 def _cmd_fly(args) -> int:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from .control.mpc_linear import LinearMPC, LinearMPCConfig
     from .gp import build_horizon_residuals
@@ -214,13 +215,20 @@ def _cmd_fly(args) -> int:
             print(f"flight log written to {args.save_log}")
         return 0
     else:
+        if args.fast and args.gp_mode == "output":
+            print("--gp-mode output (the post-solve GP generation) is a "
+                  "staged-path capability; drop --fast", file=sys.stderr)
+            return 1
         if args.fast:
             # latency mode: 8 whole ticks per Pallas dispatch, GP posterior
-            # in-kernel (bench.py's configuration; TPU only)
+            # in-kernel (bench.py's configuration; TPU only). --noisy drops
+            # to 1 tick/dispatch: the EKF must see every measurement, so it
+            # chains with the single-tick kernel (estimation.noisy_loop)
             cfg = FlightLoopConfig(use_fused_tick=True,
                                    fused_tick_loop_precision="default",
-                                   ticks_per_dispatch=8)
-            num_steps -= num_steps % 8
+                                   ticks_per_dispatch=1 if args.noisy else 8)
+            if not args.noisy:
+                num_steps -= num_steps % 8
             mpc = LinearMPC(LinearMPCConfig(horizon=20, admm_iterations=10,
                                             use_fused_controller=True))
         else:
@@ -243,9 +251,46 @@ def _cmd_fly(args) -> int:
                     print(f"GP model not found: {args.gp_model!r}",
                           file=sys.stderr)
                     return 1
-                post, X, Ys, jitter = load_gp_checkpoint(
-                    args.gp_model, dtype=jnp.float32
-                )
+                if args.gp_model.endswith(".pkl"):
+                    # the REFERENCE's sklearn pickle formats (single GP or
+                    # per-dim package) load directly — a reference user's
+                    # trained models work unchanged (io.sklearn_import)
+                    from .io import load_reference_gp
+
+                    kind, loaded, _meta = load_reference_gp(
+                        args.gp_model, dtype=jnp.float32
+                    )
+                    if kind == "per_dim":
+                        if args.fast:
+                            print("per-dim pickle models use the staged "
+                                  "path (six independent kernels); drop "
+                                  "--fast", file=sys.stderr)
+                            return 1
+                        from .gp.per_dim import (
+                            build_horizon_residuals_per_dim,
+                        )
+
+                        perdim = loaded
+                        residual_fn = lambda Xg, Ug: (
+                            build_horizon_residuals_per_dim(
+                                perdim, Xg, Ug, dt=gp_cfg.dt,
+                                residual_gain=gp_cfg.residual_gain,
+                            )
+                        )
+                        post, X = None, np.zeros((0, 10))
+                    else:
+                        post = loaded
+                        X = np.asarray(post.X_train)
+                        # original targets back out of the stored
+                        # normalisation (for any capacity-capped refit)
+                        Ys = np.asarray(
+                            post.y_train_norm * post.y_std + post.y_mean
+                        )
+                    jitter, norm_y = gp_cfg.alpha, True
+                else:
+                    post, X, Ys, jitter, norm_y = load_gp_checkpoint(
+                        args.gp_model, dtype=jnp.float32
+                    )
                 if X.shape[0] > gp_cfg.max_data_points:
                     # cap to the flight-loop design size (the in-kernel GP
                     # and per-tick GEMMs are sized for max_data_points; a
@@ -257,7 +302,7 @@ def _cmd_fly(args) -> int:
                     X = X[:n]
                     post = fit_gp(post.params, jnp.asarray(X, jnp.float32),
                                   jnp.asarray(Ys[:n], jnp.float32),
-                                  jitter=jitter, normalize_y=True)
+                                  jitter=jitter, normalize_y=norm_y)
             else:
                 fitted = _fit_corpus_gp(args.gp_data)
                 if fitted is None:
@@ -265,7 +310,14 @@ def _cmd_fly(args) -> int:
                           file=sys.stderr)
                     return 1
                 post, gp_cfg, X = fitted
-            if args.gp_mode == "output":
+            if post is None:
+                # per-dim pickle: residual_fn already bound above
+                if args.gp_mode == "output":
+                    print("--gp-mode output needs a single-GP model "
+                          "(per-dim packages drive the dynamics mode)",
+                          file=sys.stderr)
+                    return 1
+            elif args.gp_mode == "output":
                 # the reference's earlier generation (mpc_gp.py:341-372):
                 # GP corrects the solved control post-solve
                 from .gp import make_output_correction_fn
@@ -273,7 +325,7 @@ def _cmd_fly(args) -> int:
                 output_correction_fn = make_output_correction_fn(
                     post, n_train=X.shape[0]
                 )
-            elif args.fast:
+            elif args.fast and not args.noisy:
                 gp_posterior, gp_gain = post, gp_cfg.residual_gain
             else:
                 residual_fn = lambda Xg, Ug: build_horizon_residuals(
@@ -281,9 +333,12 @@ def _cmd_fly(args) -> int:
                 )
         if args.noisy:
             # estimator in the loop: sensors -> EKF -> controller -> plant
-            if args.fast or output_correction_fn is not None:
-                print("--noisy uses the staged XLA path (no --fast) and "
-                      "the in-dynamics GP mode", file=sys.stderr)
+            # (with --fast: the fused tick kernel flies the EKF estimate via
+            # its controller-state operand while the in-kernel plant
+            # integrates the truth)
+            if output_correction_fn is not None:
+                print("--noisy supports the in-dynamics GP mode only "
+                      "(--gp-mode dynamics)", file=sys.stderr)
                 return 1
             from .estimation import noisy_mpc_flight_rollout
 

@@ -237,6 +237,13 @@ class LinearMPC:
                 N,
             )
         if cfg.use_fused_controller:
+            if uncertainty is not None and cfg.tightening_factor > 0.0:
+                raise ValueError(
+                    "uncertainty tightening with use_fused_controller runs "
+                    "on the multi-tick kernel path (use_fused_tick=True + "
+                    "gp_posterior=, ops.tick_pallas) — the standalone fused "
+                    "controller kernel reads static bound rows"
+                )
             from ..ops.controller_pallas import gpmpc_controller_fused
 
             n_pad = self._fc_data.SxT.shape[0]
@@ -250,6 +257,8 @@ class LinearMPC:
                 row(x0, n_pad), row(w, n_pad), row(ref, n_pad),
                 row(carry.slack, m_pad), row(carry.dual, m_pad),
                 cfg.admm_rho, cfg.admm_iterations, cfg.admm_over_relax,
+                # Mosaic needs TPU hardware; CPU (tests) runs the interpreter
+                interpret=jax.default_backend() == "cpu",
             )
             m = self.n_constraints
             slack = z_r[0, :m].astype(self.dtype)

@@ -79,11 +79,14 @@ class MPPIController:
         self.u_lo = jnp.asarray([0.3 * mg, -0.8, -0.8, -0.4], dtype)
         self.u_hi = jnp.asarray([1.6 * mg, 0.8, 0.8, 0.4], dtype)
 
-    def init_carry(self, state12: jnp.ndarray) -> MPPICarry:
+    def init_carry(self, state12: jnp.ndarray, seed: int = 0) -> MPPICarry:
+        """``seed`` decorrelates the exploration noise of batched/vmapped
+        MPPI instances (e.g. Monte-Carlo members); the default reproduces
+        the historical deterministic stream."""
         N = self.config.horizon
         return MPPICarry(
             U_nom=jnp.tile(self.u_hover[None, :], (N, 1)),
-            key=jax.random.PRNGKey(0),
+            key=jax.random.PRNGKey(seed),
         )
 
     # ------------------------------------------------------------------

@@ -33,7 +33,9 @@ def save_gp_checkpoint(path: str, posterior: GPPosterior, X, Y, jitter: float,
 
 
 def load_gp_checkpoint(path: str, dtype=None):
-    """Returns ``(posterior, X, Y, jitter)`` with the posterior refitted."""
+    """Returns ``(posterior, X, Y, jitter, normalize_y)`` with the posterior
+    refitted (``normalize_y`` is surfaced so any capacity-capped REfit can
+    reproduce the checkpoint's normalisation choice exactly)."""
     data = np.load(path)
     X = data["X_train"]
     Y = data["Y_train"]
@@ -47,4 +49,4 @@ def load_gp_checkpoint(path: str, dtype=None):
     jitter = float(data["jitter"])
     normalize_y = bool(data["normalize_y"])
     posterior = fit_gp(params, X, Y, jitter=jitter, normalize_y=normalize_y)
-    return posterior, X, Y, jitter
+    return posterior, X, Y, jitter, normalize_y

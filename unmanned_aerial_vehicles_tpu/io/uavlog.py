@@ -272,9 +272,12 @@ def write_uavlog(path: str, outs: dict) -> int:
     if "state" not in arrays:
         raise ValueError("rollout dict has no 'state' channel")
     T = arrays["state"].shape[0]
+    # known run-level outputs: their leading dimension can coincidentally
+    # equal T (e.g. final_state (12,) when T == 12) — never per-tick data
+    run_level = {"final_state", "final_covariance", "final_dataset"}
     channels, frame = [], {}
     for k, v in arrays.items():
-        if v.ndim == 0 or v.shape[0] != T:
+        if v.ndim == 0 or v.shape[0] != T or k in run_level:
             continue
         flat = v.reshape(T, -1).astype(np.float32)
         channels.append((k, flat.shape[1]))

@@ -1,5 +1,6 @@
 from .closed_loop import (
     FlightLoopConfig,
+    OnlineFusedGPConfig,
     mpc_flight_rollout,
     pid_flight_rollout,
 )
@@ -22,6 +23,7 @@ from .compare import (
 
 __all__ = [
     "FlightLoopConfig",
+    "OnlineFusedGPConfig",
     "mpc_flight_rollout",
     "pid_flight_rollout",
     "OnlineGPMPCConfig",

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..control.allocation import attitude_loop_init, geometric_control_allocation
 from ..control.cascade_pid import CascadePidGains, cascade_init, cascade_pid_step
 from ..control.mpc_linear import LinearMPC
+from ..gp.residual_gp import ResidualGPConfig
 from ..models.params import RigidBodyParams
 from ..models.px4_surrogate import RateLoopParams, px4_rate_tracking_step
 
@@ -64,6 +65,12 @@ class FlightLoopConfig:
     # loads. Requires num_steps % K == 0 and (for the GP) passing the raw
     # posterior via mpc_flight_rollout(gp_posterior=...)
     ticks_per_dispatch: int = 1
+    # position-error-triggered safety fallback (the reference's >50 m hover
+    # -mode switch, src/px4/mpc.py:2276-2282): when |pos - pos_ref| exceeds
+    # this threshold the MPC command is replaced in-graph by the reference's
+    # fallback PD law a = 1.5 e - 0.8 v (mpc.py:2117-2130), bounding
+    # Monte-Carlo worst-case excursions. 0.0 disables (bit-exact baseline).
+    fallback_error_m: float = 0.0
 
 
 def _plant_substeps(state, control, body, rate_loop, cfg: FlightLoopConfig):
@@ -75,6 +82,8 @@ def _plant_substeps(state, control, body, rate_loop, cfg: FlightLoopConfig):
             (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
             cfg.control_dt, cfg.plant_substeps,
             thrust_gain=body.gravity / rate_loop.hover_thrust_norm,
+            wind=body.wind,
+            interpret=jax.default_backend() == "cpu",
         ).astype(state.dtype)
 
     dt_sub = cfg.control_dt / cfg.plant_substeps
@@ -139,6 +148,26 @@ def pid_flight_rollout(
     return outs
 
 
+@struct.dataclass
+class OnlineFusedGPConfig:
+    """Online (in-flight) GP learning on the fused multi-tick path.
+
+    The reference's defining loop retrains its GP DURING flight — a 5 s
+    timer (``gaussian_process.py:122``) over data captured every tick
+    (``src/px4/mpc.py:2016-2021``). On the fused path the same policy runs
+    at dispatch granularity: every tick's transition is pushed into the
+    ring-buffer dataset (reference quality filters included), and every
+    ``refit_every`` ticks the masked Cholesky refit + ``GPRows`` rebuild
+    runs under a ``lax.cond`` — the posterior the KERNEL flies is updated
+    in-graph, so the 5 us tier learns online instead of flying a frozen GP
+    (VERDICT round-2 next-step #1).
+    """
+
+    gp: ResidualGPConfig = struct.field(default_factory=ResidualGPConfig)
+    refit_every: int = 250     # ticks; 5 s at 50 Hz (gaussian_process.py:122)
+    min_samples: int = 30      # simple_gp.py:158
+
+
 def mpc_flight_rollout(
     mpc: LinearMPC,
     reference_fn: Callable,
@@ -153,6 +182,9 @@ def mpc_flight_rollout(
     gp_posterior=None,
     gp_gain: float = 0.1,
     gp_dt: float = 0.02,
+    online_gp: "OnlineFusedGPConfig | None" = None,
+    initial_dataset=None,
+    uncertainty_fn: Callable | None = None,
     dtype=jnp.float32,
 ):
     """Closed-loop linear-MPC flight (optionally GP-enhanced).
@@ -176,33 +208,51 @@ def mpc_flight_rollout(
     if initial_state is None:
         initial_state = jnp.zeros(12, dtype).at[2].set(cfg.takeoff_height)
 
+    if online_gp is not None and not cfg.use_fused_tick:
+        raise ValueError(
+            "online_gp= is the fused multi-tick online-learning path "
+            "(use_fused_tick=True); the staged equivalent is "
+            "loop.full_system.online_gp_mpc_rollout"
+        )
     if cfg.use_fused_tick:
-        if cfg.ticks_per_dispatch > 1:
+        if output_correction_fn is not None:
+            raise ValueError(
+                "output_correction_fn (the post-solve GP generation) is "
+                "not supported on the fused-tick paths — use the staged "
+                "rollout (use_fused_tick=False)"
+            )
+        if online_gp is not None:
+            if gp_posterior is not None or residual_fn is not None:
+                raise ValueError(
+                    "online_gp= builds its posterior in-flight from the "
+                    "ring buffer — don't also pass gp_posterior/residual_fn"
+                )
+            return _multitick_rollout(
+                mpc, reference_fn, num_steps, body, rate_loop, cfg,
+                initial_state, None, gp_gain, online_gp.gp.dt, preview,
+                online_gp=online_gp, initial_dataset=initial_dataset,
+            )
+        if cfg.ticks_per_dispatch > 1 or gp_posterior is not None:
             if residual_fn is not None and gp_posterior is None:
                 raise ValueError(
                     "ticks_per_dispatch > 1 computes the GP INSIDE the "
                     "kernel: pass the raw posterior via gp_posterior= "
                     "(+ gp_gain=/gp_dt=) instead of residual_fn"
                 )
-            if output_correction_fn is not None:
-                raise ValueError(
-                    "output_correction_fn (the post-solve GP generation) is "
-                    "not supported on the fused-tick paths — use the staged "
-                    "rollout (use_fused_tick=False)"
-                )
             return _multitick_rollout(
                 mpc, reference_fn, num_steps, body, rate_loop, cfg,
                 initial_state, gp_posterior, gp_gain, gp_dt, preview,
-            )
-        if output_correction_fn is not None:
-            raise ValueError(
-                "output_correction_fn is not supported on the fused-tick "
-                "paths — use the staged rollout (use_fused_tick=False)"
             )
         if gp_posterior is not None:
             raise ValueError(
                 "gp_posterior is only consumed by the multi-tick kernel "
                 "path (ticks_per_dispatch > 1); pass a residual_fn here"
+            )
+        if mpc.config.tightening_factor > 0.0:
+            raise ValueError(
+                "uncertainty tightening on the fused single-tick path needs "
+                "the staged rollout or the multi-tick kernel (the GP and "
+                "its variance run in-kernel there)"
             )
         return _fused_tick_rollout(
             mpc, reference_fn, num_steps, body, rate_loop, cfg,
@@ -232,6 +282,13 @@ def mpc_flight_rollout(
             if residual_fn is not None
             else None
         )
+        # stage-wise GP std for the uncertainty back-off
+        # (gp.build_horizon_uncertainty bound to a posterior)
+        uncertainty = (
+            uncertainty_fn(mpc_carry.X_prev, mpc_carry.U_prev)
+            if uncertainty_fn is not None
+            else None
+        )
         if preview:
             ts = t + cfg.control_dt * jnp.arange(1, mpc.config.horizon + 2, dtype=dtype)
             pos_refs, _ = jax.vmap(reference_fn)(ts)       # (N+1, 3)
@@ -241,13 +298,22 @@ def mpc_flight_rollout(
         else:
             ref_states = None
         u_opt, X_opt, mpc_carry = mpc.solve(
-            mpc_carry, mpc_state, pos_ref, residuals, reference_states=ref_states
+            mpc_carry, mpc_state, pos_ref, residuals,
+            reference_states=ref_states, uncertainty=uncertainty,
         )
         if output_correction_fn is not None:
             u_opt = output_correction_fn(mpc_state, u_opt, pos_ref)
 
         accel_des = jnp.clip(u_opt[0:3], accel_lo, accel_hi)
         yawrate_des = jnp.clip(u_opt[3], -cfg.yawrate_limit, cfg.yawrate_limit)
+        if cfg.fallback_error_m > 0.0:
+            # reference's divergence guard: err > threshold -> fallback PD
+            # hover law (mpc.py:2276-2282 trigger, mpc.py:2117-2130 law)
+            e = pos_ref - state[0:3]
+            diverged = jnp.sum(e * e) > cfg.fallback_error_m**2
+            a_fb = jnp.clip(1.5 * e - 0.8 * state[3:6], accel_lo, accel_hi)
+            accel_des = jnp.where(diverged, a_fb, accel_des)
+            yawrate_des = jnp.where(diverged, 0.0, yawrate_des)
 
         if cfg.use_pallas_plant:
             # allocation + attitude PID + all plant substeps in ONE kernel
@@ -260,6 +326,8 @@ def mpc_flight_rollout(
                 (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
                 cfg.control_dt, cfg.plant_substeps,
                 thrust_gain=body.gravity / rate_loop.hover_thrust_norm,
+                wind=body.wind,
+                interpret=jax.default_backend() == "cpu",
             )
             new_state = new_state.astype(state.dtype)
             att_carry = AttitudeLoopState(integral=new_int.astype(dtype))
@@ -308,6 +376,7 @@ def _fused_tick_rollout(
     except the warm-start shift runs as an exact permutation matmul."""
     from ..control.mpc_linear import MPCCarry
     from ..models.double_integrator import CONTROL_DIM, STATE_DIM
+    from ..ops.plant_pallas import build_plant_row
     from ..ops.tick_pallas import build_tick_data, gpmpc_tick_fused
 
     if not mpc.config.use_fused_controller:
@@ -320,17 +389,19 @@ def _fused_tick_rollout(
     m_pad = mpc._fc_data.P1.shape[0]
     data = build_tick_data(mpc._fc_data, N, CONTROL_DIM, STATE_DIM)
     dtype = jnp.float32
+    plant_row = build_plant_row(
+        body.mass, body.gravity, body.k_drag_linear,
+        (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
+        body.gravity / rate_loop.hover_thrust_norm, body.wind,
+    )
     statics = dict(
         rho=mpc.config.admm_rho,
         iterations=mpc.config.admm_iterations,
         over_relax=mpc.config.admm_over_relax,
-        mass=body.mass, gravity=body.gravity,
-        k_drag_linear=body.k_drag_linear,
-        taus=(rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
-        thrust_gain=body.gravity / rate_loop.hover_thrust_norm,
         dt=cfg.control_dt, substeps=cfg.plant_substeps,
         accel_lo=tuple(cfg.accel_lower), accel_hi=tuple(cfg.accel_upper),
         yawrate_limit=cfg.yawrate_limit,
+        fallback_error_m=cfg.fallback_error_m,
         loop_precision=cfg.fused_tick_loop_precision,
         nnu=data.Nnu, nnx=data.Nnx,
         # Mosaic needs real TPU hardware; CPU (tests) runs the interpreter
@@ -371,6 +442,7 @@ def _fused_tick_rollout(
             row(state, n_pad), row(w, n_pad), row(ref, n_pad),
             row(misc, n_pad),
             row(mpc_carry.slack, m_pad), row(mpc_carry.dual, m_pad),
+            plant_row,
             **statics,
         )
         slack = z[0, :m]
@@ -410,12 +482,30 @@ def _fused_tick_rollout(
 def _multitick_rollout(
     mpc, reference_fn, num_steps, body, rate_loop, cfg,
     initial_state, posterior, gp_gain, gp_dt, preview,
+    online_gp: OnlineFusedGPConfig | None = None,
+    initial_dataset=None,
 ):
     """K-ticks-per-dispatch path (``ops.tick_pallas.gpmpc_multitick_fused``):
     dispatch + static-matrix VMEM loads amortise over K whole ticks and the
     GP horizon posterior runs inside the kernel. Tick semantics match
-    ``_fused_tick_rollout`` with the staged GP hook."""
+    ``_fused_tick_rollout`` with the staged GP hook.
+
+    With ``online_gp`` the GP LEARNS IN FLIGHT on this same path: each
+    dispatch pushes its K transitions through the reference's quality
+    filters into the ring buffer, and every ``refit_every`` ticks a
+    cond-gated masked Cholesky refit rebuilds the kernel's GP operands —
+    the reference's 5 s in-flight retrain policy
+    (``gaussian_process.py:122``, data capture ``src/px4/mpc.py:2016-2021``)
+    running at the latency tier. With ``mpc.config.tightening_factor > 0``
+    the kernel also computes the stage-wise posterior variance and backs
+    the state boxes off in-kernel (zero-order GP-MPC)."""
+    from ..gp.residual_gp import (
+        add_training_sample,
+        empty_dataset,
+        fit_residual_gp_masked,
+    )
     from ..models.double_integrator import CONTROL_DIM, STATE_DIM
+    from ..ops.plant_pallas import build_plant_row
     from ..ops.tick_pallas import (
         build_gp_rows,
         build_tick_data,
@@ -437,25 +527,52 @@ def _multitick_rollout(
         raise ValueError("multitick path stashes yaw_ref in the last ref "
                          f"lane; needs N*nx < n_pad ({data.Nnx} >= {n_pad})")
     dtype = jnp.float32
-    gp = (
-        build_gp_rows(posterior, gp_gain, control_dt=cfg.control_dt,
-                      gp_dt=gp_dt)
-        if posterior is not None else None
+    kappa = float(mpc.config.tightening_factor)
+    with_variance = kappa > 0.0
+    online = online_gp is not None
+    if online and online_gp.refit_every < K:
+        raise ValueError(
+            f"online_gp.refit_every={online_gp.refit_every} must be >= "
+            f"ticks_per_dispatch={K} (refits happen at dispatch boundaries)"
+        )
+    plant_row = build_plant_row(
+        body.mass, body.gravity, body.k_drag_linear,
+        (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
+        body.gravity / rate_loop.hover_thrust_norm, body.wind,
     )
+    if online:
+        gcfg = online_gp.gp
+        dataset0 = (
+            initial_dataset if initial_dataset is not None
+            else empty_dataset(gcfg.max_data_points, dtype)
+        )
+        # gain gates the kernel's correction: zero until enough samples
+        gain0 = jnp.where(
+            dataset0.count >= online_gp.min_samples, gp_gain, 0.0
+        )
+        gp0 = build_gp_rows(
+            fit_residual_gp_masked(dataset0, gcfg), gain0,
+            control_dt=cfg.control_dt, gp_dt=gcfg.dt,
+            with_variance=with_variance,
+        )
+    else:
+        gp0 = (
+            build_gp_rows(posterior, gp_gain, control_dt=cfg.control_dt,
+                          gp_dt=gp_dt, with_variance=with_variance)
+            if posterior is not None else None
+        )
     statics = dict(
-        k_ticks=K, use_gp=posterior is not None,
+        k_ticks=K, use_gp=online or posterior is not None,
         rho=mpc.config.admm_rho,
         iterations=mpc.config.admm_iterations,
         over_relax=mpc.config.admm_over_relax,
-        mass=body.mass, gravity=body.gravity,
-        k_drag_linear=body.k_drag_linear,
-        taus=(rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
-        thrust_gain=body.gravity / rate_loop.hover_thrust_norm,
         dt=cfg.control_dt, substeps=cfg.plant_substeps,
         accel_lo=tuple(cfg.accel_lower), accel_hi=tuple(cfg.accel_upper),
         yawrate_limit=cfg.yawrate_limit,
+        fallback_error_m=cfg.fallback_error_m,
         loop_precision=cfg.fused_tick_loop_precision,
         n=N, nu=CONTROL_DIM, nx=STATE_DIM,
+        tighten_kappa=kappa,
         interpret=jax.default_backend() == "cpu",
     )
 
@@ -484,11 +601,12 @@ def _multitick_rollout(
         )
 
     def step(carry, i):
-        state_row, aux_row, xtail_row, z, y = carry
+        state_row, aux_row, xtail_row, z, y, dataset, gp = carry
         ts = (i * K + jnp.arange(K)).astype(dtype) * cfg.control_dt
         refs, pos_refs = jax.vmap(one_ref)(ts)      # (K, n_pad), (K, 3)
         packed, state_row, aux_row, xtail_row, z, y = gpmpc_multitick_fused(
-            data, gp, state_row, aux_row, xtail_row, z, y, refs, **statics
+            data, gp, state_row, aux_row, xtail_row, z, y, refs, plant_row,
+            **statics,
         )
         out = {
             "state": packed[:, 0:12],
@@ -500,7 +618,45 @@ def _multitick_rollout(
             "accel_cmd": packed[:, 22:25],
             "u_mpc": packed[:, 25:29],
         }
-        return (state_row, aux_row, xtail_row, z, y), out
+        if online:
+            # --- per-tick data capture (mpc.py:2016-2021) -----------------
+            # transitions: state at tick k (pre-plant, packed lane 0:12) ->
+            # state at tick k+1 (the next packed row; last tick -> carry);
+            # control = the clipped MPC command the allocation consumed
+            states_pre = packed[:, 0:12]
+            states_next = jnp.concatenate(
+                [packed[1:, 0:12], state_row[:, 0:12]], axis=0
+            )
+            yr = jnp.clip(
+                packed[:, 28], -cfg.yawrate_limit, cfg.yawrate_limit
+            )
+            controls = jnp.concatenate(
+                [packed[:, 22:25], yr[:, None]], axis=1
+            )
+
+            def add_one(ds, trip):
+                s, u, sn = trip
+                return add_training_sample(ds, s, u, sn, gcfg), None
+
+            dataset, _ = jax.lax.scan(
+                add_one, dataset, (states_pre, controls, states_next)
+            )
+            out["gp_count"] = jnp.broadcast_to(dataset.count, (K,))
+
+            # --- cond-gated refit (the 5 s retrain timer) -----------------
+            refit = (((i + 1) * K) % online_gp.refit_every < K) & (
+                dataset.count >= online_gp.min_samples
+            )
+
+            def do_refit(ds):
+                return build_gp_rows(
+                    fit_residual_gp_masked(ds, gcfg), gp_gain,
+                    control_dt=cfg.control_dt, gp_dt=gcfg.dt,
+                    with_variance=with_variance,
+                )
+
+            gp = jax.lax.cond(refit, do_refit, lambda ds: gp, dataset)
+        return (state_row, aux_row, xtail_row, z, y, dataset, gp), out
 
     x0 = initial_state.astype(dtype)
     init = (
@@ -509,8 +665,10 @@ def _multitick_rollout(
         row(jnp.tile(x0[0:6], N), n_pad),           # X_tail = tiled x0
         jnp.zeros((1, m_pad), dtype),
         jnp.zeros((1, m_pad), dtype),
+        dataset0 if online else jnp.zeros((), dtype),
+        gp0,
     )
-    (state_row, _, _, _, _), outs = jax.lax.scan(
+    (state_row, *_), outs = jax.lax.scan(
         step, init, jnp.arange(num_steps // K)
     )
     # (C, K, ...) -> (T, ...)

@@ -147,13 +147,16 @@ def monte_carlo_flights(
     loop_cfg: FlightLoopConfig = FlightLoopConfig(),
 ) -> dict:
     """Generic engine: ``flight_fn(body_i, rate_loop_i, x0_i) -> state (T,12)``
-    is vmapped over sampled conditions; returns ``robustness_stats``."""
-    if loop_cfg.use_pallas_plant or loop_cfg.use_fused_tick:
-        raise ValueError(
-            "monte_carlo requires the XLA plant path (use_pallas_plant="
-            "False, use_fused_tick=False): the fused kernels bake nominal "
-            "plant scalars as static args and ignore RigidBodyParams.wind"
-        )
+    is vmapped over sampled conditions; returns ``robustness_stats``.
+
+    Works on every execution tier: the fused Pallas kernels take the plant
+    scalars (mass/drag/rate-lags/hover-thrust/wind) as TRACED row operands,
+    so ``vmap`` over the dispersion batch adds a kernel grid axis instead of
+    forcing per-sample recompiles — ``loop_cfg.use_fused_tick=True`` runs
+    the whole population study on the latency path. Set
+    ``loop_cfg.fallback_error_m`` (e.g. 5.0) to bound worst-case excursions
+    with the reference's divergence-triggered hover fallback
+    (``src/px4/mpc.py:2276-2282``)."""
     key = jax.random.PRNGKey(mc.seed)
     bodies, rate_loops, x0 = sample_conditions(
         key, mc, body, rate_loop, loop_cfg.takeoff_height
@@ -201,10 +204,9 @@ def monte_carlo_mpc(
     rate_loop: RateLoopParams = RateLoopParams(),
     loop_cfg: FlightLoopConfig = FlightLoopConfig(),
 ) -> dict:
-    """(GP-)MPC population study. ``loop_cfg`` must use the XLA plant path
-    (the fused Pallas plant kernels are compiled for the zero-wind nominal
-    plant and do not read ``RigidBodyParams.wind``; ``monte_carlo_flights``
-    enforces this)."""
+    """(GP-)MPC population study — any execution tier (the fused kernels
+    consume traced plant rows, so the XLA, pallas-plant and fused-tick
+    paths all vmap over the dispersion batch)."""
 
     def flight(b, r, x0):
         return mpc_flight_rollout(

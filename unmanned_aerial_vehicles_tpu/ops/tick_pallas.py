@@ -20,6 +20,20 @@ Static matrices ride the ``controller_pallas`` padded layouts; the plant
 section reuses the scalar transcriptions from ``plant_pallas``. Bit-level
 semantics match running the three stages separately (the shift matmul is a
 0/1 permutation — exact in f32).
+
+Round-3 capability upgrades (VERDICT round-2 next-steps #1/#3/#4/#7):
+
+* plant scalars (mass/drag/rate-lags/hover-thrust/WIND) are a traced
+  ``(1, 16)`` row operand, not compile-time constants — dispersed plants and
+  steady wind ride the fast path (Monte-Carlo ``vmap`` adds a grid axis);
+* the controller can consume a separate *estimated* state row while the
+  plant integrates the truth (the EKF-in-the-loop configuration);
+* the multi-tick kernel optionally computes the GP posterior VARIANCE per
+  horizon stage (cached-``K^{-1}`` quadratic form — algebraically equal to
+  the ``L^-1 K_*`` solve of ``gp.exact_gp.predict``) and applies the
+  zero-order back-off to the in-kernel state boxes
+  (uncertainty-aware constraint tightening, arXiv:2211.15522; the variance
+  the reference computes on every query, ``gaussian_process.py:223-233``).
 """
 
 from __future__ import annotations
@@ -34,7 +48,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .controller_pallas import FusedControllerData
-from .plant_pallas import _allocation, _axpy, _derivative
+from .plant_pallas import PAD as PLANT_PAD
+from .plant_pallas import (
+    _allocation,
+    _read_plant,
+    _rk4_substeps,
+    build_plant_row,
+)
 
 
 class FusedTickData(NamedTuple):
@@ -42,6 +62,7 @@ class FusedTickData(NamedTuple):
     ShiftT: np.ndarray  # (m_pad, m_pad) warm-start shift, row form (z @ ShiftT)
     SxSwT: np.ndarray   # (2 n_pad, n_pad) = vstack(SxT, SwT): offset in 1 dot
     PM: np.ndarray      # (n_pad, m_pad + n_pad) = [P0mat | MinvT]: 1 dot
+    SwSqT: np.ndarray   # (n_pad, n_pad) = SwT**2: disturbance-variance prop
     Nnu: int            # N * nu (off_z lane offset; static)
     Nnx: int            # N * nx
 
@@ -55,6 +76,7 @@ def build_tick_data(ctrl: FusedControllerData, N: int, nu: int, nx: int) -> Fuse
         ShiftT=build_shift_matrix(N, nu, nx, m_pad),
         SxSwT=np.concatenate([ctrl.SxT, ctrl.SwT], axis=0),
         PM=np.concatenate([ctrl.P0mat, ctrl.MinvT], axis=1),
+        SwSqT=np.asarray(ctrl.SwT, np.float32) ** 2,
         Nnu=N * nu,
         Nnx=N * nx,
     )
@@ -82,9 +104,9 @@ def build_shift_matrix(N: int, nu: int, nx: int, m_pad: int) -> np.ndarray:
 
 
 def _make_tick_kernel(iterations, over_relax, rho,
-                      mass, gravity, k_drag_linear, taus, thrust_gain,
                       dt, substeps, accel_lo, accel_hi, yawrate_limit,
-                      loop_precision=jax.lax.Precision.HIGHEST):
+                      loop_precision=jax.lax.Precision.HIGHEST,
+                      fallback_error_m=0.0):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -96,13 +118,16 @@ def _make_tick_kernel(iterations, over_relax, rho,
     dot = _dot(jax.lax.Precision.HIGHEST)
     dot_loop = _dot(loop_precision)
 
-    def kernel(state_ref, w_ref, ref_ref, misc_ref, z0_ref, y0_ref,
+    def kernel(state_ref, cstate_ref, w_ref, ref_ref, misc_ref, tight_ref,
+               z0_ref, y0_ref, plant_ref,
                sxswt_ref, sutqt_ref, sut_ref,
                p1_ref, pm_ref, p0matt_ref,
                ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
                out_ref, z_ref, y_ref, u_ref, xtail_ref,
                *, Nnu, Nnx):
         m_pad = p1_ref.shape[0]
+        plant = _read_plant(plant_ref)
+        gravity = plant[1]
         # ---- warm-start shift: both rows through one permutation dot ------
         zy = dot(
             jnp.concatenate([z0_ref[:], y0_ref[:]], axis=0), shiftt_ref[:]
@@ -110,7 +135,9 @@ def _make_tick_kernel(iterations, over_relax, rho,
         z0, y0 = zy[0:1], zy[1:2]
 
         # ---- condensed gradient / bounds (stacked wide dots) --------------
-        xw = jnp.concatenate([state_ref[:], w_ref[:]], axis=1)  # (1, 2n)
+        # the CONTROLLER consumes cstate (the estimate when an EKF is in the
+        # loop; == state otherwise); the plant section integrates the truth
+        xw = jnp.concatenate([cstate_ref[:], w_ref[:]], axis=1)  # (1, 2n)
         offset = dot(xw, sxswt_ref[:])                          # (1, n)
         f = dot(offset - ref_ref[:], sutqt_ref[:])              # (1, n)
         # off_z is a pure lane embedding of offset into the z layout —
@@ -123,8 +150,9 @@ def _make_tick_kernel(iterations, over_relax, rho,
             ],
             axis=1,
         )
-        lower = ulo_ref[:] + xlo_ref[:] - off_z
-        upper = uhi_ref[:] + xhi_ref[:] - off_z
+        # tight_ref: z-layout uncertainty back-off (zeros when disabled)
+        lower = ulo_ref[:] + xlo_ref[:] + tight_ref[:] - off_z
+        upper = uhi_ref[:] + xhi_ref[:] - tight_ref[:] - off_z
 
         pm = dot(f, pm_ref[:])                                  # (1, m + n)
         p0 = -pm[:, :m_pad]
@@ -152,24 +180,25 @@ def _make_tick_kernel(iterations, over_relax, rho,
         yaw_ref = misc_ref[0, 0]
         integral = (misc_ref[0, 1], misc_ref[0, 2], misc_ref[0, 3])
 
-        s = tuple(state_ref[0, i] for i in range(12))
+        # attitude PID sees the controller state (estimate); plant the truth
+        sc = tuple(cstate_ref[0, i] for i in range(12))
+        if fallback_error_m > 0.0:
+            # divergence guard (mpc.py:2276-2282): fallback PD hover law on
+            # the controller-visible state when tracking error explodes
+            ex = ref_ref[0, 0] - sc[0]
+            ey = ref_ref[0, 1] - sc[1]
+            ez = ref_ref[0, 2] - sc[2]
+            diverged = ex * ex + ey * ey + ez * ez > fallback_error_m**2
+            fb = lambda e, v, lo, hi: jnp.clip(1.5 * e - 0.8 * v, lo, hi)
+            ax = jnp.where(diverged, fb(ex, sc[3], accel_lo[0], accel_hi[0]), ax)
+            ay = jnp.where(diverged, fb(ey, sc[4], accel_lo[1], accel_hi[1]), ay)
+            az = jnp.where(diverged, fb(ez, sc[5], accel_lo[2], accel_hi[2]), az)
+            yr = jnp.where(diverged, 0.0, yr)
         c, att_sp, new_int = _allocation(
-            s, (ax, ay, az, yr, yaw_ref), integral, dt, gravity
+            sc, (ax, ay, az, yr, yaw_ref), integral, dt, gravity
         )
-
-        h = dt / substeps
-        for _ in range(substeps):
-            k1 = _derivative(s, c, mass, gravity, k_drag_linear, taus, thrust_gain)
-            k2 = _derivative(_axpy(s, k1, 0.5 * h), c, mass, gravity,
-                             k_drag_linear, taus, thrust_gain)
-            k3 = _derivative(_axpy(s, k2, 0.5 * h), c, mass, gravity,
-                             k_drag_linear, taus, thrust_gain)
-            k4 = _derivative(_axpy(s, k3, h), c, mass, gravity,
-                             k_drag_linear, taus, thrust_gain)
-            s = tuple(
-                s[i] + (h / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
-                for i in range(12)
-            )
+        s = tuple(state_ref[0, i] for i in range(12))
+        s = _rk4_substeps(s, c, plant, dt, substeps)
 
         # packed output row: state(0:12) | control(12:16) | att_sp(16:19) |
         # integral(19:22) | accel_cmd(22:25)
@@ -190,28 +219,23 @@ def _make_tick_kernel(iterations, over_relax, rho,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "iterations", "over_relax", "rho", "mass", "gravity",
-        "k_drag_linear", "taus", "thrust_gain", "dt", "substeps",
+        "iterations", "over_relax", "rho", "dt", "substeps",
         "accel_lo", "accel_hi", "yawrate_limit", "interpret",
-        "loop_precision", "nnu", "nnx",
+        "loop_precision", "nnu", "nnx", "fallback_error_m",
     ),
 )
 def gpmpc_tick_fused(
     data: FusedTickData,
-    state_row: jnp.ndarray,   # (1, n_pad) FULL 12-state in lanes 0:12
+    state_row: jnp.ndarray,   # (1, n_pad) FULL 12-state in lanes 0:12 (truth)
     w_row: jnp.ndarray,       # (1, n_pad) stacked dt*D disturbance
     ref_row: jnp.ndarray,     # (1, n_pad) stacked state reference
     misc_row: jnp.ndarray,    # (1, n_pad): [yaw_ref, integral(3)]
     z0: jnp.ndarray,          # (1, m_pad) UNshifted previous slack
     y0: jnp.ndarray,          # (1, m_pad) UNshifted previous dual
+    plant_row: jnp.ndarray,   # (1, 16) traced plant scalars (build_plant_row)
     rho: float,
     iterations: int,
     over_relax: float,
-    mass: float,
-    gravity: float,
-    k_drag_linear: float,
-    taus: tuple,
-    thrust_gain: float,
     dt: float,
     substeps: int,
     accel_lo: tuple,
@@ -221,22 +245,35 @@ def gpmpc_tick_fused(
     loop_precision: str = "highest",
     nnu: int = 0,   # N * nu — static lane offsets (pass data.Nnu)
     nnx: int = 0,   # N * nx
+    fallback_error_m: float = 0.0,
+    ctrl_state_row: jnp.ndarray | None = None,  # estimate; None -> truth
+    tight_row: jnp.ndarray | None = None,       # (1, m_pad) z-layout back-off
 ):
     """One whole GP-MPC tick. Returns ``(packed, z, y, U, X_tail)`` rows;
     ``packed`` lanes: state 0:12, control 12:16, att_sp 16:19,
-    integral 19:22, accel_cmd 22:25."""
+    integral 19:22, accel_cmd 22:25.
+
+    ``ctrl_state_row`` lets the controller fly an EKF ESTIMATE while the
+    plant integrates the truth (``estimation.noisy_loop`` fused path);
+    ``tight_row`` applies an uncertainty back-off to the state boxes
+    (``LinearMPCConfig.tightening_factor``), both default to off."""
     ctrl = data.ctrl
     m_pad = ctrl.P1.shape[0]
     n_pad = ctrl.SxT.shape[0]
     base = _make_tick_kernel(
-        iterations, over_relax, rho, mass, gravity, k_drag_linear, taus,
-        thrust_gain, dt, substeps, accel_lo, accel_hi, yawrate_limit,
+        iterations, over_relax, rho, dt, substeps,
+        accel_lo, accel_hi, yawrate_limit,
         loop_precision=(jax.lax.Precision.DEFAULT
                         if loop_precision == "default"
                         else jax.lax.Precision.HIGHEST),
+        fallback_error_m=fallback_error_m,
     )
     kernel = functools.partial(base, Nnu=nnu, Nnx=nnx)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if ctrl_state_row is None:
+        ctrl_state_row = state_row
+    if tight_row is None:
+        tight_row = jnp.zeros((1, m_pad), jnp.float32)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -246,11 +283,12 @@ def gpmpc_tick_fused(
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         ),
-        in_specs=[vmem] * 17,
+        in_specs=[vmem] * 20,
         out_specs=(vmem,) * 5,
         interpret=interpret,
     )(
-        state_row, w_row, ref_row, misc_row, z0, y0,
+        state_row, ctrl_state_row, w_row, ref_row, misc_row, tight_row,
+        z0, y0, plant_row,
         data.SxSwT, ctrl.SuTqT, ctrl.SuT,
         ctrl.P1, data.PM, ctrl.P0matT,
         ctrl.u_lo_row, ctrl.u_hi_row, ctrl.x_lo_row, ctrl.x_hi_row,
@@ -264,20 +302,23 @@ def gpmpc_tick_fused(
 
 
 class GPRows(NamedTuple):
-    """Traced GP-posterior operands in kernel layouts (built once per flight
-    by ``build_gp_rows`` — NOT per tick)."""
+    """Traced GP-posterior operands in kernel layouts (rebuilt whenever the
+    posterior changes — once per flight for a frozen GP, every refit for the
+    ONLINE path, ``loop.closed_loop`` online mode)."""
 
     ztrT: jnp.ndarray      # (16, P) length-scaled training inputs, transposed
     sq2_row: jnp.ndarray   # (1, P)  per-training-point squared norms
     alpha_s: jnp.ndarray   # (P, 8)  alpha * y_std (cols 0:6)
     y_mean_row: jnp.ndarray  # (1, 8) target means (cols 0:6)
     inv_ls_row: jnp.ndarray  # (1, 16) 1/length_scale per input lane (0:10)
-    scal_row: jnp.ndarray  # (1, 8): [signal_variance, residual_gain, 0...]
+    scal_row: jnp.ndarray  # (1, 8): [signal_variance, gain, prior_var, 0...]
+    kinv: jnp.ndarray | None = None      # (P, P) K^{-1} (variance path only)
+    y_std_row: jnp.ndarray | None = None  # (1, 8) y_std (variance path only)
 
 
 def build_gp_rows(
     posterior, gain: float, control_dt: float = 0.02, gp_dt: float = 0.02,
-    dtype=jnp.float32,
+    dtype=jnp.float32, with_variance: bool = False,
 ) -> GPRows:
     """Pack a ``gp.exact_gp.GPPosterior`` for the multi-tick kernel.
 
@@ -285,7 +326,14 @@ def build_gp_rows(
     the ``w = control_dt * D`` conversion of the fused-tick rollout:
     ``w[k, 3:6] = gain * (control_dt / gp_dt) * posterior_mean[k, 3:6]``
     (``gp_dt`` is ``ResidualGPConfig.dt``, the residual-capture interval;
-    at the default 50 Hz both dts are 0.02 and the ratio is 1)."""
+    at the default 50 Hz both dts are 0.02 and the ratio is 1).
+
+    ``with_variance=True`` additionally caches ``K^{-1}`` (one extra
+    ``cho_solve`` against the identity at build time) so the kernel can form
+    the posterior variance as the quadratic ``prior - K_* K^{-1} K_*^T``
+    diagonal — algebraically identical to the triangular-solve form of
+    ``gp.exact_gp.predict`` (``include_noise_in_variance=True`` semantics:
+    prior = signal + noise variance, matching sklearn RBF+White predict)."""
     X = posterior.X_train.astype(dtype)          # (P, 10)
     P, d = X.shape
     ls = jnp.broadcast_to(
@@ -301,17 +349,33 @@ def build_gp_rows(
         posterior.y_mean.astype(dtype)
     )
     inv_ls_row = jnp.zeros((1, 16), dtype).at[0, :d].set(1.0 / ls)
-    scal_row = jnp.zeros((1, 8), dtype).at[0, 0].set(
-        jnp.asarray(posterior.params.signal_variance, dtype)
-    ).at[0, 1].set(jnp.asarray(gain * (control_dt / gp_dt), dtype))
-    return GPRows(ztrT, sq2_row, alpha_s, y_mean_row, inv_ls_row, scal_row)
+    sf2 = jnp.asarray(posterior.params.signal_variance, dtype)
+    noise = jnp.asarray(posterior.params.noise_variance, dtype)
+    scal_row = (
+        jnp.zeros((1, 8), dtype)
+        .at[0, 0].set(sf2)
+        .at[0, 1].set(jnp.asarray(gain * (control_dt / gp_dt), dtype))
+        .at[0, 2].set(sf2 + noise)
+    )
+    kinv = None
+    y_std_row = None
+    if with_variance:
+        eye = jnp.eye(P, dtype=posterior.chol.dtype)
+        kinv = jax.scipy.linalg.cho_solve(
+            (posterior.chol, True), eye
+        ).astype(dtype)
+        y_std_row = jnp.zeros((1, 8), dtype).at[0, :6].set(
+            posterior.y_std.astype(dtype)
+        )
+    return GPRows(ztrT, sq2_row, alpha_s, y_mean_row, inv_ls_row, scal_row,
+                  kinv, y_std_row)
 
 
 def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                            iterations, over_relax, rho,
-                           mass, gravity, k_drag_linear, taus, thrust_gain,
                            dt, substeps, accel_lo, accel_hi, yawrate_limit,
-                           loop_precision=jax.lax.Precision.HIGHEST):
+                           loop_precision=jax.lax.Precision.HIGHEST,
+                           tighten_kappa=0.0, fallback_error_m=0.0):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -323,17 +387,30 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
     dot = _dot(jax.lax.Precision.HIGHEST)
     dot_loop = _dot(loop_precision)
     Nnu, Nnx = N * nu, N * nx
+    use_tightening = use_gp and tighten_kappa > 0.0
 
     def kernel(state_ref, aux_ref, xtail_ref, z0_ref, y0_ref, refs_ref,
+               plant_ref,
                ztrT_ref, sq2_ref, alphas_ref, ymean_ref, invls_ref, scal_ref,
-               sxswt_ref, sutqt_ref, sut_ref,
-               p1_ref, pm_ref, p0matt_ref,
-               ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
-               out_ref, state_out_ref, aux_out_ref, xtail_out_ref,
-               z_ref, y_ref):
+               *rest):
+        if use_tightening:
+            (kinv_ref, ystd_ref,
+             sxswt_ref, sutqt_ref, sut_ref, swsqt_ref,
+             p1_ref, pm_ref, p0matt_ref,
+             ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
+             out_ref, state_out_ref, aux_out_ref, xtail_out_ref,
+             z_ref, y_ref) = rest
+        else:
+            (sxswt_ref, sutqt_ref, sut_ref,
+             p1_ref, pm_ref, p0matt_ref,
+             ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
+             out_ref, state_out_ref, aux_out_ref, xtail_out_ref,
+             z_ref, y_ref) = rest
         m_pad = p1_ref.shape[0]
         n_pad = sut_ref.shape[0]
         zero = jnp.float32(0.0)
+        plant = _read_plant(plant_ref)
+        gravity = plant[1]
 
         def one_tick(t, carry):
             state_row, aux_row, xtail_row, z_prev, y_prev = carry
@@ -348,6 +425,7 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             # Row-layout carries hold the warm-start trajectory; the (N, 16)
             # feature matrix is assembled by scalar extraction (Mosaic has
             # no (1, N*nx) <-> (N, nx) relayout), like the plant section.
+            tight_z = jnp.zeros((1, m_pad), jnp.float32)
             if use_gp:
                 def stage_features(k):
                     if k == 0:
@@ -379,6 +457,40 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                     )
                 w_scalars.extend([zero] * (n_pad - Nnx))
                 w_row = jnp.stack(w_scalars).reshape(1, n_pad)
+
+                if use_tightening:
+                    # posterior variance via the cached-K^{-1} quadratic:
+                    # var = prior - diag(K_* K^{-1} K_*^T); then the staged
+                    # back-off algebra of LinearMPC.solve(uncertainty=...)
+                    KK = dot_loop(Kst, kinv_ref[:])          # (N, P)
+                    quad = jnp.sum(KK * Kst, axis=1, keepdims=True)  # (N,1)
+                    var_lat = jnp.maximum(scal_ref[0, 2] - quad, 1e-10)
+                    g2 = gain * gain
+                    sig = []
+                    for k in range(N):
+                        sig.extend([zero, zero, zero])
+                        sig.extend(
+                            g2 * var_lat[k, 0]
+                            * ystd_ref[0, 3 + j] * ystd_ref[0, 3 + j]
+                            for j in range(3)
+                        )
+                    sig.extend([zero] * (n_pad - Nnx))
+                    sig_row = jnp.stack(sig).reshape(1, n_pad)
+                    var_x = dot(sig_row, swsqt_ref[:])       # (1, n_pad)
+                    tight_x = tighten_kappa * jnp.sqrt(var_x)
+                    tight_z = jnp.concatenate(
+                        [
+                            jnp.zeros((1, Nnu), jnp.float32),
+                            tight_x[:, :Nnx],
+                            jnp.zeros((1, m_pad - Nnu - Nnx), jnp.float32),
+                        ],
+                        axis=1,
+                    )
+                    # never invert a box: cap at 45% of its width (zero
+                    # outside the x-block, so u-lanes stay untouched)
+                    tight_z = jnp.minimum(
+                        tight_z, 0.45 * (xhi_ref[:] - xlo_ref[:])
+                    )
             else:
                 w_row = jnp.zeros((1, n_pad), jnp.float32)
 
@@ -398,8 +510,8 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                 ],
                 axis=1,
             )
-            lower = ulo_ref[:] + xlo_ref[:] - off_z
-            upper = uhi_ref[:] + xhi_ref[:] - off_z
+            lower = ulo_ref[:] + xlo_ref[:] + tight_z - off_z
+            upper = uhi_ref[:] + xhi_ref[:] - tight_z - off_z
 
             pm = dot(f, pm_ref[:])
             p0 = -pm[:, :m_pad]
@@ -425,25 +537,21 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             integral = (aux_row[0, 8], aux_row[0, 9], aux_row[0, 10])
 
             s = tuple(state_row[0, i] for i in range(12))
+            if fallback_error_m > 0.0:
+                # divergence guard (mpc.py:2276-2282): fallback PD hover law
+                ex = ref_row[0, 0] - s[0]
+                ey = ref_row[0, 1] - s[1]
+                ez = ref_row[0, 2] - s[2]
+                diverged = ex * ex + ey * ey + ez * ez > fallback_error_m**2
+                fb = lambda e, v, lo, hi: jnp.clip(1.5 * e - 0.8 * v, lo, hi)
+                ax = jnp.where(diverged, fb(ex, s[3], accel_lo[0], accel_hi[0]), ax)
+                ay = jnp.where(diverged, fb(ey, s[4], accel_lo[1], accel_hi[1]), ay)
+                az = jnp.where(diverged, fb(ez, s[5], accel_lo[2], accel_hi[2]), az)
+                yr = jnp.where(diverged, 0.0, yr)
             c, att_sp, new_int = _allocation(
                 s, (ax, ay, az, yr, yaw_ref), integral, dt, gravity
             )
-            h = dt / substeps
-            s_new = s
-            for _ in range(substeps):
-                k1 = _derivative(s_new, c, mass, gravity, k_drag_linear, taus,
-                                 thrust_gain)
-                k2 = _derivative(_axpy(s_new, k1, 0.5 * h), c, mass, gravity,
-                                 k_drag_linear, taus, thrust_gain)
-                k3 = _derivative(_axpy(s_new, k2, 0.5 * h), c, mass, gravity,
-                                 k_drag_linear, taus, thrust_gain)
-                k4 = _derivative(_axpy(s_new, k3, h), c, mass, gravity,
-                                 k_drag_linear, taus, thrust_gain)
-                s_new = tuple(
-                    s_new[i]
-                    + (h / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
-                    for i in range(12)
-                )
+            s_new = _rk4_substeps(s, c, plant, dt, substeps)
 
             # packed lanes: state 0:12 | control 12:16 | att_sp 16:19 |
             # integral 19:22 | accel 22:25 | u0 25:29 | vel_ref 29:32
@@ -480,10 +588,10 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_ticks", "use_gp", "iterations", "over_relax", "rho", "mass",
-        "gravity", "k_drag_linear", "taus", "thrust_gain", "dt", "substeps",
-        "accel_lo", "accel_hi", "yawrate_limit", "interpret",
-        "loop_precision", "n", "nu", "nx",
+        "k_ticks", "use_gp", "iterations", "over_relax", "rho",
+        "dt", "substeps", "accel_lo", "accel_hi", "yawrate_limit",
+        "interpret", "loop_precision", "n", "nu", "nx", "tighten_kappa",
+        "fallback_error_m",
     ),
 )
 def gpmpc_multitick_fused(
@@ -495,16 +603,12 @@ def gpmpc_multitick_fused(
     z0: jnp.ndarray,           # (1, m_pad) UNshifted previous slack
     y0: jnp.ndarray,           # (1, m_pad) UNshifted previous dual
     refs: jnp.ndarray,         # (k_ticks, n_pad); lane n_pad-1 = yaw_ref
+    plant_row: jnp.ndarray,    # (1, 16) traced plant scalars
     k_ticks: int,
     use_gp: bool,
     rho: float,
     iterations: int,
     over_relax: float,
-    mass: float,
-    gravity: float,
-    k_drag_linear: float,
-    taus: tuple,
-    thrust_gain: float,
     dt: float,
     substeps: int,
     accel_lo: tuple,
@@ -515,6 +619,8 @@ def gpmpc_multitick_fused(
     n: int = 0,    # horizon N
     nu: int = 4,
     nx: int = 6,
+    tighten_kappa: float = 0.0,
+    fallback_error_m: float = 0.0,
 ):
     """K whole GP-MPC ticks in ONE dispatch (GP horizon posterior included).
 
@@ -522,7 +628,11 @@ def gpmpc_multitick_fused(
     over ``k_ticks`` and keeps the GP posterior GEMMs on-die between ticks.
     Semantics per tick match ``gpmpc_tick_fused`` with the staged
     ``build_horizon_residuals`` GP hook (same feature construction from the
-    previous solution, same ``w`` conversion).
+    previous solution, same ``w`` conversion). With ``tighten_kappa > 0``
+    (and GP rows built ``with_variance=True``) the in-kernel GP also
+    produces the stage-wise posterior variance and backs the state boxes
+    off by ``kappa * sigma`` — the staged
+    ``LinearMPC.solve(uncertainty=...)`` tightening, on the fast path.
 
     Returns ``(packed (k_ticks, n_pad), state_row, aux_row, xtail_row, z, y)``
     — packed lanes: state 0:12, control 12:16, att_sp 16:19, integral 19:22,
@@ -531,13 +641,16 @@ def gpmpc_multitick_fused(
     ctrl = data.ctrl
     m_pad = ctrl.P1.shape[0]
     n_pad = ctrl.SxT.shape[0]
+    use_tightening = use_gp and tighten_kappa > 0.0
     base = _make_multitick_kernel(
         k_ticks, n, nu, nx, use_gp,
-        iterations, over_relax, rho, mass, gravity, k_drag_linear, taus,
-        thrust_gain, dt, substeps, accel_lo, accel_hi, yawrate_limit,
+        iterations, over_relax, rho, dt, substeps,
+        accel_lo, accel_hi, yawrate_limit,
         loop_precision=(jax.lax.Precision.DEFAULT
                         if loop_precision == "default"
                         else jax.lax.Precision.HIGHEST),
+        tighten_kappa=tighten_kappa,
+        fallback_error_m=fallback_error_m,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if gp is None:  # placeholder rows keep the arg list static
@@ -549,6 +662,23 @@ def gpmpc_multitick_fused(
             inv_ls_row=jnp.zeros((1, 16), jnp.float32),
             scal_row=jnp.zeros((1, 8), jnp.float32),
         )
+    if use_tightening and (gp.kinv is None or gp.y_std_row is None):
+        raise ValueError(
+            "tighten_kappa > 0 needs GP rows built with_variance=True "
+            "(build_gp_rows(..., with_variance=True))"
+        )
+    var_ops = (gp.kinv, gp.y_std_row) if use_tightening else ()
+    var_mats = (data.SwSqT,) if use_tightening else ()
+    operands = (
+        state_row, aux_row, xtail_row, z0, y0, refs, plant_row,
+        gp.ztrT, gp.sq2_row, gp.alpha_s, gp.y_mean_row, gp.inv_ls_row,
+        gp.scal_row,
+        *var_ops,
+        data.SxSwT, ctrl.SuTqT, ctrl.SuT, *var_mats,
+        ctrl.P1, data.PM, ctrl.P0matT,
+        ctrl.u_lo_row, ctrl.u_hi_row, ctrl.x_lo_row, ctrl.x_hi_row,
+        data.ShiftT,
+    )
     return pl.pallas_call(
         base,
         out_shape=(
@@ -559,15 +689,7 @@ def gpmpc_multitick_fused(
             jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
         ),
-        in_specs=[vmem] * 23,
+        in_specs=[vmem] * len(operands),
         out_specs=(vmem,) * 6,
         interpret=interpret,
-    )(
-        state_row, aux_row, xtail_row, z0, y0, refs,
-        gp.ztrT, gp.sq2_row, gp.alpha_s, gp.y_mean_row, gp.inv_ls_row,
-        gp.scal_row,
-        data.SxSwT, ctrl.SuTqT, ctrl.SuT,
-        ctrl.P1, data.PM, ctrl.P0matT,
-        ctrl.u_lo_row, ctrl.u_hi_row, ctrl.x_lo_row, ctrl.x_hi_row,
-        data.ShiftT,
-    )
+    )(*operands)
