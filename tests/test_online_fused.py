@@ -274,3 +274,39 @@ def test_tightening_requires_variance_rows():
     ) + (post.params.noise_variance + ResidualGPConfig().alpha) * jnp.eye(16)
     resid = np.asarray(rows_v.kinv.astype(jnp.float64) @ K - jnp.eye(16))
     assert np.max(np.abs(resid)) < 1e-3
+
+
+def test_batch_capture_matches_sequential(rng):
+    """add_training_samples_batch == K sequential add_training_sample calls
+    (same slots, same head/count, same filters), including wrap-around."""
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import (
+        add_training_sample,
+        add_training_samples_batch,
+        empty_dataset,
+    )
+
+    gcfg = ResidualGPConfig(max_data_points=16)
+    K, T = 8, 6  # 48 inserts through a 16-slot ring: several wraps
+    ds_seq = empty_dataset(16, jnp.float32)
+    ds_bat = empty_dataset(16, jnp.float32)
+    for t in range(T):
+        states = rng.normal(size=(K, 6)) * 2.0      # some exceed vel filter
+        controls = rng.normal(size=(K, 4)) * 1.5    # some exceed ctrl filter
+        nxt = states + 0.02 * np.concatenate(
+            [states[:, 3:6], controls[:, 0:3]], axis=1
+        ) + 0.05 * rng.normal(size=(K, 6))          # some exceed residual
+        states = jnp.asarray(states, jnp.float32)
+        controls = jnp.asarray(controls, jnp.float32)
+        nxt = jnp.asarray(nxt, jnp.float32)
+        for i in range(K):
+            ds_seq = add_training_sample(
+                ds_seq, states[i], controls[i], nxt[i], gcfg
+            )
+        ds_bat = add_training_samples_batch(
+            ds_bat, states, controls, nxt, gcfg
+        )
+    assert int(ds_seq.head) == int(ds_bat.head)
+    assert int(ds_seq.count) == int(ds_bat.count)
+    np.testing.assert_array_equal(np.asarray(ds_seq.X), np.asarray(ds_bat.X))
+    np.testing.assert_array_equal(np.asarray(ds_seq.Y), np.asarray(ds_bat.Y))
+    assert 0 < int(ds_bat.count) <= 16

@@ -500,7 +500,7 @@ def _multitick_rollout(
     the kernel also computes the stage-wise posterior variance and backs
     the state boxes off in-kernel (zero-order GP-MPC)."""
     from ..gp.residual_gp import (
-        add_training_sample,
+        add_training_samples_batch,
         empty_dataset,
         fit_residual_gp_masked,
     )
@@ -633,13 +633,10 @@ def _multitick_rollout(
             controls = jnp.concatenate(
                 [packed[:, 22:25], yr[:, None]], axis=1
             )
-
-            def add_one(ds, trip):
-                s, u, sn = trip
-                return add_training_sample(ds, s, u, sn, gcfg), None
-
-            dataset, _ = jax.lax.scan(
-                add_one, dataset, (states_pre, controls, states_next)
+            # whole dispatch's inserts as ONE masked scatter (sequential
+            # scatters cost ~6.5 us/tick on v5e; this is ~free)
+            dataset = add_training_samples_batch(
+                dataset, states_pre, controls, states_next, gcfg
             )
             out["gp_count"] = jnp.broadcast_to(dataset.count, (K,))
 
