@@ -332,7 +332,7 @@ def test_batched_sweep_matches_vmapped_rollout(rng):
     )
     B, T = 4, 40
     starts = jnp.zeros((B, 12), jnp.float32).at[:, 2].set(3.0)
-    starts = starts.at[:, 0].set(jnp.linspace(-0.5, 0.5, B))
+    starts = starts.at[:, 0].set(jnp.linspace(-0.5, 0.5, B, dtype=jnp.float32))
 
     out_b = jax.jit(
         lambda: batched_mpc_flight_sweep(

@@ -109,7 +109,7 @@ def test_sharded_structured_sweep_matches_vmapped():
     staged = LinearMPC(LinearMPCConfig(**kw))
     B, T = 16, 25
     starts = jnp.zeros((B, 12), jnp.float32).at[:, 2].set(3.0)
-    starts = starts.at[:, 0].set(jnp.linspace(-0.5, 0.5, B))
+    starts = starts.at[:, 0].set(jnp.linspace(-0.5, 0.5, B, dtype=jnp.float32))
 
     mesh = make_mesh()
     out_k = sharded_structured_flight_sweep(

@@ -85,13 +85,15 @@ def test_lqr_vmaps_over_batch(rng):
 def test_parallel_riccati_matches_sequential():
     """Associative-scan LQR (ops.parallel_riccati) reproduces the sequential
     backward/forward scans to machine precision across horizons — including
-    non-power-of-two lengths (odd-split scan tree)."""
+    non-power-of-two lengths (odd-split scan tree). N={3, 37} covers the
+    degenerate and odd-split trees; larger horizons only grow compile time
+    (this was the slowest test in the suite at 89 s, VERDICT round-2 #10)."""
     from unmanned_aerial_vehicles_tpu.ops.parallel_riccati import (
         lqr_tracking_solve_parallel,
     )
 
     rng = np.random.default_rng(1)
-    for N in (3, 8, 37, 130):
+    for N in (3, 37):
         nx, nu = 6, 4
         A = jnp.asarray(np.tile(np.eye(nx), (N, 1, 1))
                         + 0.05 * rng.normal(size=(N, nx, nx)))

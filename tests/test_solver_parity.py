@@ -103,12 +103,14 @@ def test_polish_beats_raw_admm_kkt():
 
 @pytest.mark.slow
 def test_u0_parity_along_figure8():
-    """Per-tick u0 parity <=1e-6 along a 200-tick figure-8 flight.
+    """Per-tick u0 parity <=1e-6 along a 50-tick figure-8 flight.
 
     Flies the polished f64 GP-MPC loop closed-loop, then re-derives every
     8th tick's QP from the logged state and cross-solves it with the
     interior-point reference (the VERDICT round-1 'done' criterion; ticks
-    are subsampled only because trust-constr needs ~1 s per QP).
+    are subsampled only because trust-constr needs ~1 s per QP; 50 ticks
+    cover the ramp + early-trajectory regimes where the active set moves —
+    VERDICT round-2 #10 trimmed this from 200 for suite wall-clock).
     """
     mpc = _make_mpc()
     cfg = FlightLoopConfig()
@@ -117,14 +119,14 @@ def test_u0_parity_along_figure8():
         pos, yaw = ramped_figure8_reference(t, amplitude=2.0, frequency=0.1)
         return pos + jnp.array([0.0, 0.0, cfg.takeoff_height]), yaw
 
-    outs = mpc_flight_rollout(mpc, ref, num_steps=200, cfg=cfg, dtype=jnp.float64)
+    outs = mpc_flight_rollout(mpc, ref, num_steps=50, cfg=cfg, dtype=jnp.float64)
     states = np.asarray(outs["state"])
     pos_refs = np.asarray(outs["pos_ref"])
     u_mpc = np.asarray(outs["u_mpc"])
     assert np.isfinite(u_mpc).all()
 
     worst = 0.0
-    for k in range(0, 200, 8):
+    for k in range(0, 50, 8):
         H, G, f, lo, hi = mpc.qp_data(
             jnp.asarray(states[k, :6]), jnp.asarray(pos_refs[k])
         )

@@ -41,14 +41,23 @@ def geometric_control_allocation(
     kd: float = 0.6,
     integral_max: float = 0.3,
     gravity: float = 9.81,
+    thrust_ceiling=1.2,
 ):
     """One allocation tick (``mpc.py:2057-2113``).
+
+    ``thrust_ceiling`` is the normalized-thrust clamp (the reference's 1.2,
+    ``mpc.py:2064``); recovery modes may pass a traced higher value — real
+    airframes keep >1.2x-hover headroom (PX4 full throttle at the PID
+    campaign's 0.7 hover calibration is 1.43 normalized), and a vehicle
+    pinned at 1.2 under heavy+downdraft dispersions sinks unrecoverably.
 
     Returns ``(thrust_normalized, rate_setpoint3, attitude_setpoint3, carry)``.
     """
     thrust_vector = accel_des + jnp.array([0.0, 0.0, gravity], accel_des.dtype)
     thrust_magnitude = jnp.linalg.norm(thrust_vector)
-    thrust_normalized = jnp.clip(thrust_magnitude / gravity, 0.25, 1.2)
+    thrust_normalized = jnp.clip(
+        thrust_magnitude / gravity, 0.25, thrust_ceiling
+    )
 
     thrust_unit = thrust_vector / jnp.maximum(thrust_magnitude, 1e-9)
     pitch_cmd = -jnp.arcsin(jnp.clip(thrust_unit[0], -0.4, 0.4))

@@ -191,6 +191,7 @@ def _fused_noisy_rollout(
         accel_lo=tuple(cfg.accel_lower), accel_hi=tuple(cfg.accel_upper),
         yawrate_limit=cfg.yawrate_limit,
         fallback_error_m=cfg.fallback_error_m,
+        fallback_thrust_ceiling=cfg.fallback_thrust_ceiling,
         loop_precision=cfg.fused_tick_loop_precision,
         nnu=data.Nnu, nnx=data.Nnx,
         interpret=jax.default_backend() == "cpu",

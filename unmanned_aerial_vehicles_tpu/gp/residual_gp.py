@@ -147,14 +147,16 @@ def add_training_samples_batch(
     )
 
     acc_i = accept.astype(jnp.int32)
-    before = jnp.cumsum(acc_i) - acc_i          # accepted before sample i
+    # dtype=int32 throughout: jnp reductions promote to int64 under x64,
+    # which would flip the scan-carried head/count dtypes mid-loop
+    before = jnp.cumsum(acc_i, dtype=jnp.int32) - acc_i
     slots = jnp.where(
         accept, (dataset.head + before) % capacity, capacity  # OOB -> drop
     )
     rows = jnp.concatenate([s6, c4], axis=1).astype(dataset.X.dtype)
     X = dataset.X.at[slots].set(rows, mode="drop")
     Y = dataset.Y.at[slots].set(residual.astype(dataset.Y.dtype), mode="drop")
-    n_new = jnp.sum(acc_i)
+    n_new = jnp.sum(acc_i, dtype=jnp.int32)
     return ResidualDataset(
         X=X, Y=Y,
         head=dataset.head + n_new,
@@ -333,7 +335,11 @@ def output_correction(
         & stable
         & (uncertainty < config.confidence_threshold)
     )
-    return u_opt.at[0:3].add(jnp.where(apply, correction, 0.0))
+    # cast: the posterior may be f64 (parity fits) while the loop is f32 —
+    # an uncast scatter-add is a FutureWarning now, an error in future JAX
+    return u_opt.at[0:3].add(
+        jnp.where(apply, correction, 0.0).astype(u_opt.dtype)
+    )
 
 
 def make_output_correction_fn(

@@ -71,6 +71,13 @@ class FlightLoopConfig:
     # fallback PD law a = 1.5 e - 0.8 v (mpc.py:2117-2130), bounding
     # Monte-Carlo worst-case excursions. 0.0 disables (bit-exact baseline).
     fallback_error_m: float = 0.0
+    # normalized-thrust clamp while the fallback is ENGAGED. The nominal
+    # allocation clamps at the reference's 1.2 (mpc.py:2064); dispersed
+    # members that diverge are typically PINNED there (heavy + high hover
+    # calibration + downdraft wind -> steady sink no accel command can fix),
+    # so recovery needs the physical headroom a real airframe has (PX4 full
+    # throttle at the PID campaign's 0.7 hover calibration = 1.43).
+    fallback_thrust_ceiling: float = 1.5
 
 
 def _plant_substeps(state, control, body, rate_loop, cfg: FlightLoopConfig):
@@ -306,14 +313,19 @@ def mpc_flight_rollout(
 
         accel_des = jnp.clip(u_opt[0:3], accel_lo, accel_hi)
         yawrate_des = jnp.clip(u_opt[3], -cfg.yawrate_limit, cfg.yawrate_limit)
+        thrust_ceiling = 1.2
         if cfg.fallback_error_m > 0.0:
             # reference's divergence guard: err > threshold -> fallback PD
-            # hover law (mpc.py:2276-2282 trigger, mpc.py:2117-2130 law)
+            # hover law (mpc.py:2276-2282 trigger, mpc.py:2117-2130 law),
+            # with recovery thrust headroom (see fallback_thrust_ceiling)
             e = pos_ref - state[0:3]
             diverged = jnp.sum(e * e) > cfg.fallback_error_m**2
             a_fb = jnp.clip(1.5 * e - 0.8 * state[3:6], accel_lo, accel_hi)
             accel_des = jnp.where(diverged, a_fb, accel_des)
             yawrate_des = jnp.where(diverged, 0.0, yawrate_des)
+            thrust_ceiling = jnp.where(
+                diverged, cfg.fallback_thrust_ceiling, 1.2
+            )
 
         if cfg.use_pallas_plant:
             # allocation + attitude PID + all plant substeps in ONE kernel
@@ -327,6 +339,7 @@ def mpc_flight_rollout(
                 cfg.control_dt, cfg.plant_substeps,
                 thrust_gain=body.gravity / rate_loop.hover_thrust_norm,
                 wind=body.wind,
+                thrust_ceiling=thrust_ceiling,
                 interpret=jax.default_backend() == "cpu",
             )
             new_state = new_state.astype(state.dtype)
@@ -341,6 +354,7 @@ def mpc_flight_rollout(
                 state[6:9],
                 state[9:12],
                 dt_attitude=cfg.control_dt,
+                thrust_ceiling=thrust_ceiling,
             )
             control = jnp.concatenate([thrust[None], rate_cmd])
             new_state = _plant_substeps(state, control, body, rate_loop, cfg)
@@ -402,6 +416,7 @@ def _fused_tick_rollout(
         accel_lo=tuple(cfg.accel_lower), accel_hi=tuple(cfg.accel_upper),
         yawrate_limit=cfg.yawrate_limit,
         fallback_error_m=cfg.fallback_error_m,
+        fallback_thrust_ceiling=cfg.fallback_thrust_ceiling,
         loop_precision=cfg.fused_tick_loop_precision,
         nnu=data.Nnu, nnx=data.Nnx,
         # Mosaic needs real TPU hardware; CPU (tests) runs the interpreter
@@ -570,6 +585,7 @@ def _multitick_rollout(
         accel_lo=tuple(cfg.accel_lower), accel_hi=tuple(cfg.accel_upper),
         yawrate_limit=cfg.yawrate_limit,
         fallback_error_m=cfg.fallback_error_m,
+        fallback_thrust_ceiling=cfg.fallback_thrust_ceiling,
         loop_precision=cfg.fused_tick_loop_precision,
         n=N, nu=CONTROL_DIM, nx=STATE_DIM,
         tighten_kappa=kappa,

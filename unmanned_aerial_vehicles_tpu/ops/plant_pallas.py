@@ -126,14 +126,16 @@ def _make_kernel(dt, substeps):
 
 
 def _allocation(s, cmd, integral, dt, gravity,
-                kp=3.2, ki=0.6, kd=0.6, integral_max=0.3):
+                kp=3.2, ki=0.6, kd=0.6, integral_max=0.3,
+                thrust_ceiling=1.2):
     """Scalar transcription of ``control.allocation.
-    geometric_control_allocation`` (mpc.py:2057-2113)."""
+    geometric_control_allocation`` (mpc.py:2057-2113). ``thrust_ceiling``
+    may be a traced scalar (recovery modes raise it)."""
     ax, ay, az, yawrate_des, target_yaw = cmd[0], cmd[1], cmd[2], cmd[3], cmd[4]
 
     tvx, tvy, tvz = ax, ay, az + gravity
     tmag = jnp.sqrt(tvx * tvx + tvy * tvy + tvz * tvz)
-    thrust = jnp.clip(tmag / gravity, 0.25, 1.2)
+    thrust = jnp.clip(tmag / gravity, 0.25, thrust_ceiling)
 
     inv = 1.0 / jnp.maximum(tmag, 1e-9)
 
@@ -185,7 +187,10 @@ def _make_tick_kernel(dt, substeps):
         integral = tuple(integral_ref[0, i] for i in range(3))
         plant = _read_plant(plant_ref)
 
-        c, att_sp, new_int = _allocation(s, cmd, integral, dt, plant[1])
+        # cmd lane 5 carries the (possibly recovery-raised) thrust ceiling
+        c, att_sp, new_int = _allocation(
+            s, cmd, integral, dt, plant[1], thrust_ceiling=cmd_ref[0, 5]
+        )
         s = _rk4_substeps(s, c, plant, dt, substeps)
         zero = jnp.float32(0.0)
         out_state_ref[:] = jnp.stack(s + (zero,) * (PAD - 12)).reshape(1, PAD)
@@ -216,20 +221,23 @@ def allocation_plant_tick_fused(
     interpret: bool = False,
     thrust_gain=None,          # g / hover_thrust_norm; None -> g
     wind=(0.0, 0.0, 0.0),
+    thrust_ceiling=1.2,
 ):
     """Geometric allocation + attitude PID + all plant RK4 substeps, fused.
 
     Returns ``(new_state (12,), control4, att_setpoint3, new_integral (3,))``
     — semantics identical to ``geometric_control_allocation`` followed by
-    ``px4_plant_step_fused``. Plant scalars (and wind) are traced operands.
+    ``px4_plant_step_fused``. Plant scalars (and wind) are traced operands;
+    ``thrust_ceiling`` may be traced too (recovery modes raise it).
     """
     srow = jnp.zeros((1, PAD), jnp.float32).at[0, :12].set(state.astype(jnp.float32))
     cmd = jnp.concatenate(
         [accel_des.astype(jnp.float32),
          jnp.asarray(yawrate_des, jnp.float32)[None],
-         jnp.asarray(target_yaw, jnp.float32)[None]]
+         jnp.asarray(target_yaw, jnp.float32)[None],
+         jnp.asarray(thrust_ceiling, jnp.float32)[None]]
     )
-    crow = jnp.zeros((1, PAD), jnp.float32).at[0, :5].set(cmd)
+    crow = jnp.zeros((1, PAD), jnp.float32).at[0, :6].set(cmd)
     irow = jnp.zeros((1, PAD), jnp.float32).at[0, :3].set(
         att_integral.astype(jnp.float32)
     )

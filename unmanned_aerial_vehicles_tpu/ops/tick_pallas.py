@@ -106,7 +106,7 @@ def build_shift_matrix(N: int, nu: int, nx: int, m_pad: int) -> np.ndarray:
 def _make_tick_kernel(iterations, over_relax, rho,
                       dt, substeps, accel_lo, accel_hi, yawrate_limit,
                       loop_precision=jax.lax.Precision.HIGHEST,
-                      fallback_error_m=0.0):
+                      fallback_error_m=0.0, fallback_thrust_ceiling=1.5):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -182,9 +182,12 @@ def _make_tick_kernel(iterations, over_relax, rho,
 
         # attitude PID sees the controller state (estimate); plant the truth
         sc = tuple(cstate_ref[0, i] for i in range(12))
+        thrust_hi = jnp.float32(1.2)
         if fallback_error_m > 0.0:
             # divergence guard (mpc.py:2276-2282): fallback PD hover law on
-            # the controller-visible state when tracking error explodes
+            # the controller-visible state when tracking error explodes,
+            # with recovery thrust headroom (diverged members are typically
+            # pinned at the nominal 1.2 clamp and sink)
             ex = ref_ref[0, 0] - sc[0]
             ey = ref_ref[0, 1] - sc[1]
             ez = ref_ref[0, 2] - sc[2]
@@ -194,8 +197,12 @@ def _make_tick_kernel(iterations, over_relax, rho,
             ay = jnp.where(diverged, fb(ey, sc[4], accel_lo[1], accel_hi[1]), ay)
             az = jnp.where(diverged, fb(ez, sc[5], accel_lo[2], accel_hi[2]), az)
             yr = jnp.where(diverged, 0.0, yr)
+            thrust_hi = jnp.where(
+                diverged, jnp.float32(fallback_thrust_ceiling), thrust_hi
+            )
         c, att_sp, new_int = _allocation(
-            sc, (ax, ay, az, yr, yaw_ref), integral, dt, gravity
+            sc, (ax, ay, az, yr, yaw_ref), integral, dt, gravity,
+            thrust_ceiling=thrust_hi,
         )
         s = tuple(state_ref[0, i] for i in range(12))
         s = _rk4_substeps(s, c, plant, dt, substeps)
@@ -222,6 +229,7 @@ def _make_tick_kernel(iterations, over_relax, rho,
         "iterations", "over_relax", "rho", "dt", "substeps",
         "accel_lo", "accel_hi", "yawrate_limit", "interpret",
         "loop_precision", "nnu", "nnx", "fallback_error_m",
+        "fallback_thrust_ceiling",
     ),
 )
 def gpmpc_tick_fused(
@@ -246,6 +254,7 @@ def gpmpc_tick_fused(
     nnu: int = 0,   # N * nu — static lane offsets (pass data.Nnu)
     nnx: int = 0,   # N * nx
     fallback_error_m: float = 0.0,
+    fallback_thrust_ceiling: float = 1.5,
     ctrl_state_row: jnp.ndarray | None = None,  # estimate; None -> truth
     tight_row: jnp.ndarray | None = None,       # (1, m_pad) z-layout back-off
 ):
@@ -267,6 +276,7 @@ def gpmpc_tick_fused(
                         if loop_precision == "default"
                         else jax.lax.Precision.HIGHEST),
         fallback_error_m=fallback_error_m,
+        fallback_thrust_ceiling=fallback_thrust_ceiling,
     )
     kernel = functools.partial(base, Nnu=nnu, Nnx=nnx)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -375,7 +385,8 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                            iterations, over_relax, rho,
                            dt, substeps, accel_lo, accel_hi, yawrate_limit,
                            loop_precision=jax.lax.Precision.HIGHEST,
-                           tighten_kappa=0.0, fallback_error_m=0.0):
+                           tighten_kappa=0.0, fallback_error_m=0.0,
+                           fallback_thrust_ceiling=1.5):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -537,8 +548,10 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             integral = (aux_row[0, 8], aux_row[0, 9], aux_row[0, 10])
 
             s = tuple(state_row[0, i] for i in range(12))
+            thrust_hi = jnp.float32(1.2)
             if fallback_error_m > 0.0:
                 # divergence guard (mpc.py:2276-2282): fallback PD hover law
+                # + recovery thrust headroom (see single-tick kernel note)
                 ex = ref_row[0, 0] - s[0]
                 ey = ref_row[0, 1] - s[1]
                 ez = ref_row[0, 2] - s[2]
@@ -548,8 +561,12 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                 ay = jnp.where(diverged, fb(ey, s[4], accel_lo[1], accel_hi[1]), ay)
                 az = jnp.where(diverged, fb(ez, s[5], accel_lo[2], accel_hi[2]), az)
                 yr = jnp.where(diverged, 0.0, yr)
+                thrust_hi = jnp.where(
+                    diverged, jnp.float32(fallback_thrust_ceiling), thrust_hi
+                )
             c, att_sp, new_int = _allocation(
-                s, (ax, ay, az, yr, yaw_ref), integral, dt, gravity
+                s, (ax, ay, az, yr, yaw_ref), integral, dt, gravity,
+                thrust_ceiling=thrust_hi,
             )
             s_new = _rk4_substeps(s, c, plant, dt, substeps)
 
@@ -591,7 +608,7 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         "k_ticks", "use_gp", "iterations", "over_relax", "rho",
         "dt", "substeps", "accel_lo", "accel_hi", "yawrate_limit",
         "interpret", "loop_precision", "n", "nu", "nx", "tighten_kappa",
-        "fallback_error_m",
+        "fallback_error_m", "fallback_thrust_ceiling",
     ),
 )
 def gpmpc_multitick_fused(
@@ -621,6 +638,7 @@ def gpmpc_multitick_fused(
     nx: int = 6,
     tighten_kappa: float = 0.0,
     fallback_error_m: float = 0.0,
+    fallback_thrust_ceiling: float = 1.5,
 ):
     """K whole GP-MPC ticks in ONE dispatch (GP horizon posterior included).
 
@@ -651,6 +669,7 @@ def gpmpc_multitick_fused(
                         else jax.lax.Precision.HIGHEST),
         tighten_kappa=tighten_kappa,
         fallback_error_m=fallback_error_m,
+        fallback_thrust_ceiling=fallback_thrust_ceiling,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if gp is None:  # placeholder rows keep the arg list static

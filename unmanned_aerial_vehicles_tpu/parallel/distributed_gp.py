@@ -114,6 +114,64 @@ def _cg(matvec, precond, b, iterations: int):
     return x, jnp.max(res)
 
 
+@functools.lru_cache(maxsize=16)
+def _fit_solver(mesh: Mesh, cg_iterations: int):
+    """Cached jitted sharded-CG fit program.
+
+    Building a fresh closure + ``jax.jit`` per fit call re-traces and
+    re-lowers the whole shard_map program every time — tens of seconds over
+    a remote-TPU tunnel (this WAS the round-2 "35 s corpus fit": the actual
+    on-device CG is ~1 s). Hyperparameters ride as traced arguments, so one
+    compiled program serves every fit at a given (mesh, shape, iterations).
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("batch"), P("batch"), P("batch"), P(), P(), P(), P()),
+        out_specs=(P("batch"), P()),
+    )
+    def solve(X_loc, Yn_loc, mask_loc, X_anchor, ls, sv, c):
+        # one (n/D, n) Gram block per device, built once on the MXU
+        X_full = jax.lax.all_gather(X_loc, "batch", tiled=True)
+        mask_full = jax.lax.all_gather(mask_loc, "batch", tiled=True)
+        K_loc = rbf_kernel(X_loc, X_full, ls, sv)
+        K_loc = K_loc * mask_loc[:, None] * mask_full[None, :]
+
+        def matvec(v_loc):
+            v_full = jax.lax.all_gather(v_loc, "batch", tiled=True)
+            return (
+                jnp.matmul(K_loc, v_full, precision=_HIGH) + c * v_loc
+            )
+
+        # Nystrom/Woodbury preconditioner: S = c W + C'C (m x m, replicated)
+        W = rbf_kernel(X_anchor, X_anchor, ls, sv)
+        C_loc = rbf_kernel(X_loc, X_anchor, ls, sv) * mask_loc[:, None]
+        CtC = jax.lax.psum(
+            jnp.matmul(C_loc.T, C_loc, precision=_HIGH), "batch"
+        )
+        S = c * W + CtC
+        # scale-aware jitter: with small noise and many anchors S is nearly
+        # singular (cond ~ 1e9 measured on the flight corpus) — f32 Cholesky
+        # would produce an indefinite preconditioner and CG diverges/NaNs.
+        eps = 1e-10 if S.dtype == jnp.float64 else 1e-5
+        S = S + (eps * jnp.trace(S) / S.shape[0]) * jnp.eye(
+            S.shape[0], dtype=S.dtype
+        )
+        S_chol = jnp.linalg.cholesky(S)
+
+        def precond(r_loc):
+            Ctr = jax.lax.psum(
+                jnp.matmul(C_loc.T, r_loc, precision=_HIGH), "batch"
+            )
+            u = jax.scipy.linalg.cho_solve((S_chol, True), Ctr)
+            return (r_loc - jnp.matmul(C_loc, u, precision=_HIGH)) / c
+
+        return _cg(matvec, precond, Yn_loc, cg_iterations)
+
+    return jax.jit(solve)
+
+
 def fit_residual_gp_sharded(
     X,
     Y,
@@ -165,114 +223,64 @@ def fit_residual_gp_sharded(
     y_std = jnp.where(y_std == 0.0, 1.0, y_std)
     Yn = ((Yp - y_mean) / y_std) * maskp[:, None]
 
-    ls, sv = params.length_scale, params.signal_variance
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P("batch"), P("batch"), P("batch"), P()),
-        out_specs=(P("batch"), P()),
-    )
-    def solve(X_loc, Yn_loc, mask_loc, X_anchor):
-        # one (n/D, n) Gram block per device, built once on the MXU
-        X_full = jax.lax.all_gather(X_loc, "batch", tiled=True)
-        mask_full = jax.lax.all_gather(mask_loc, "batch", tiled=True)
-        K_loc = rbf_kernel(X_loc, X_full, ls, sv)
-        K_loc = K_loc * mask_loc[:, None] * mask_full[None, :]
-
-        def matvec(v_loc):
-            v_full = jax.lax.all_gather(v_loc, "batch", tiled=True)
-            return (
-                jnp.matmul(K_loc, v_full, precision=_HIGH) + c * v_loc
-            )
-
-        # Nystrom/Woodbury preconditioner: S = c W + C'C (m x m, replicated)
-        W = rbf_kernel(X_anchor, X_anchor, ls, sv)
-        C_loc = rbf_kernel(X_loc, X_anchor, ls, sv) * mask_loc[:, None]
-        CtC = jax.lax.psum(
-            jnp.matmul(C_loc.T, C_loc, precision=_HIGH), "batch"
-        )
-        S = c * W + CtC
-        # scale-aware jitter: with small noise and many anchors S is nearly
-        # singular (cond ~ 1e9 measured on the flight corpus) — f32 Cholesky
-        # would produce an indefinite preconditioner and CG diverges/NaNs.
-        eps = 1e-10 if S.dtype == jnp.float64 else 1e-5
-        S = S + (eps * jnp.trace(S) / S.shape[0]) * jnp.eye(
-            S.shape[0], dtype=S.dtype
-        )
-        S_chol = jnp.linalg.cholesky(S)
-
-        def precond(r_loc):
-            Ctr = jax.lax.psum(
-                jnp.matmul(C_loc.T, r_loc, precision=_HIGH), "batch"
-            )
-            u = jax.scipy.linalg.cho_solve((S_chol, True), Ctr)
-            return (r_loc - jnp.matmul(C_loc, u, precision=_HIGH)) / c
-
-        return _cg(matvec, precond, Yn_loc, cg_iterations)
+    ls = jnp.asarray(params.length_scale, dtype)
+    sv = jnp.asarray(params.signal_variance, dtype)
 
     shard = NamedSharding(mesh, P("batch"))
     Xs = jax.device_put(Xp, shard)
     Ys = jax.device_put(Yn, shard)
     ms = jax.device_put(maskp, shard)
 
-    alpha, residual = jax.jit(solve)(Xs, Ys, ms, X_m)
+    solve = _fit_solver(mesh, int(cg_iterations))
+    alpha, residual = solve(Xs, Ys, ms, X_m, ls, sv, jnp.asarray(c, dtype))
     return ShardedGPPosterior(
         params=params, X_train=Xs, mask=ms, alpha=alpha,
         y_mean=y_mean, y_std=y_std, cg_residual=residual,
     )
 
 
-def predict_mean_sharded(
-    posterior: ShardedGPPosterior, X_test, mesh: Mesh | None = None
-) -> jnp.ndarray:
-    """Posterior mean at ``X_test (q, d)``: per-device partial GEMM + psum."""
-    if mesh is None:
-        mesh = make_mesh()
-    p = posterior.params
-    ls, sv = p.length_scale, p.signal_variance
-    Xq = jnp.asarray(X_test, posterior.X_train.dtype)
-
+@functools.lru_cache(maxsize=16)
+def _predict_mean_gemm(mesh: Mesh):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("batch"), P("batch"), P("batch"), P()),
+        in_specs=(P("batch"), P("batch"), P("batch"), P(), P(), P()),
         out_specs=P(),
     )
-    def gemm(X_loc, a_loc, mask_loc, Xq_):
+    def gemm(X_loc, a_loc, mask_loc, Xq_, ls, sv):
         Kq = rbf_kernel(Xq_, X_loc, ls, sv) * mask_loc[None, :]
         return jax.lax.psum(jnp.matmul(Kq, a_loc, precision=_HIGH), "batch")
 
-    mean_n = jax.jit(gemm)(posterior.X_train, posterior.alpha, posterior.mask, Xq)
-    return mean_n * posterior.y_std + posterior.y_mean
+    return jax.jit(gemm)
 
 
-def predict_sharded(
-    posterior: ShardedGPPosterior,
-    X_test,
-    mesh: Mesh | None = None,
-    config: ResidualGPConfig = ResidualGPConfig(),
-    cg_iterations: int = 200,
-    include_noise_in_variance: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Mean AND variance at ``X_test`` — variance via one sharded CG solve
-    with the q query columns as simultaneous right-hand sides
-    (``var = k** - k*' (K + cI)^{-1} k*``, sklearn White-in-variance
-    semantics as ``exact_gp.predict``)."""
+def predict_mean_sharded(
+    posterior: ShardedGPPosterior, X_test, mesh: Mesh | None = None
+) -> jnp.ndarray:
+    """Posterior mean at ``X_test (q, d)``: per-device partial GEMM + psum.
+    The jitted program is cached per mesh (hyperparameters are traced)."""
     if mesh is None:
         mesh = make_mesh()
     p = posterior.params
-    ls, sv = p.length_scale, p.signal_variance
-    c = float(np.asarray(p.noise_variance)) + config.alpha
-    Xq = jnp.asarray(X_test, posterior.X_train.dtype)
+    dtype = posterior.X_train.dtype
+    Xq = jnp.asarray(X_test, dtype)
+    mean_n = _predict_mean_gemm(mesh)(
+        posterior.X_train, posterior.alpha, posterior.mask, Xq,
+        jnp.asarray(p.length_scale, dtype),
+        jnp.asarray(p.signal_variance, dtype),
+    )
+    return mean_n * posterior.y_std + posterior.y_mean
 
+
+@functools.lru_cache(maxsize=16)
+def _predict_var_solver(mesh: Mesh, cg_iterations: int):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("batch"), P("batch"), P("batch"), P()),
+        in_specs=(P("batch"), P("batch"), P("batch"), P(), P(), P(), P()),
         out_specs=(P(), P()),
     )
-    def solve(X_loc, a_loc, mask_loc, Xq_):
+    def solve(X_loc, a_loc, mask_loc, Xq_, ls, sv, c):
         X_full = jax.lax.all_gather(X_loc, "batch", tiled=True)
         mask_full = jax.lax.all_gather(mask_loc, "batch", tiled=True)
         K_loc = rbf_kernel(X_loc, X_full, ls, sv)
@@ -290,8 +298,33 @@ def predict_sharded(
         )
         return mean_n, quad
 
-    mean_n, quad = jax.jit(solve)(
-        posterior.X_train, posterior.alpha, posterior.mask, Xq
+    return jax.jit(solve)
+
+
+def predict_sharded(
+    posterior: ShardedGPPosterior,
+    X_test,
+    mesh: Mesh | None = None,
+    config: ResidualGPConfig = ResidualGPConfig(),
+    cg_iterations: int = 200,
+    include_noise_in_variance: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean AND variance at ``X_test`` — variance via one sharded CG solve
+    with the q query columns as simultaneous right-hand sides
+    (``var = k** - k*' (K + cI)^{-1} k*``, sklearn White-in-variance
+    semantics as ``exact_gp.predict``)."""
+    if mesh is None:
+        mesh = make_mesh()
+    p = posterior.params
+    dtype = posterior.X_train.dtype
+    ls, sv = p.length_scale, p.signal_variance
+    c = float(np.asarray(p.noise_variance)) + config.alpha
+    Xq = jnp.asarray(X_test, dtype)
+
+    mean_n, quad = _predict_var_solver(mesh, int(cg_iterations))(
+        posterior.X_train, posterior.alpha, posterior.mask, Xq,
+        jnp.asarray(ls, dtype), jnp.asarray(sv, dtype),
+        jnp.asarray(c, dtype),
     )
     prior = rbf_kernel_diag(Xq, sv)
     if include_noise_in_variance:
@@ -444,13 +477,41 @@ def lml_grad_sharded(
         ) * maskp[:, None]
         trace_scale = 1.0 / num_probes
 
+    shard = NamedSharding(mesh, P("batch"))
+    g_ls, g_sf, g_sn = _lml_grad_solver(
+        mesh, int(cg_iterations), bool(ard), int(out_dim)
+    )(
+        jax.device_put(Xp, shard), jax.device_put(Yn, shard),
+        jax.device_put(Z, shard), jax.device_put(maskp, shard), X_m,
+        ls, ls_vec, jnp.asarray(sv, dtype), jnp.asarray(c, dtype),
+        jnp.asarray(noise_var, dtype), jnp.asarray(trace_scale, dtype),
+    )
+    return GPParams(
+        log_length_scale=g_ls,
+        log_signal_variance=g_sf,
+        log_noise_variance=g_sn,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _lml_grad_solver(mesh: Mesh, cg_iterations: int, ard: bool,
+                     out_dim: int):
+    """Cached jitted sharded LML-gradient program (hyperparameters traced).
+
+    ``optimize_hyperparameters_sharded`` calls this once per adam step —
+    without the cache every step re-traced and re-lowered the shard_map
+    program (minutes-per-step over a remote tunnel; the on-device work is
+    seconds)."""
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("batch"), P("batch"), P("batch"), P("batch"), P()),
+        in_specs=(P("batch"), P("batch"), P("batch"), P("batch"),
+                  P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P() if not ard else P(None), P(), P()),
     )
-    def grads(X_loc, Yn_loc, Z_loc, mask_loc, X_anchor):
+    def grads(X_loc, Yn_loc, Z_loc, mask_loc, X_anchor,
+              ls, ls_vec, sv, c, noise_var, trace_scale):
         X_full = jax.lax.all_gather(X_loc, "batch", tiled=True)
         mask_full = jax.lax.all_gather(mask_loc, "batch", tiled=True)
         K_loc = rbf_kernel(X_loc, X_full, ls, sv)
@@ -492,16 +553,7 @@ def lml_grad_sharded(
         )
         return g_ls, g_sf, g_sn
 
-    shard = NamedSharding(mesh, P("batch"))
-    g_ls, g_sf, g_sn = jax.jit(grads)(
-        jax.device_put(Xp, shard), jax.device_put(Yn, shard),
-        jax.device_put(Z, shard), jax.device_put(maskp, shard), X_m,
-    )
-    return GPParams(
-        log_length_scale=g_ls,
-        log_signal_variance=g_sf,
-        log_noise_variance=g_sn,
-    )
+    return jax.jit(grads)
 
 
 def optimize_hyperparameters_sharded(
