@@ -183,3 +183,35 @@ def test_gp_checkpoint_metadata(tmp_path):
                        metadata={"training_count": 3})
     data = np.load(path)
     assert int(data["meta_training_count"]) == 3
+
+
+def test_run_complete_gp_analysis(tmp_path):
+    """The reference's run_complete_evaluation surface
+    (gp_evaluation.py:551-575): quantitative report + the three figures
+    (prediction distributions, uncertainty-vs-state, output correlations)."""
+    from unmanned_aerial_vehicles_tpu.gp.analysis import (
+        run_complete_gp_analysis,
+    )
+
+    X, Y = load_gp_dataset(CSV)
+    post = fit_residual_gp(jnp.asarray(X[:150]), jnp.asarray(Y[:150]))
+
+    def predict_fn(pts):
+        m, v = predict(post, jnp.asarray(pts))
+        return np.asarray(m), np.asarray(v)
+
+    prefix = str(tmp_path / "gp")
+    report = run_complete_gp_analysis(
+        predict_fn, prefix, generate_physical_test_points(200)
+    )
+    # raw arrays stripped -> JSON-serialisable
+    import json
+    json.dumps(report)
+    corr = np.asarray(report["output_correlations"])
+    assert corr.shape == (6, 6)
+    np.testing.assert_allclose(np.diag(corr), 1.0, atol=1e-12)
+    np.testing.assert_allclose(corr, corr.T, atol=1e-12)
+    import os
+    for suffix in ("_distributions.png", "_uncertainty.png",
+                   "_correlations.png"):
+        assert os.path.getsize(prefix + suffix) > 10_000

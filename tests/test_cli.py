@@ -19,11 +19,15 @@ def test_train_then_evaluate(tmp_path, capsys):
 
     prefix = str(tmp_path / "eval")
     assert main(["evaluate-gp", "--model", model, "--data", data,
-                 "--output", prefix]) == 0
+                 "--output", prefix, "--full-analysis"]) == 0
     out = capsys.readouterr().out
-    payload = json.loads(out[: out.rindex("}") + 1])
+    payload = json.loads(out[: out.index("}\n}") + 3])
     assert "global" in payload and "acc_only" in payload
     assert os.path.exists(prefix + "_metrics.csv")
+    # the GPModelEvaluator surface: the three analysis figures
+    for suffix in ("_distributions.png", "_uncertainty.png",
+                   "_correlations.png"):
+        assert os.path.exists(prefix + suffix)
 
 
 def test_compare_command(capsys):

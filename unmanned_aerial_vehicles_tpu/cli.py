@@ -121,10 +121,19 @@ def _cmd_evaluate_gp(args) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from .gp import evaluate_gp, predict_mean
+    from .gp import evaluate_gp, predict, predict_mean
     from .io import load_gp_checkpoint, load_gp_dataset
 
-    post, _, _, _, _ = load_gp_checkpoint(args.model)
+    if args.model.endswith(".pkl"):
+        from .io import load_reference_gp
+
+        kind, loaded, _ = load_reference_gp(args.model)
+        if kind != "single":
+            print("evaluate-gp needs a single-GP model", file=sys.stderr)
+            return 1
+        post = loaded
+    else:
+        post, _, _, _, _ = load_gp_checkpoint(args.model)
     X, Y = load_gp_dataset(args.data, residual_norm_limit=np.inf)
     prefix = args.output or os.path.splitext(args.data)[0]
     results = evaluate_gp(
@@ -133,6 +142,23 @@ def _cmd_evaluate_gp(args) -> int:
     )
     print(json.dumps({k: results[k] for k in ("global", "acc_only", "fractions")}, indent=2))
     print(f"per-component metrics written to {prefix}_metrics.csv")
+
+    if args.full_analysis:
+        # the GPModelEvaluator surface (gp_evaluation.py:551-575):
+        # physical test regimes, uncertainty analysis + the three figures
+        from .gp.analysis import run_complete_gp_analysis
+
+        def predict_fn(pts):
+            m, v = predict(post, jnp.asarray(pts))
+            return np.asarray(m), np.asarray(v)
+
+        report = run_complete_gp_analysis(predict_fn, prefix)
+        print(json.dumps(
+            {k: report[k] for k in ("n_test_points", "uncertainty_stats")},
+            indent=2,
+        ))
+        print(f"analysis figures written to {prefix}_distributions.png, "
+              f"{prefix}_uncertainty.png, {prefix}_correlations.png")
     return 0
 
 
@@ -738,9 +764,15 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=_cmd_train_gp)
 
     e = sub.add_parser("evaluate-gp", help="offline nominal-vs-GP evaluation")
-    e.add_argument("--model", required=True)
+    e.add_argument("--model", required=True,
+                   help="GP checkpoint (.npz, or a reference sklearn .pkl)")
     e.add_argument("--data", required=True)
     e.add_argument("--output", default=None, help="metrics CSV prefix")
+    e.add_argument("--full-analysis", action="store_true",
+                   help="also run the GPModelEvaluator surface: physical "
+                        "test regimes, uncertainty analysis, and the "
+                        "distribution/uncertainty/correlation figures "
+                        "(gp_evaluation.py:551-575)")
     e.set_defaults(fn=_cmd_evaluate_gp)
 
     f = sub.add_parser("fly", help="closed-loop flight experiment")

@@ -192,6 +192,7 @@ def _fused_noisy_rollout(
         yawrate_limit=cfg.yawrate_limit,
         fallback_error_m=cfg.fallback_error_m,
         fallback_thrust_ceiling=cfg.fallback_thrust_ceiling,
+        fallback_accel_scale=cfg.fallback_accel_scale,
         loop_precision=cfg.fused_tick_loop_precision,
         nnu=data.Nnu, nnx=data.Nnx,
         interpret=jax.default_backend() == "cpu",

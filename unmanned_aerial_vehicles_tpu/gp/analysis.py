@@ -125,9 +125,59 @@ def analyze_gp_model(
             if X[:, i].std() > 0
         }
 
+    # output-output correlation matrix of the predicted residual means —
+    # the reference's "Residual correlations between outputs" heatmap
+    # (gp_evaluation.py:476-500); constant outputs keep a zero off-diagonal
+    out_corr = np.eye(len(out_names))
+    live = np.where(mean.std(axis=0) > 0)[0]
+    if len(live) > 1:
+        sub = np.corrcoef(mean[:, live].T)
+        # outputs that are constant to machine precision (e.g. a GP far
+        # outside its data collapses to y_mean) produce NaN rows — zero them
+        sub = np.nan_to_num(sub, nan=0.0)
+        out_corr[np.ix_(live, live)] = sub
+        np.fill_diagonal(out_corr, 1.0)
+
     return {
         "n_test_points": int(n),
         "prediction_stats": prediction_stats,
         "uncertainty_stats": uncertainty_stats,
         "correlations": correlations,
+        "output_correlations": out_corr.tolist(),
+        "output_names": out_names,
+        "_mean": mean,   # raw arrays for the plot surfaces (not JSON)
+        "_std": std,
+        "_X": X,
     }
+
+
+def run_complete_gp_analysis(
+    predict_fn: Callable[[np.ndarray], tuple],
+    out_prefix: str,
+    test_points: np.ndarray | None = None,
+) -> Dict:
+    """The ``run_complete_evaluation`` role (``gp_evaluation.py:551-575``):
+    full quantitative report + the reference's three figures —
+    ``<prefix>_distributions.png`` (per-output mean/std histograms),
+    ``<prefix>_uncertainty.png`` (uncertainty vs velocity/acceleration/
+    altitude + histogram), ``<prefix>_correlations.png`` (output-output
+    residual correlation heatmap). Returns the JSON-able report (raw
+    arrays stripped)."""
+    from ..metrics.plots import (
+        plot_gp_output_correlations,
+        plot_gp_prediction_distributions,
+        plot_gp_uncertainty_analysis,
+    )
+
+    report = analyze_gp_model(predict_fn, test_points)
+    mean, std, X = report.pop("_mean"), report.pop("_std"), report.pop("_X")
+    names = report["output_names"]
+    plot_gp_prediction_distributions(
+        mean, std, f"{out_prefix}_distributions.png", names
+    )
+    plot_gp_uncertainty_analysis(X, std, f"{out_prefix}_uncertainty.png")
+    plot_gp_output_correlations(
+        np.asarray(report["output_correlations"]),
+        f"{out_prefix}_correlations.png", names,
+    )
+    return report

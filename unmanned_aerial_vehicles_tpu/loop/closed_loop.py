@@ -71,6 +71,11 @@ class FlightLoopConfig:
     # fallback PD law a = 1.5 e - 0.8 v (mpc.py:2117-2130), bounding
     # Monte-Carlo worst-case excursions. 0.0 disables (bit-exact baseline).
     fallback_error_m: float = 0.0
+    # while the fallback is ENGAGED, the PD command may use this multiple
+    # of the cruise acceleration clips (recovery uses the platform's
+    # physical authority: extreme wind-x-drag members exceed the nominal
+    # +-3.5 m/s^2 lateral clip and cannot recover inside it)
+    fallback_accel_scale: float = 1.5
     # normalized-thrust clamp while the fallback is ENGAGED. The nominal
     # allocation clamps at the reference's 1.2 (mpc.py:2064); dispersed
     # members that diverge are typically PINNED there (heavy + high hover
@@ -320,7 +325,9 @@ def mpc_flight_rollout(
             # with recovery thrust headroom (see fallback_thrust_ceiling)
             e = pos_ref - state[0:3]
             diverged = jnp.sum(e * e) > cfg.fallback_error_m**2
-            a_fb = jnp.clip(1.5 * e - 0.8 * state[3:6], accel_lo, accel_hi)
+            k = cfg.fallback_accel_scale
+            a_fb = jnp.clip(1.5 * e - 0.8 * state[3:6],
+                            k * accel_lo, k * accel_hi)
             accel_des = jnp.where(diverged, a_fb, accel_des)
             yawrate_des = jnp.where(diverged, 0.0, yawrate_des)
             thrust_ceiling = jnp.where(
@@ -417,6 +424,7 @@ def _fused_tick_rollout(
         yawrate_limit=cfg.yawrate_limit,
         fallback_error_m=cfg.fallback_error_m,
         fallback_thrust_ceiling=cfg.fallback_thrust_ceiling,
+        fallback_accel_scale=cfg.fallback_accel_scale,
         loop_precision=cfg.fused_tick_loop_precision,
         nnu=data.Nnu, nnx=data.Nnx,
         # Mosaic needs real TPU hardware; CPU (tests) runs the interpreter
@@ -586,6 +594,7 @@ def _multitick_rollout(
         yawrate_limit=cfg.yawrate_limit,
         fallback_error_m=cfg.fallback_error_m,
         fallback_thrust_ceiling=cfg.fallback_thrust_ceiling,
+        fallback_accel_scale=cfg.fallback_accel_scale,
         loop_precision=cfg.fused_tick_loop_precision,
         n=N, nu=CONTROL_DIM, nx=STATE_DIM,
         tighten_kappa=kappa,

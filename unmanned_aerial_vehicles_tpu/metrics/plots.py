@@ -296,3 +296,105 @@ def plot_robustness(stats: dict, save_path: str, title: str = "Monte-Carlo"):
     fig.tight_layout()
     fig.savefig(save_path, dpi=110)
     plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# GP model analysis figures (the reference's GPModelEvaluator plot surfaces,
+# /root/reference/src/px4/gp_evaluation.py:335-500)
+# ---------------------------------------------------------------------------
+
+
+def plot_gp_prediction_distributions(mean, std, save_path: str,
+                                     output_names=None):
+    """Per-output histograms of predicted mean and std
+    (``gp_evaluation.py:335-396``): overlaid densities with the mu/sigma
+    stat box. ``mean``/``std``: (n, out)."""
+    plt = _plt()
+    mean = np.asarray(mean)
+    std = np.asarray(std)
+    n_out = mean.shape[1]
+    if output_names is None:
+        output_names = [f"out{j}" for j in range(n_out)]
+    cols = min(3, n_out)
+    rows = int(np.ceil(n_out / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(6 * cols, 4 * rows))
+    axes = np.atleast_1d(axes).ravel()
+    for j in range(n_out):
+        ax = axes[j]
+        ax.hist(mean[:, j], bins=50, alpha=0.7, label="predicted mean",
+                color="skyblue", density=True)
+        ax.hist(std[:, j], bins=50, alpha=0.7, label="predicted std",
+                color="orange", density=True)
+        ax.set_title(f"{output_names[j]} predictions")
+        ax.set_xlabel("value")
+        ax.set_ylabel("density")
+        ax.legend(fontsize=8)
+        ax.grid(True, alpha=0.3)
+        ax.text(0.02, 0.98,
+                f"mu={mean[:, j].mean():.4f}\nsigma={std[:, j].mean():.4f}",
+                transform=ax.transAxes, va="top",
+                bbox=dict(boxstyle="round", facecolor="white", alpha=0.8))
+    for j in range(n_out, len(axes)):
+        axes[j].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_gp_uncertainty_analysis(X, std, save_path: str):
+    """2x2 uncertainty-vs-state panel (``gp_evaluation.py:398-473``):
+    average predictive std against velocity magnitude, acceleration
+    magnitude and altitude, plus the std histogram. ``X``: (n, >=9) rows in
+    the flight-input layout [x,y,z,vx,vy,vz,ax,ay,az,...]."""
+    plt = _plt()
+    X = np.asarray(X)
+    avg_std = np.asarray(std).mean(axis=1)
+    vel = np.linalg.norm(X[:, 3:6], axis=1)
+    acc = np.linalg.norm(X[:, 6:9], axis=1)
+    alt = X[:, 2]
+
+    fig, axes = plt.subplots(2, 2, figsize=(12, 9))
+    for ax, (xv, name) in zip(
+        axes.ravel()[:3],
+        [(vel, "velocity magnitude [m/s]"),
+         (acc, "acceleration magnitude [m/s^2]"),
+         (alt, "altitude z [m]")],
+    ):
+        ax.scatter(xv, avg_std, alpha=0.5, s=12)
+        ax.set_xlabel(name)
+        ax.set_ylabel("average predictive std")
+        ax.set_title(f"uncertainty vs {name.split(' [')[0]}")
+        ax.grid(True, alpha=0.3)
+    ax = axes.ravel()[3]
+    ax.hist(avg_std, bins=50, alpha=0.7, color="green")
+    ax.set_xlabel("average predictive std")
+    ax.set_ylabel("count")
+    ax.set_title("uncertainty distribution")
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_gp_output_correlations(corr, save_path: str, output_names=None):
+    """Output-output correlation heatmap of the predicted residual means
+    (``gp_evaluation.py:476-500``)."""
+    plt = _plt()
+    corr = np.asarray(corr)
+    n = corr.shape[0]
+    if output_names is None:
+        output_names = [f"out{j}" for j in range(n)]
+    fig, ax = plt.subplots(figsize=(7, 6))
+    im = ax.imshow(corr, cmap="RdBu_r", vmin=-1.0, vmax=1.0)
+    ax.set_xticks(range(n), output_names, rotation=45, ha="right")
+    ax.set_yticks(range(n), output_names)
+    for i in range(n):
+        for j in range(n):
+            ax.text(j, i, f"{corr[i, j]:.2f}", ha="center", va="center",
+                    fontsize=8,
+                    color="white" if abs(corr[i, j]) > 0.6 else "black")
+    fig.colorbar(im, ax=ax, shrink=0.85)
+    ax.set_title("residual correlations between outputs")
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=110)
+    plt.close(fig)

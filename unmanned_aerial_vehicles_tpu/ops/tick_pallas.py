@@ -106,7 +106,8 @@ def build_shift_matrix(N: int, nu: int, nx: int, m_pad: int) -> np.ndarray:
 def _make_tick_kernel(iterations, over_relax, rho,
                       dt, substeps, accel_lo, accel_hi, yawrate_limit,
                       loop_precision=jax.lax.Precision.HIGHEST,
-                      fallback_error_m=0.0, fallback_thrust_ceiling=1.5):
+                      fallback_error_m=0.0, fallback_thrust_ceiling=1.5,
+                      fallback_accel_scale=1.5):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -192,7 +193,9 @@ def _make_tick_kernel(iterations, over_relax, rho,
             ey = ref_ref[0, 1] - sc[1]
             ez = ref_ref[0, 2] - sc[2]
             diverged = ex * ex + ey * ey + ez * ez > fallback_error_m**2
-            fb = lambda e, v, lo, hi: jnp.clip(1.5 * e - 0.8 * v, lo, hi)
+            ks = fallback_accel_scale
+            fb = lambda e, v, lo, hi: jnp.clip(1.5 * e - 0.8 * v,
+                                               ks * lo, ks * hi)
             ax = jnp.where(diverged, fb(ex, sc[3], accel_lo[0], accel_hi[0]), ax)
             ay = jnp.where(diverged, fb(ey, sc[4], accel_lo[1], accel_hi[1]), ay)
             az = jnp.where(diverged, fb(ez, sc[5], accel_lo[2], accel_hi[2]), az)
@@ -229,7 +232,7 @@ def _make_tick_kernel(iterations, over_relax, rho,
         "iterations", "over_relax", "rho", "dt", "substeps",
         "accel_lo", "accel_hi", "yawrate_limit", "interpret",
         "loop_precision", "nnu", "nnx", "fallback_error_m",
-        "fallback_thrust_ceiling",
+        "fallback_thrust_ceiling", "fallback_accel_scale",
     ),
 )
 def gpmpc_tick_fused(
@@ -255,6 +258,7 @@ def gpmpc_tick_fused(
     nnx: int = 0,   # N * nx
     fallback_error_m: float = 0.0,
     fallback_thrust_ceiling: float = 1.5,
+    fallback_accel_scale: float = 1.5,
     ctrl_state_row: jnp.ndarray | None = None,  # estimate; None -> truth
     tight_row: jnp.ndarray | None = None,       # (1, m_pad) z-layout back-off
 ):
@@ -277,6 +281,7 @@ def gpmpc_tick_fused(
                         else jax.lax.Precision.HIGHEST),
         fallback_error_m=fallback_error_m,
         fallback_thrust_ceiling=fallback_thrust_ceiling,
+        fallback_accel_scale=fallback_accel_scale,
     )
     kernel = functools.partial(base, Nnu=nnu, Nnx=nnx)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -386,7 +391,8 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                            dt, substeps, accel_lo, accel_hi, yawrate_limit,
                            loop_precision=jax.lax.Precision.HIGHEST,
                            tighten_kappa=0.0, fallback_error_m=0.0,
-                           fallback_thrust_ceiling=1.5):
+                           fallback_thrust_ceiling=1.5,
+                           fallback_accel_scale=1.5):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -556,7 +562,9 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                 ey = ref_row[0, 1] - s[1]
                 ez = ref_row[0, 2] - s[2]
                 diverged = ex * ex + ey * ey + ez * ez > fallback_error_m**2
-                fb = lambda e, v, lo, hi: jnp.clip(1.5 * e - 0.8 * v, lo, hi)
+                ks = fallback_accel_scale
+                fb = lambda e, v, lo, hi: jnp.clip(1.5 * e - 0.8 * v,
+                                                   ks * lo, ks * hi)
                 ax = jnp.where(diverged, fb(ex, s[3], accel_lo[0], accel_hi[0]), ax)
                 ay = jnp.where(diverged, fb(ey, s[4], accel_lo[1], accel_hi[1]), ay)
                 az = jnp.where(diverged, fb(ez, s[5], accel_lo[2], accel_hi[2]), az)
@@ -609,6 +617,7 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         "dt", "substeps", "accel_lo", "accel_hi", "yawrate_limit",
         "interpret", "loop_precision", "n", "nu", "nx", "tighten_kappa",
         "fallback_error_m", "fallback_thrust_ceiling",
+        "fallback_accel_scale",
     ),
 )
 def gpmpc_multitick_fused(
@@ -639,6 +648,7 @@ def gpmpc_multitick_fused(
     tighten_kappa: float = 0.0,
     fallback_error_m: float = 0.0,
     fallback_thrust_ceiling: float = 1.5,
+    fallback_accel_scale: float = 1.5,
 ):
     """K whole GP-MPC ticks in ONE dispatch (GP horizon posterior included).
 
@@ -670,6 +680,7 @@ def gpmpc_multitick_fused(
         tighten_kappa=tighten_kappa,
         fallback_error_m=fallback_error_m,
         fallback_thrust_ceiling=fallback_thrust_ceiling,
+        fallback_accel_scale=fallback_accel_scale,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if gp is None:  # placeholder rows keep the arg list static
