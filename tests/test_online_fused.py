@@ -310,3 +310,53 @@ def test_batch_capture_matches_sequential(rng):
     np.testing.assert_array_equal(np.asarray(ds_seq.X), np.asarray(ds_bat.X))
     np.testing.assert_array_equal(np.asarray(ds_seq.Y), np.asarray(ds_bat.Y))
     assert 0 < int(ds_bat.count) <= 16
+
+
+def test_everything_on_fused_tier_stays_healthy():
+    """The example-09 configuration: online learning + in-kernel variance
+    tightening + divergence fallback + wind, all on the fused multi-tick
+    path at once — the combinations must compose (each is individually
+    pinned elsewhere; this guards their interaction)."""
+    windy = RigidBodyParams(wind=(1.0, 0.5, 0.0))
+    mpc = LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=40,
+                        use_fused_controller=True, tightening_factor=1.0)
+    )
+    cfg = FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8,
+                           fallback_error_m=2.0)
+    ogp = OnlineFusedGPConfig(
+        gp=ResidualGPConfig(max_data_points=64, residual_gain=1.0),
+        refit_every=64, min_samples=16,
+    )
+    outs = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, circle_ref, 320, body=windy, cfg=cfg, online_gp=ogp,
+            gp_gain=1.0,
+        )
+    )()
+    assert np.isfinite(np.asarray(outs["state"])).all()
+    assert int(outs["gp_count"][-1]) > 16       # learning happened
+    assert rms(outs, tail=160) < 1.0            # and the loop stays sane
+
+
+def test_fused_tick_highest_precision_parity_tight():
+    """Per-kernel parity at loop precision 'highest' (VERDICT round-2 weak
+    #5): the whole-tick kernel vs the staged XLA path over a 200-tick
+    closed loop must agree to the f32-accumulation level (<=2e-5 position),
+    much tighter than the 5e-4 flight bar used for the bf16 modes."""
+    mpc_f = fused_mpc()
+    mpc_s = LinearMPC(LinearMPCConfig(horizon=10, admm_iterations=40))
+    T = 200
+    fused = mpc_flight_rollout(
+        mpc_f, circle_ref, T,
+        cfg=FlightLoopConfig(use_fused_tick=True,
+                             fused_tick_loop_precision="highest"),
+    )
+    staged = mpc_flight_rollout(mpc_s, circle_ref, T, cfg=FlightLoopConfig())
+    gap = np.max(
+        np.abs(
+            np.asarray(fused["state"][:, 0:3])
+            - np.asarray(staged["state"][:, 0:3])
+        )
+    )
+    assert gap < 2e-5, gap

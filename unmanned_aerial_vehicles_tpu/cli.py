@@ -262,7 +262,27 @@ def _cmd_fly(args) -> int:
         residual_fn = None
         output_correction_fn = None
         gp_posterior, gp_gain = None, 0.1
-        if args.controller == "gp-mpc":
+        online_gp = None
+        if args.online:
+            # ONLINE in-flight learning on the fused multi-tick path (the
+            # bench headline configuration): ring-buffer capture every tick
+            # + cond-gated masked refit every 250 ticks — no pretrained
+            # model needed, the GP learns from scratch during the flight
+            if not (args.fast and args.controller == "gp-mpc"):
+                print("--online is the fused in-flight learning mode: use "
+                      "--controller gp-mpc --fast (the staged equivalent "
+                      "is the 'online' subcommand)", file=sys.stderr)
+                return 1
+            if args.noisy or args.gp_model or args.gp_mode == "output":
+                print("--online learns in flight; drop --noisy/--gp-model/"
+                      "--gp-mode output", file=sys.stderr)
+                return 1
+            from .loop import OnlineFusedGPConfig
+
+            gcfg = ResidualGPConfig()
+            online_gp = OnlineFusedGPConfig(gp=gcfg)
+            gp_gain = gcfg.residual_gain
+        elif args.controller == "gp-mpc":
             gp_cfg = ResidualGPConfig()
             if args.gp_model:
                 # pretrained-model runtime — the reference's GP_USE_MODEL /
@@ -381,6 +401,7 @@ def _cmd_fly(args) -> int:
                     output_correction_fn=output_correction_fn,
                     preview=args.preview,
                     gp_posterior=gp_posterior, gp_gain=gp_gain,
+                    online_gp=online_gp,
                 )
             )()
 
@@ -797,9 +818,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-stage horizon references (removes tracking lag)")
     f.add_argument("--fast", action="store_true",
                    help="latency mode: 8 ticks/Pallas dispatch, GP "
-                        "in-kernel (5.1 us/tick on v5e; mpc and gp-mpc "
+                        "in-kernel (~5 us/tick on v5e; mpc and gp-mpc "
                         "controllers only — pid/mpc12/ilqr12/mppi12 "
                         "ignore this)")
+    f.add_argument("--online", action="store_true",
+                   help="ONLINE in-flight GP learning on the fused path "
+                        "(~8 us/tick; requires --controller gp-mpc --fast; "
+                        "no pretrained model needed — ring-buffer capture "
+                        "+ 5 s refits, the reference's retrain policy)")
     f.add_argument("--save-log", default=None,
                    help="write the flight log (.npz snapshot, or .uavlog "
                         "for the streaming binary format)")
