@@ -360,3 +360,37 @@ def test_fused_tick_highest_precision_parity_tight():
         )
     )
     assert gap < 2e-5, gap
+
+
+def test_sweep_gp_rate_divider_parity(rng):
+    """batched_mpc_flight_sweep(gp_every=5): multi-rate GP evaluation (the
+    reference's own 10 Hz-MPC-vs-100 Hz-plant pattern) must track the
+    every-tick GP closely — the held disturbances change slowly along the
+    warm-start trajectory (measured 2e-5 m RMS shift at B=1024 on v5e)."""
+    from unmanned_aerial_vehicles_tpu.loop.closed_loop import (
+        batched_mpc_flight_sweep,
+    )
+
+    X = jnp.asarray(rng.normal(size=(64, 10)), jnp.float32)
+    Y = jnp.asarray(0.05 * rng.normal(size=(64, 6)), jnp.float32)
+    gcfg = ResidualGPConfig()
+    post = fit_residual_gp(X, Y, gcfg)
+    rf = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gcfg)
+    mpc = fused_mpc()
+    starts = jnp.zeros((4, 12), jnp.float32).at[:, 2].set(3.0)
+    starts = starts.at[:, 0].set(
+        jnp.linspace(-0.3, 0.3, 4, dtype=jnp.float32)
+    )
+    T = 100
+    exact = batched_mpc_flight_sweep(
+        mpc, circle_ref, T, starts, residual_fn=rf
+    )
+    held = batched_mpc_flight_sweep(
+        mpc, circle_ref, T, starts, residual_fn=rf, gp_every=5
+    )
+    gap = np.max(
+        np.abs(np.asarray(exact["state"]) - np.asarray(held["state"]))
+    )
+    assert gap < 5e-3, gap
+    # and it must differ from zero somewhere (the divider is really active)
+    assert gap > 0.0

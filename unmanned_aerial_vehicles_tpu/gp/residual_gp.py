@@ -129,6 +129,12 @@ def add_training_samples_batch(
     """
     K = states.shape[0]
     capacity = dataset.X.shape[0]
+    if K > capacity:
+        # >capacity inserts would wrap onto duplicate slots, whose scatter
+        # ordering XLA does not define (sequential semantics = last wins)
+        raise ValueError(
+            f"batch of {K} inserts exceeds ring capacity {capacity}"
+        )
     s6 = states[:, :6]
     n6 = states_next[:, :6]
     c4 = controls[:, :4]

@@ -69,6 +69,12 @@ def _kernel_hyperparams(kernel) -> Tuple[np.ndarray, float, float]:
             else:
                 raise ValueError(f"unsupported kernel product: {k}")
         elif isinstance(k, K.RBF):
+            if length is not None:
+                raise ValueError(
+                    "multiple RBF components in one kernel are not "
+                    "supported (single shared RBF expected, as in both "
+                    "reference configurations)"
+                )
             length = np.asarray(k.length_scale, np.float64)
             signal = scale
         elif isinstance(k, K.WhiteKernel):

@@ -226,7 +226,15 @@ def mpc_flight_rollout(
             "(use_fused_tick=True); the staged equivalent is "
             "loop.full_system.online_gp_mpc_rollout"
         )
+    if initial_dataset is not None and online_gp is None:
+        raise ValueError("initial_dataset= only makes sense with online_gp=")
     if cfg.use_fused_tick:
+        if uncertainty_fn is not None:
+            raise ValueError(
+                "uncertainty_fn is a staged-path hook; on the fused paths "
+                "the kernel computes the posterior variance itself "
+                "(tightening_factor > 0 with gp_posterior=/online_gp=)"
+            )
         if output_correction_fn is not None:
             raise ValueError(
                 "output_correction_fn (the post-solve GP generation) is "
@@ -710,6 +718,7 @@ def batched_mpc_flight_sweep(
     rate_loop: RateLoopParams = RateLoopParams(),
     cfg: FlightLoopConfig = FlightLoopConfig(),
     residual_fn: Callable | None = None,
+    gp_every: int = 1,
 ):
     """Throughput mode: B GP-MPC flights advance in lockstep.
 
@@ -723,6 +732,15 @@ def batched_mpc_flight_sweep(
     stay vmapped XLA: they are pure elementwise chains that XLA already
     fuses into a single kernel. Requires ``mpc`` built with
     ``use_fused_controller=True``; B is padded up to a multiple of 128.
+
+    ``gp_every``: evaluate the GP horizon posterior every k-th tick and
+    HOLD the stage disturbances in between — the multi-rate pattern of the
+    reference's own full system (MPC at 10 Hz against a 100 Hz plant,
+    ``quadrotor_gp_mpc/main.py:814-826``; our ``loop.full_system``
+    mpc_every). Measured on v5e at B=1024: the exact per-tick GP is 62% of
+    the throughput tick (16M ``exp`` evaluations per step); ``gp_every=5``
+    recovers most of it for a ~1e-3 m RMS change (the warm-start
+    trajectory the GP is queried on moves slowly between ticks).
 
     Returns ``{"state": (T, B, 12), "pos_ref": (T, 3), "thrust": (T, B)}``.
     """
@@ -763,15 +781,29 @@ def batched_mpc_flight_sweep(
         return out.at[:, : mat.shape[1]].set(mat.astype(dtype))
 
     def step(carry, i):
-        states, ZU, ZX, YU, YX, X_prev, U_prev, att_int = carry
+        states, ZU, ZX, YU, YX, X_prev, U_prev, att_int, W_held = carry
         t = i.astype(dtype) * cfg.control_dt
         pos_ref, yaw_ref = reference_fn(t)
         pos_ref = jnp.asarray(pos_ref, dtype)
         yaw_ref = jnp.asarray(yaw_ref, dtype)
 
         if residual_fn is not None:
-            residuals = jax.vmap(residual_fn)(X_prev, U_prev)  # (B, N, 6)
-            W = rows((cfg.control_dt * residuals).reshape(B, -1), n_pad)
+            def fresh_w(args):
+                Xp, Up = args
+                residuals = jax.vmap(residual_fn)(Xp, Up)     # (B, N, 6)
+                return rows((cfg.control_dt * residuals).reshape(B, -1),
+                            n_pad)
+
+            if gp_every > 1:
+                # multi-rate GP: evaluate every k-th tick, hold in between
+                # (lax.cond executes ONE branch — the exp-heavy posterior
+                # really is skipped on held ticks)
+                W = jax.lax.cond(
+                    i % gp_every == 0, fresh_w, lambda a: W_held,
+                    (X_prev, U_prev),
+                )
+            else:
+                W = fresh_w((X_prev, U_prev))
         else:
             W = jnp.zeros((B, n_pad), dtype)
         ref_row = jnp.tile(jnp.concatenate([pos_ref, jnp.zeros(3, dtype)]), N)
@@ -815,7 +847,7 @@ def batched_mpc_flight_sweep(
              Xt[:, : N * STATE_DIM].reshape(B, N, STATE_DIM)], axis=1
         )
         out = {"state": states, "pos_ref": pos_ref, "thrust": thrust}
-        return (new_states, ZU, ZX, YU, YX, X_prev, U_blk, att_int), out
+        return (new_states, ZU, ZX, YU, YX, X_prev, U_blk, att_int, W), out
 
     init = (
         starts,
@@ -826,6 +858,7 @@ def batched_mpc_flight_sweep(
         jnp.tile(starts[:, None, 0:6], (1, N + 1, 1)),
         jnp.zeros((B, N, CONTROL_DIM), dtype),
         jnp.zeros((B, 3), dtype),
+        jnp.zeros((B, n_pad), dtype),
     )
     _, outs = jax.lax.scan(step, init, jnp.arange(num_steps))
     outs["state"] = outs["state"][:, :B_in]

@@ -48,12 +48,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .controller_pallas import FusedControllerData
-from .plant_pallas import PAD as PLANT_PAD
 from .plant_pallas import (
     _allocation,
     _read_plant,
     _rk4_substeps,
-    build_plant_row,
 )
 
 
