@@ -134,16 +134,24 @@ def main():
         return jnp.sqrt(jnp.mean(jnp.sum(err**2, axis=-1)))
 
     # ---- ONLINE mode (headline): in-flight learning on the fused path ----
+    # K=20 ticks/dispatch for the online tier: the capture glue amortises
+    # further (K-sweep on v5e: online 7.4 us at K=8 -> 6.6 at K=20, frozen
+    # K-invariant past 8); the ~250-tick refit cadence is preserved (the
+    # window test fires once per 250-tick window regardless of K)
     ogp = OnlineFusedGPConfig(
         gp=ResidualGPConfig(max_data_points=GP_POINTS),
         refit_every=250,  # the reference's 5 s retrain (gaussian_process.py:122)
+    )
+    online_cfg = FlightLoopConfig(
+        use_fused_tick=True, fused_tick_loop_precision=LOOP_PRECISION,
+        ticks_per_dispatch=20,
     )
 
     def make_online(T):
         @jax.jit
         def run(x0):
             outs = mpc_flight_rollout(
-                mpc, ref, num_steps=T, cfg=loop_cfg, online_gp=ogp,
+                mpc, ref, num_steps=T, cfg=online_cfg, online_gp=ogp,
                 gp_gain=gp_cfg.residual_gain, initial_state=x0,
             )
             return rms_of(outs)
@@ -302,7 +310,7 @@ def main():
                     "ONLINE GP-MPC control-step latency (in-flight ring-"
                     f"buffer learning, {GP_POINTS}-pt GP refit every 250 "
                     f"ticks, GP posterior in-kernel + N={HORIZON} condensed"
-                    "-QP ADMM + allocation + plant; 8 whole ticks per "
+                    "-QP ADMM + allocation + plant; 20 whole ticks per "
                     "Pallas dispatch; slope-measured)"
                 ),
                 "value": round(online_us, 2),

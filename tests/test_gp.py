@@ -248,3 +248,52 @@ def test_output_correction_generation():
     u_out = np.asarray(out_out["u_mpc"])
     assert np.isfinite(u_dyn).all() and np.isfinite(u_out).all()
     assert np.abs(u_dyn - u_out).max() > 1e-4, "the two GP modes coincide"
+
+
+def test_posterior_compression(rng):
+    """gp.sparse: post-fit mean compression onto anchors.
+
+    Positive case: a SMOOTH GP (length scale ~ data spread) compresses
+    accurately — the anchor expansion interpolates the mean function.
+    Negative case (the measured flight-config result): RBF(0.5) over
+    unscaled wide inputs is a sum of near-disjoint bumps and compression
+    FAILS — compression_error must report it loudly."""
+    from unmanned_aerial_vehicles_tpu.gp import (
+        GPParams,
+        compress_posterior,
+        compression_error,
+        fit_gp,
+        predict_mean,
+    )
+
+    # smooth regime: inputs in [-1,1]^3, ls=1.0
+    X = jnp.asarray(rng.uniform(-1, 1, (300, 2)))
+    Y = jnp.asarray(
+        np.sin(2.0 * np.asarray(X[:, :1])) + 0.01 * rng.normal(size=(300, 1))
+    )
+    params = GPParams.create(length_scale=1.0, noise_variance=0.01)
+    post = fit_gp(params, X, Y, jitter=1e-6, normalize_y=True)
+    comp = compress_posterior(post, m=64)
+    Xq = jnp.asarray(rng.uniform(-1, 1, (100, 2)))
+    err = float(jnp.max(compression_error(post, comp, Xq)))
+    scale = float(jnp.max(jnp.abs(predict_mean(post, Xq))))
+    assert err < 0.05 * scale, (err, scale)
+    # exact at the anchors by construction
+    from unmanned_aerial_vehicles_tpu.gp.sparse import select_anchors
+    Z = select_anchors(post.X_train, 64)
+    err_z = float(jnp.max(compression_error(post, comp, Z)))
+    # near-exact at anchors (the small interpolation jitter bounds it)
+    assert err_z < 1e-5 * max(scale, 1.0)
+
+    # flight regime: narrow kernel over wide inputs -> compression invalid,
+    # and the error probe says so
+    Xw = jnp.asarray(rng.uniform(-6, 6, (300, 10)))
+    Yw = jnp.asarray(0.1 * rng.normal(size=(300, 6)))
+    post_w = fit_gp(
+        GPParams.create(length_scale=0.5, noise_variance=0.1),
+        Xw, Yw, jitter=1e-4, normalize_y=True,
+    )
+    comp_w = compress_posterior(post_w, m=48)
+    err_w = np.asarray(compression_error(post_w, comp_w, Xw))
+    scale_w = np.abs(np.asarray(predict_mean(post_w, Xw))).max(axis=0)
+    assert (err_w > 0.5 * scale_w).any()   # loudly wrong, as documented
