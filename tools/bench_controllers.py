@@ -1,0 +1,280 @@
+#!/usr/bin/env python3
+"""Per-controller tick-latency benchmark on TPU (the whole controller family).
+
+The headline bench (bench.py) covers the flagship 6-state GP-MPC tiers;
+this tool measures EVERY controller's closed-loop tick on the real chip —
+the reference's full L2 inventory (cascade PID, 12-state SQP MPC,
+direct-rate MPC, LTV tracking MPC, iLQR, MPPI) plus the EKF estimation
+tick — against the same implied real-time budget (<20 ms/solve at 50 Hz,
+``src/px4/mpc.py:1868``). Slope-measured between two scan lengths so the
+fixed tunnel dispatch round-trip cancels (see bench.py).
+
+Writes ``artifacts/controller_latency.json``:
+  {controller: {"us_per_tick": ..., "rms_pos_m": ...}}
+
+Run:  PYTHONPATH=. python tools/bench_controllers.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from unmanned_aerial_vehicles_tpu.control import (
+    ILQRRigidBodyMPC,
+    MPPIController,
+    RigidBodyMPC,
+)
+from unmanned_aerial_vehicles_tpu.control.mpc_linear import LinearMPC, LinearMPCConfig
+from unmanned_aerial_vehicles_tpu.control.mpc_rigid import DirectRateMPC, LTVTrackingMPC
+from unmanned_aerial_vehicles_tpu.estimation import noisy_mpc_flight_rollout
+from unmanned_aerial_vehicles_tpu.loop import (
+    FlightLoopConfig,
+    mpc_flight_rollout,
+    pid_flight_rollout,
+)
+from unmanned_aerial_vehicles_tpu.models import (
+    X500_PARAMS,
+    rigid_body_rk4_step,
+)
+from unmanned_aerial_vehicles_tpu.trajectories import ramped_circle_reference
+
+T_SHORT, T_LONG = 400, 2000
+CFG = FlightLoopConfig()
+BUDGET_US = 20_000.0
+
+
+def ref(t):
+    pos, _, yaw = ramped_circle_reference(t, amplitude=2.0,
+                                          height=CFG.takeoff_height)
+    return pos, yaw
+
+
+def slope_and_rms(make_run, reps=3):
+    times = {}
+    rms = None
+    for T in (T_SHORT, T_LONG):
+        run = make_run(T)
+        r = float(run(jnp.float32(0.0)))
+        if T == T_SHORT:
+            rms = r
+        best = float("inf")
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            float(run(jnp.float32(0.01 * (rep + 1))))
+            best = min(best, time.perf_counter() - t0)
+        times[T] = best
+    us = (times[T_LONG] - times[T_SHORT]) / (T_LONG - T_SHORT) * 1e6
+    return us, rms
+
+
+def rollout_12state(controller_factory):
+    """Generic 12-state closed loop (the cli fly12 shape): controller on the
+    z-up rigid body plant."""
+
+    def make_run(T):
+        ctrl = controller_factory()
+
+        @jax.jit
+        def run(x_jitter):
+            def step(c, i):
+                st, mc = c
+                t = i.astype(jnp.float32) * CFG.control_dt
+                pos_ref, yaw_ref = ref(t)
+                u, _, mc = ctrl.solve(
+                    mc, st, jnp.asarray(pos_ref, jnp.float32),
+                    jnp.asarray(yaw_ref, jnp.float32),
+                )
+                st = rigid_body_rk4_step(st, u, X500_PARAMS, CFG.control_dt)
+                return (st, mc), jnp.sum((st[0:3] - pos_ref) ** 2)
+
+            x0 = (jnp.zeros(12, jnp.float32)
+                  .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+            (_, _), errs = jax.lax.scan(
+                step, (x0, ctrl.init_carry(x0)), jnp.arange(T)
+            )
+            return jnp.sqrt(jnp.mean(errs))
+
+        return run
+
+    return make_run
+
+
+def main():
+    results = {}
+
+    def record(name, make_run):
+        us, rms = slope_and_rms(make_run)
+        results[name] = {
+            "us_per_tick": round(us, 2),
+            "rms_pos_m": round(rms, 4),
+            "vs_20ms_budget": round(us / BUDGET_US, 6),
+        }
+        print(name, json.dumps(results[name]))
+
+    # cascade PID (9 loops) on the surrogate plant
+    def make_pid(T):
+        @jax.jit
+        def run(x_jitter):
+            x0 = (jnp.zeros(12, jnp.float32)
+                  .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+            outs = pid_flight_rollout(ref, T, cfg=CFG, initial_state=x0)
+            e = outs["pos_ref"] - outs["state"][:, 0:3]
+            return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+        return run
+
+    record("cascade_pid", make_pid)
+
+    # 6-state linear MPC, staged XLA path (the non-fused baseline tier)
+    mpc6 = LinearMPC(LinearMPCConfig(horizon=20, admm_iterations=10))
+
+    def make_mpc6(T):
+        @jax.jit
+        def run(x_jitter):
+            x0 = (jnp.zeros(12, jnp.float32)
+                  .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+            outs = mpc_flight_rollout(mpc6, ref, T, cfg=CFG,
+                                      initial_state=x0)
+            e = outs["pos_ref"] - outs["state"][:, 0:3]
+            return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+        return run
+
+    record("linear_mpc_staged", make_mpc6)
+
+    # 12-state family
+    record("sqp_mpc12", rollout_12state(lambda: RigidBodyMPC()))
+    record("ilqr12", rollout_12state(lambda: ILQRRigidBodyMPC()))
+    record("mppi12_512rollouts", rollout_12state(lambda: MPPIController()))
+
+    # direct-rate MPC flies ITS OWN plant model (rate-command inputs, not
+    # torques — tests/test_mpc_sqp.py idiom)
+    from unmanned_aerial_vehicles_tpu.control.mpc_rigid import direct_rate_step
+
+    def make_direct_rate(T):
+        ctrl = DirectRateMPC()
+
+        @jax.jit
+        def run(x_jitter):
+            def step(c, i):
+                st, mc = c
+                t = i.astype(jnp.float32) * CFG.control_dt
+                pos_ref, _ = ref(t)
+                u, _, mc = ctrl.solve(mc, st, jnp.asarray(pos_ref, jnp.float32))
+                st = direct_rate_step(st, u, jnp.zeros(12, jnp.float32),
+                                      dt=CFG.control_dt)
+                return (st, mc), jnp.sum((st[0:3] - pos_ref) ** 2)
+
+            x0 = (jnp.zeros(12, jnp.float32)
+                  .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+            (_, _), errs = jax.lax.scan(
+                step, (x0, ctrl.init_carry(x0)), jnp.arange(T)
+            )
+            return jnp.sqrt(jnp.mean(errs))
+
+        return run
+
+    record("direct_rate_mpc12", make_direct_rate)
+
+    # LTV tracking MPC: its own idiom — (N+1, 12) shifting stage references
+    # at 10 Hz on the GZ plant (tests/test_ltv_flight.py)
+    from unmanned_aerial_vehicles_tpu.models import GZ_QUADROTOR_PARAMS
+
+    def make_ltv(T):
+        mpc = LTVTrackingMPC()
+        N = mpc.mpc.config.horizon
+        DT = 0.1
+
+        def ref12(t):
+            w = 2.0 * jnp.pi / 20.0
+            r = jnp.zeros(12, jnp.float32)
+            r = r.at[0].set(1.5 * jnp.cos(w * t))
+            r = r.at[1].set(1.5 * jnp.sin(w * t))
+            r = r.at[2].set(1.0)
+            r = r.at[3].set(-1.5 * w * jnp.sin(w * t))
+            r = r.at[4].set(1.5 * w * jnp.cos(w * t))
+            return r
+
+        @jax.jit
+        def run(x_jitter):
+            def step(c, i):
+                st, mc = c
+                ts = (i + jnp.arange(N + 1)).astype(jnp.float32) * DT
+                window = jax.vmap(ref12)(ts)
+                u, _, mc = mpc.solve(mc, st, window)
+                st2 = st
+                for _ in range(2):
+                    st2 = rigid_body_rk4_step(
+                        st2, u, GZ_QUADROTOR_PARAMS, DT / 2
+                    )
+                return (st2, mc), jnp.sum((st2[0:3] - window[0, 0:3]) ** 2)
+
+            x0 = ref12(0.0).at[0].add(x_jitter)
+            (_, _), errs = jax.lax.scan(
+                step, (x0, mpc.init_carry(x0)), jnp.arange(T)
+            )
+            return jnp.sqrt(jnp.mean(errs))
+
+        return run
+
+    record("ltv_mpc12_10hz", make_ltv)
+
+    # estimator-in-the-loop tick (sensors -> EKF -> MPC -> plant), fused
+    mpc_f = LinearMPC(
+        LinearMPCConfig(horizon=20, admm_iterations=10,
+                        use_fused_controller=True)
+    )
+
+    def make_noisy(T):
+        @jax.jit
+        def run(x_jitter):
+            x0 = (jnp.zeros(12, jnp.float32)
+                  .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+            outs = noisy_mpc_flight_rollout(
+                mpc_f, ref, T, jax.random.PRNGKey(0),
+                cfg=FlightLoopConfig(use_fused_tick=True),
+                initial_state=x0,
+            )
+            e = outs["pos_ref"] - outs["state"][:, 0:3]
+            return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+        return run
+
+    record("ekf_mpc_fused", make_noisy)
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "artifacts",
+        "controller_latency.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "note": (
+                    "closed-loop tick latency per controller on TPU v5e-1, "
+                    "slope-measured (fixed tunnel dispatch cancelled); "
+                    "vs the reference's implied <20 ms real-time budget "
+                    "(src/px4/mpc.py:1868). 12-state rows fly the z-up "
+                    "rigid body (X500), pid/mpc the PX4 surrogate."
+                ),
+                "results": results,
+            },
+            f, indent=2,
+        )
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()
