@@ -394,3 +394,60 @@ def test_sweep_gp_rate_divider_parity(rng):
     assert gap < 5e-3, gap
     # and it must differ from zero somewhere (the divider is really active)
     assert gap > 0.0
+
+
+def test_mid_flight_checkpoint_resume(tmp_path):
+    """Elastic recovery the reference lacks (its checkpoints are GP models
+    only; no mid-run resume anywhere — SURVEY section 5): a fused online
+    flight saved at a dispatch boundary and resumed from disk must be
+    BIT-EXACT vs the uninterrupted flight, ring buffer included."""
+    from unmanned_aerial_vehicles_tpu.io import (
+        load_resume_state,
+        save_resume_state,
+    )
+
+    mpc = fused_mpc(admm_iterations=20)
+    cfg = FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=4)
+    ogp = OnlineFusedGPConfig(
+        gp=ResidualGPConfig(max_data_points=256), refit_every=32,
+        min_samples=10,
+    )
+    body = RigidBodyParams(wind=(0.8, 0.3, 0.0))
+
+    full = mpc_flight_rollout(mpc, circle_ref, 160, body=body, cfg=cfg,
+                              online_gp=ogp)
+    seg1, rs = mpc_flight_rollout(mpc, circle_ref, 80, body=body, cfg=cfg,
+                                  online_gp=ogp, return_resume=True)
+    assert rs.tick == 80
+    path = str(tmp_path / "resume.npz")
+    save_resume_state(path, rs)
+    # structure template from a cheap single-dispatch segment
+    _, tmpl = mpc_flight_rollout(mpc, circle_ref, 4, body=body, cfg=cfg,
+                                 online_gp=ogp, return_resume=True)
+    rs2 = load_resume_state(path, tmpl)
+    assert rs2.tick == 80
+    seg2 = mpc_flight_rollout(mpc, circle_ref, 80, body=body, cfg=cfg,
+                              online_gp=ogp, resume=rs2)
+
+    cat = np.concatenate(
+        [np.asarray(seg1["state"]), np.asarray(seg2["state"])]
+    )
+    np.testing.assert_array_equal(cat, np.asarray(full["state"]))
+    # ring buffer kept filling across the boundary (capacity not yet hit)
+    assert int(seg2["gp_count"][-1]) > int(seg1["gp_count"][-1])
+    assert int(seg2["gp_count"][-1]) == int(full["gp_count"][-1])
+
+    # mismatched-config checkpoints fail loudly
+    mpc_other = fused_mpc(horizon=5, admm_iterations=20)
+    _, tmpl_other = mpc_flight_rollout(
+        mpc_other, circle_ref, 4, body=body,
+        cfg=cfg, online_gp=ogp, return_resume=True,
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        load_resume_state(path, tmpl_other)
+
+    # resume off a dispatch boundary is rejected
+    with pytest.raises(ValueError, match="dispatch boundary"):
+        mpc_flight_rollout(mpc, circle_ref, 80, body=body, cfg=cfg,
+                           online_gp=ogp,
+                           resume=rs2.replace(tick=81))

@@ -1,5 +1,6 @@
 from .closed_loop import (
     FlightLoopConfig,
+    FlightResumeState,
     OnlineFusedGPConfig,
     mpc_flight_rollout,
     pid_flight_rollout,
@@ -23,6 +24,7 @@ from .compare import (
 
 __all__ = [
     "FlightLoopConfig",
+    "FlightResumeState",
     "OnlineFusedGPConfig",
     "mpc_flight_rollout",
     "pid_flight_rollout",

@@ -180,6 +180,27 @@ class OnlineFusedGPConfig:
     min_samples: int = 30      # simple_gp.py:158
 
 
+@struct.dataclass
+class FlightResumeState:
+    """Mid-flight checkpoint of the fused multi-tick rollout.
+
+    The reference has NO mid-run resume anywhere (SURVEY section 5:
+    checkpoints are GP models only); here the COMPLETE loop state — plant
+    state, MPC warm start, attitude integral, online GP ring buffer and
+    the kernel's GP operands — is one pytree, so a flight can stop at any
+    dispatch boundary and continue BIT-EXACTLY (pinned by
+    ``tests/test_online_fused.py::test_mid_flight_checkpoint_resume``).
+    Persist with ``io.save_resume_state`` / ``io.load_resume_state``.
+    """
+
+    carry: tuple
+    tick: int = struct.field(pytree_node=False)
+    # config fingerprint (horizon, K, gp capacity, variance flag): padded
+    # row shapes can coincide across configs, so structure checks alone
+    # cannot catch a horizon mismatch — this can
+    meta: tuple = struct.field(pytree_node=False, default=())
+
+
 def mpc_flight_rollout(
     mpc: LinearMPC,
     reference_fn: Callable,
@@ -197,6 +218,8 @@ def mpc_flight_rollout(
     online_gp: "OnlineFusedGPConfig | None" = None,
     initial_dataset=None,
     uncertainty_fn: Callable | None = None,
+    resume: "FlightResumeState | None" = None,
+    return_resume: bool = False,
     dtype=jnp.float32,
 ):
     """Closed-loop linear-MPC flight (optionally GP-enhanced).
@@ -228,6 +251,11 @@ def mpc_flight_rollout(
         )
     if initial_dataset is not None and online_gp is None:
         raise ValueError("initial_dataset= only makes sense with online_gp=")
+    if (resume is not None or return_resume) and not cfg.use_fused_tick:
+        raise ValueError(
+            "mid-flight checkpoint/resume runs on the fused multi-tick "
+            "path (use_fused_tick=True)"
+        )
     if cfg.use_fused_tick:
         if uncertainty_fn is not None:
             raise ValueError(
@@ -251,6 +279,7 @@ def mpc_flight_rollout(
                 mpc, reference_fn, num_steps, body, rate_loop, cfg,
                 initial_state, None, gp_gain, online_gp.gp.dt, preview,
                 online_gp=online_gp, initial_dataset=initial_dataset,
+                resume=resume, return_resume=return_resume,
             )
         if cfg.ticks_per_dispatch > 1 or gp_posterior is not None:
             if residual_fn is not None and gp_posterior is None:
@@ -262,6 +291,7 @@ def mpc_flight_rollout(
             return _multitick_rollout(
                 mpc, reference_fn, num_steps, body, rate_loop, cfg,
                 initial_state, gp_posterior, gp_gain, gp_dt, preview,
+                resume=resume, return_resume=return_resume,
             )
         if gp_posterior is not None:
             raise ValueError(
@@ -273,6 +303,11 @@ def mpc_flight_rollout(
                 "uncertainty tightening on the fused single-tick path needs "
                 "the staged rollout or the multi-tick kernel (the GP and "
                 "its variance run in-kernel there)"
+            )
+        if resume is not None or return_resume:
+            raise ValueError(
+                "checkpoint/resume runs on the multi-tick path "
+                "(ticks_per_dispatch > 1, or pass gp_posterior=/online_gp=)"
             )
         return _fused_tick_rollout(
             mpc, reference_fn, num_steps, body, rate_loop, cfg,
@@ -515,6 +550,8 @@ def _multitick_rollout(
     initial_state, posterior, gp_gain, gp_dt, preview,
     online_gp: OnlineFusedGPConfig | None = None,
     initial_dataset=None,
+    resume: "FlightResumeState | None" = None,
+    return_resume: bool = False,
 ):
     """K-ticks-per-dispatch path (``ops.tick_pallas.gpmpc_multitick_fused``):
     dispatch + static-matrix VMEM loads amortise over K whole ticks and the
@@ -688,24 +725,49 @@ def _multitick_rollout(
             gp = jax.lax.cond(refit, do_refit, lambda ds: gp, dataset)
         return (state_row, aux_row, xtail_row, z, y, dataset, gp), out
 
-    x0 = initial_state.astype(dtype)
-    init = (
-        row(x0, n_pad),
-        row(x0[0:6], n_pad),                        # prev x0; integral = 0
-        row(jnp.tile(x0[0:6], N), n_pad),           # X_tail = tiled x0
-        jnp.zeros((1, m_pad), dtype),
-        jnp.zeros((1, m_pad), dtype),
-        dataset0 if online else jnp.zeros((), dtype),
-        gp0,
+    meta = (
+        N, K,
+        int(online_gp.gp.max_data_points) if online else 0,
+        bool(with_variance),
     )
-    (state_row, *_), outs = jax.lax.scan(
-        step, init, jnp.arange(num_steps // K)
+    if resume is not None:
+        if resume.meta and resume.meta != meta:
+            raise ValueError(
+                f"resume checkpoint config mismatch: saved {resume.meta}, "
+                f"current (horizon, K, gp_capacity, variance) = {meta}"
+            )
+        if resume.tick % K != 0:
+            raise ValueError(
+                f"resume tick {resume.tick} is not a dispatch boundary "
+                f"(ticks_per_dispatch={K})"
+            )
+        init = resume.carry
+        start = resume.tick // K
+    else:
+        x0 = initial_state.astype(dtype)
+        init = (
+            row(x0, n_pad),
+            row(x0[0:6], n_pad),                    # prev x0; integral = 0
+            row(jnp.tile(x0[0:6], N), n_pad),       # X_tail = tiled x0
+            jnp.zeros((1, m_pad), dtype),
+            jnp.zeros((1, m_pad), dtype),
+            dataset0 if online else jnp.zeros((), dtype),
+            gp0,
+        )
+        start = 0
+    final_carry, outs = jax.lax.scan(
+        step, init, jnp.arange(start, start + num_steps // K)
     )
+    state_row = final_carry[0]
     # (C, K, ...) -> (T, ...)
     outs = jax.tree_util.tree_map(
         lambda a: a.reshape((num_steps,) + a.shape[2:]), outs
     )
     outs["final_state"] = state_row[0, 0:12]
+    if return_resume:
+        return outs, FlightResumeState(
+            carry=final_carry, tick=start * K + num_steps, meta=meta
+        )
     return outs
 
 
