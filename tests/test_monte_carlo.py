@@ -218,3 +218,32 @@ def test_plot_robustness(tmp_path):
     import os
 
     assert os.path.getsize(out) > 10_000
+
+
+def test_batched_sweep_fallback_matches_per_flight():
+    """The throughput sweep's vectorized divergence fallback must agree
+    with the per-flight staged fallback (same law, same recovery
+    authority)."""
+    from unmanned_aerial_vehicles_tpu.loop.closed_loop import (
+        batched_mpc_flight_sweep,
+        mpc_flight_rollout,
+    )
+
+    mpc = LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=40,
+                        use_fused_controller=True),
+        dtype=jnp.float32,
+    )
+    cfg = FlightLoopConfig(fallback_error_m=0.5)  # binds during the ramp
+    starts = jnp.zeros((3, 12), jnp.float32).at[:, 2].set(3.0)
+    starts = starts.at[:, 0].set(jnp.asarray([-2.0, 0.0, 2.0]))
+    T = 120
+    batched = batched_mpc_flight_sweep(mpc, _circle, T, starts, cfg=cfg)
+    for i in range(3):
+        single = mpc_flight_rollout(
+            mpc, _circle, T, cfg=cfg, initial_state=starts[i]
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched["state"][:, i]),
+            np.asarray(single["state"]), atol=2e-3,
+        )

@@ -884,11 +884,26 @@ def batched_mpc_flight_sweep(
         accel_des = jnp.clip(U_blk[:, 0, 0:3], accel_lo, accel_hi)
         yawrate_des = jnp.clip(U_blk[:, 0, 3], -cfg.yawrate_limit,
                                cfg.yawrate_limit)
+        thrust_ceil = jnp.full(B, 1.2, dtype)
+        if cfg.fallback_error_m > 0.0:
+            # divergence guard per flight (mpc.py:2276-2282 policy), same
+            # recovery-authority extension as the per-flight paths
+            e = pos_ref[None, :] - states[:, 0:3]
+            diverged = jnp.sum(e * e, axis=1) > cfg.fallback_error_m**2
+            ks = cfg.fallback_accel_scale
+            a_fb = jnp.clip(1.5 * e - 0.8 * states[:, 3:6],
+                            ks * accel_lo, ks * accel_hi)
+            accel_des = jnp.where(diverged[:, None], a_fb, accel_des)
+            yawrate_des = jnp.where(diverged, 0.0, yawrate_des)
+            thrust_ceil = jnp.where(
+                diverged, cfg.fallback_thrust_ceiling, thrust_ceil
+            )
 
-        def alloc_plant(state, acc, yr, integral):
+        def alloc_plant(state, acc, yr, tc, integral):
             thrust, rate_cmd, att_sp, att_c = geometric_control_allocation(
                 AttitudeLoopState(integral=integral), acc, yaw_ref, yr,
                 state[6:9], state[9:12], dt_attitude=cfg.control_dt,
+                thrust_ceiling=tc,
             )
             control = jnp.concatenate([thrust[None], rate_cmd])
             new_state = _plant_substeps(
@@ -902,7 +917,7 @@ def batched_mpc_flight_sweep(
             return new_state, thrust, att_c.integral
 
         new_states, thrust, att_int = jax.vmap(alloc_plant)(
-            states, accel_des, yawrate_des, att_int
+            states, accel_des, yawrate_des, thrust_ceil, att_int
         )
         X_prev = jnp.concatenate(
             [states[:, None, 0:6],
