@@ -246,15 +246,20 @@ def _cmd_fly(args) -> int:
                   "staged-path capability; drop --fast", file=sys.stderr)
             return 1
         if args.fast:
-            # latency mode: 8 whole ticks per Pallas dispatch, GP posterior
-            # in-kernel (bench.py's configuration; TPU only). --noisy drops
-            # to 1 tick/dispatch: the EKF must see every measurement, so it
-            # chains with the single-tick kernel (estimation.noisy_loop)
+            # latency mode: whole ticks per Pallas dispatch, GP posterior
+            # in-kernel (bench.py's configuration; TPU only). --noisy with
+            # plain mpc runs the EKF INSIDE the multi-tick kernel
+            # (~8 us/tick); noisy gp-mpc/preview chain the single-tick
+            # kernel with an XLA EKF instead (the noisy multi-tick kernel
+            # is the plain point-target MPC configuration)
+            noisy_k1 = args.noisy and (
+                args.controller == "gp-mpc" or args.preview
+            )
+            k_ticks = 1 if noisy_k1 else 8
             cfg = FlightLoopConfig(use_fused_tick=True,
                                    fused_tick_loop_precision="default",
-                                   ticks_per_dispatch=1 if args.noisy else 8)
-            if not args.noisy:
-                num_steps -= num_steps % 8
+                                   ticks_per_dispatch=k_ticks)
+            num_steps -= num_steps % k_ticks
             mpc = LinearMPC(LinearMPCConfig(horizon=20, admm_iterations=10,
                                             use_fused_controller=True))
         else:

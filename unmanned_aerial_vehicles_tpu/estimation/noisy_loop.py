@@ -20,7 +20,7 @@ from ..control.allocation import attitude_loop_init, geometric_control_allocatio
 from ..control.mpc_linear import LinearMPC
 from ..loop.closed_loop import FlightLoopConfig, _plant_substeps
 from ..models.params import RigidBodyParams
-from ..models.px4_surrogate import RateLoopParams
+from ..models.px4_surrogate import RateLoopParams, px4_rate_tracking_step
 from .ekf import EKFConfig, EKFState, ekf_init, ekf_step, measure
 
 
@@ -53,14 +53,25 @@ def noisy_mpc_flight_rollout(
     if initial_state is None:
         initial_state = jnp.zeros(12, dtype).at[2].set(cfg.takeoff_height)
     if cfg.use_fused_tick:
-        # estimate-and-run-fast: the tick kernel takes a separate controller
-        # -state row, so the MPC + allocation fly the EKF ESTIMATE while the
-        # in-kernel plant integrates the truth; the (12,12) EKF Riccati step
-        # chains in XLA between kernel dispatches (VERDICT round-2 #7)
+        # estimate-and-run-fast. Two fused forms:
+        # * single-tick: the tick kernel takes a separate controller-state
+        #   row (MPC + allocation fly the EKF ESTIMATE, the in-kernel plant
+        #   integrates the truth); the (12,12) Riccati step chains in XLA
+        #   between dispatches (VERDICT round-2 #7);
+        # * multi-tick: the EKF itself moves INSIDE the kernel — covariance
+        #   as a (128,128) VMEM operand, measurement fusion as sequential
+        #   scalar updates, F relinearised once per dispatch
+        #   (ops.tick_pallas.gpmpc_noisy_multitick_fused).
         if cfg.ticks_per_dispatch > 1:
-            raise ValueError(
-                "noisy + fused runs at tick granularity (the EKF must see "
-                "every measurement): use ticks_per_dispatch=1"
+            if residual_fn is not None or preview:
+                raise ValueError(
+                    "the noisy multi-tick kernel runs the plain point-target"
+                    " MPC configuration (no GP residuals / preview); use "
+                    "ticks_per_dispatch=1 or the staged path for those"
+                )
+            return _fused_noisy_multitick_rollout(
+                mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop,
+                cfg, initial_state,
             )
         return _fused_noisy_rollout(
             mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop,
@@ -285,4 +296,169 @@ def _fused_noisy_rollout(
     )
     outs["final_state"] = final_state
     outs["final_covariance"] = ekf.P
+    return outs
+
+
+def _fused_noisy_multitick_rollout(
+    mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop, cfg,
+    initial_state,
+):
+    """EKF INSIDE the multi-tick kernel: K whole noisy ticks per dispatch.
+
+    The covariance recursion runs in-kernel ((128,128) padded P, two MXU
+    dots per predict, nine sequential scalar measurement fusions — exact
+    for the diagonal-R direct-measurement model); the process Jacobian F is
+    relinearised once per DISPATCH from the current estimate (vs per tick
+    in ``ekf_step``) — the one approximation, bounded by
+    ``tests/test_estimation.py::test_noisy_multitick_matches_staged``.
+    The measurement-noise stream reproduces the staged loop's PRNG scheme
+    exactly (same keys, same draws), so trajectories are comparable
+    draw-for-draw.
+    """
+    from ..control.mpc_linear import MPCCarry  # noqa: F401 (docs)
+    from ..models.double_integrator import CONTROL_DIM, STATE_DIM
+    from ..ops.plant_pallas import build_plant_row
+    from ..ops.tick_pallas import (
+        EKF_MEAS_IDX,
+        PK,
+        build_tick_data,
+        gpmpc_noisy_multitick_fused,
+    )
+    from .ekf import MEAS_DIM
+
+    if not mpc.config.use_fused_controller:
+        raise ValueError("use_fused_tick requires LinearMPCConfig."
+                         "use_fused_controller=True (padded kernel data)")
+    K = cfg.ticks_per_dispatch
+    if num_steps % K != 0:
+        raise ValueError(f"num_steps={num_steps} not divisible by "
+                         f"ticks_per_dispatch={K}")
+    N = mpc.config.horizon
+    n_pad = mpc._fc_data.SxT.shape[0]
+    m_pad = mpc._fc_data.P1.shape[0]
+    data = build_tick_data(mpc._fc_data, N, CONTROL_DIM, STATE_DIM)
+    dtype = jnp.float32
+    plant_row = build_plant_row(
+        body.mass, body.gravity, body.k_drag_linear,
+        (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
+        body.gravity / rate_loop.hover_thrust_norm, body.wind,
+    )
+    statics = dict(
+        k_ticks=K,
+        rho=mpc.config.admm_rho,
+        iterations=mpc.config.admm_iterations,
+        over_relax=mpc.config.admm_over_relax,
+        dt=cfg.control_dt, substeps=cfg.plant_substeps,
+        accel_lo=tuple(cfg.accel_lower), accel_hi=tuple(cfg.accel_upper),
+        yawrate_limit=cfg.yawrate_limit,
+        fallback_error_m=cfg.fallback_error_m,
+        fallback_thrust_ceiling=cfg.fallback_thrust_ceiling,
+        fallback_accel_scale=cfg.fallback_accel_scale,
+        loop_precision=cfg.fused_tick_loop_precision,
+        n=N, nu=CONTROL_DIM, nx=STATE_DIM,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    # EKF constants in kernel layouts
+    meas_idx = jnp.asarray(EKF_MEAS_IDX)
+    q_mat = jnp.zeros((PK, PK), dtype).at[
+        jnp.arange(12), jnp.arange(12)
+    ].set(ekf_cfg.q_diag().astype(dtype))
+    rdiag_row = jnp.zeros((1, PK), dtype).at[0, meas_idx].set(
+        ekf_cfg.r_diag().astype(dtype)
+    )
+    p0 = jnp.zeros((PK, PK), dtype).at[
+        jnp.arange(12), jnp.arange(12)
+    ].set(ekf_cfg.p0_diag().astype(dtype))
+
+    # staged PRNG scheme, precomputed: keys = split(key, T); draw 9 per tick
+    keys = jax.random.split(key, num_steps)
+    sqrt_r = jnp.sqrt(ekf_cfg.r_diag()).astype(dtype)
+    noise9 = jax.vmap(
+        lambda k: sqrt_r * jax.random.normal(k, (MEAS_DIM,), dtype)
+    )(keys)                                              # (T, 9)
+    noise_rows = jnp.zeros((num_steps, n_pad), dtype).at[
+        :, meas_idx
+    ].set(noise9)
+    noise_chunks = noise_rows.reshape(num_steps // K, K, n_pad)
+
+    def one_ref(t):
+        pos_ref, yaw_ref = reference_fn(t)
+        pos_ref = jnp.asarray(pos_ref, dtype)
+        yaw_ref = jnp.asarray(yaw_ref, dtype)
+        ref = jnp.tile(jnp.concatenate([pos_ref, jnp.zeros(3, dtype)]), N)
+        row = (
+            jnp.zeros(n_pad, dtype)
+            .at[: N * STATE_DIM].set(ref)
+            .at[n_pad - 1].set(yaw_ref)
+        )
+        return row, pos_ref
+
+    def row(v, size):
+        return jnp.zeros((1, size), dtype).at[0, : v.shape[0]].set(
+            v.astype(dtype)
+        )
+
+    def step(carry, inputs):
+        state_row, est_row, P, aux_row, xtail_row, z, y = carry
+        i, noise_k = inputs
+        ts = (i * K + jnp.arange(K)).astype(dtype) * cfg.control_dt
+        refs, pos_refs = jax.vmap(one_ref)(ts)
+
+        # per-dispatch relinearisation at the current estimate + the control
+        # actually applied over the last interval (aux lanes 11:15)
+        est12 = est_row[0, :12]
+        prev_c = aux_row[0, 11:15]
+        F12 = jax.jacfwd(
+            lambda x: px4_rate_tracking_step(
+                x, prev_c, body, rate_loop, cfg.control_dt
+            )
+        )(est12)
+        f_mat = jnp.zeros((PK, PK), dtype).at[:12, :12].set(
+            F12.astype(dtype)
+        )
+
+        (packed, state_row, est_row, P, aux_row, xtail_row, z, y) = (
+            gpmpc_noisy_multitick_fused(
+                data, state_row, est_row, P, aux_row, xtail_row, z, y,
+                refs, noise_k, plant_row, f_mat, q_mat, rdiag_row,
+                **statics,
+            )
+        )
+        P = 0.5 * (P + P.T)   # re-symmetrize f32 drift once per dispatch
+        out = {
+            "state": packed[:, 0:12],
+            "state_est": packed[:, 32:44],
+            "meas_pos": packed[:, 0:3] + noise_k[:, 0:3],
+            "pos_ref": pos_refs,
+            "att_ref": packed[:, 16:19],
+            "thrust": packed[:, 12],
+            "rates_cmd": packed[:, 13:16],
+            "accel_cmd": packed[:, 22:25],
+            "u_mpc": packed[:, 25:29],
+        }
+        return (state_row, est_row, P, aux_row, xtail_row, z, y), out
+
+    x0 = initial_state.astype(dtype)
+    # staged init: estimate starts at the true state, hover command applied
+    init = (
+        row(x0, n_pad),
+        row(x0, n_pad),
+        p0,
+        row(jnp.concatenate([
+            x0[0:6], jnp.zeros(5, dtype),
+            jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype),
+        ]), n_pad),
+        row(jnp.tile(x0[0:6], N), n_pad),
+        jnp.zeros((1, m_pad), dtype),
+        jnp.zeros((1, m_pad), dtype),
+    )
+    (state_row, est_row, P, *_), outs = jax.lax.scan(
+        step, init, (jnp.arange(num_steps // K), noise_chunks)
+    )
+    outs = jax.tree_util.tree_map(
+        lambda a: a.reshape((num_steps,) + a.shape[2:]), outs
+    )
+    outs["final_state"] = state_row[0, 0:12]
+    outs["final_covariance"] = P[:12, :12]
     return outs

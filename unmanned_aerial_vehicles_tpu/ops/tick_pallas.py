@@ -721,3 +721,295 @@ def gpmpc_multitick_fused(
         out_specs=(vmem,) * 6,
         interpret=interpret,
     )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Noisy multi-tick kernel: EKF + K whole MPC ticks per dispatch
+# ---------------------------------------------------------------------------
+#
+# Estimation at the latency tier: the (12,12) EKF Riccati recursion runs
+# INSIDE the multi-tick kernel — covariance as a padded (128,128) VMEM
+# operand (two MXU dots per predict), measurement fusion as NINE sequential
+# scalar updates (exact for the diagonal-R direct-state measurement model of
+# ``estimation.ekf``: each update is rank-1, S is a scalar — no in-kernel
+# matrix inverse needed; the broadcast form P <- P - (P[:,j]/S) P[j,:]
+# preserves symmetry up to f32 rounding, re-symmetrized per dispatch
+# outside). The process Jacobian F is relinearised once per DISPATCH
+# (jacfwd at the dispatch-start estimate, computed in XLA) instead of per
+# tick — the one approximation vs the staged ``ekf_step``; the flight-level
+# impact is bounded by test (RMS within the staged-noisy bar).
+#
+# MAINTENANCE NOTE: the ADMM/allocation/plant blocks deliberately mirror
+# ``_make_multitick_kernel`` (GP/tightening excluded here — the noisy tier
+# is gated to the plain-MPC configuration); changes there must be mirrored.
+
+EKF_MEAS_IDX = (0, 1, 2, 6, 7, 8, 9, 10, 11)  # estimation.ekf.MEASURED_IDX
+PK = 128  # covariance pad (P, F, Q live as (PK, PK) operands)
+
+
+def _make_noisy_multitick_kernel(k_ticks, N, nu, nx,
+                                 iterations, over_relax, rho,
+                                 dt, substeps, accel_lo, accel_hi,
+                                 yawrate_limit,
+                                 loop_precision=jax.lax.Precision.HIGHEST,
+                                 fallback_error_m=0.0,
+                                 fallback_thrust_ceiling=1.5,
+                                 fallback_accel_scale=1.5):
+    def _dot(prec):
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        return dot
+
+    dot = _dot(jax.lax.Precision.HIGHEST)
+    dot_loop = _dot(loop_precision)
+    Nnu, Nnx = N * nu, N * nx
+    two_pi = 2.0 * jnp.pi
+
+    def kernel(state_ref, est_ref, p_ref, aux_ref, xtail_ref, z0_ref, y0_ref,
+               refs_ref, noise_ref, plant_ref, f_ref, qmat_ref, rdiag_ref,
+               sxswt_ref, sutqt_ref, sut_ref,
+               p1_ref, pm_ref, p0matt_ref,
+               ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
+               out_ref, state_out_ref, est_out_ref, p_out_ref,
+               aux_out_ref, xtail_out_ref, z_ref, y_ref):
+        m_pad = p1_ref.shape[0]
+        n_pad = sut_ref.shape[0]
+        zero = jnp.float32(0.0)
+        plant = _read_plant(plant_ref)
+        gravity = plant[1]
+        F = f_ref[:]
+        FT = f_ref[:].T
+        Qmat = qmat_ref[:]
+
+        def one_tick(t, carry):
+            state_row, est_row, P, aux_row, xtail_row, z_prev, y_prev = carry
+            ref_full = refs_ref[pl.ds(t, 1), :]
+            yaw_ref = ref_full[0, n_pad - 1]
+            ref_row = jnp.concatenate(
+                [ref_full[:, :Nnx], jnp.zeros((1, n_pad - Nnx), jnp.float32)],
+                axis=1,
+            )
+            s = tuple(state_row[0, i] for i in range(12))  # truth
+
+            # ---- EKF predict (estimate + frozen-F covariance) ------------
+            prev_c = tuple(aux_row[0, 11 + i] for i in range(4))
+            ex = tuple(est_row[0, i] for i in range(12))
+            # process model = ONE RK4 step at the control dt (ekf_step)
+            xp = _rk4_substeps(ex, prev_c, plant, dt, 1)
+            P_pred = dot(dot(F, P), FT) + Qmat
+
+            # ---- EKF update: 9 sequential scalar measurement fusions -----
+            wrap = lambda a: (a + jnp.pi) % two_pi - jnp.pi
+            xrow = jnp.stack(xp + (zero,) * (PK - 12)).reshape(1, PK)
+            Pm = P_pred
+            for j in EKF_MEAS_IDX:
+                zj = s[j] + noise_ref[t, j]       # truth + presampled noise
+                innov = zj - xrow[0, j]
+                if j == 8:                        # yaw seam
+                    innov = wrap(innov)
+                S = Pm[j, j] + rdiag_ref[0, j]
+                Krow = Pm[j : j + 1, :] / S       # symmetric P: row == col
+                xrow = xrow + innov * Krow
+                Pm = Pm - (Pm[:, j : j + 1] / S) * Pm[j : j + 1, :]
+            # wrap attitude estimates (staged ekf_step does)
+            exn = tuple(
+                wrap(xrow[0, i]) if 6 <= i <= 8 else xrow[0, i]
+                for i in range(12)
+            )
+            est_new = jnp.stack(exn + (zero,) * (n_pad - 12)).reshape(1, n_pad)
+
+            # ---- MPC on the ESTIMATE (same blocks as the multitick kernel)
+            w_row = jnp.zeros((1, n_pad), jnp.float32)
+            zy = dot(jnp.concatenate([z_prev, y_prev], axis=0), shiftt_ref[:])
+            z0, y0 = zy[0:1], zy[1:2]
+            xw = jnp.concatenate([est_new, w_row], axis=1)
+            offset = dot(xw, sxswt_ref[:])
+            f = dot(offset - ref_row, sutqt_ref[:])
+            off_z = jnp.concatenate(
+                [
+                    jnp.zeros((1, Nnu), jnp.float32),
+                    offset[:, :Nnx],
+                    jnp.zeros((1, m_pad - Nnu - Nnx), jnp.float32),
+                ],
+                axis=1,
+            )
+            lower = ulo_ref[:] + xlo_ref[:] - off_z
+            upper = uhi_ref[:] + xhi_ref[:] - off_z
+            pm = dot(f, pm_ref[:])
+            p0 = -pm[:, :m_pad]
+            P1 = p1_ref[:]
+
+            def body(_, zy_carry):
+                z, y = zy_carry
+                GU = p0 + dot_loop(rho * z - y, P1)
+                Gt = over_relax * GU + (1.0 - over_relax) * z
+                z_new = jnp.clip(Gt + y / rho, lower, upper)
+                y_new = y + rho * (Gt - z_new)
+                return (z_new, y_new)
+
+            z_fin, y_fin = jax.lax.fori_loop(0, iterations, body, (z0, y0))
+            U = -pm[:, m_pad:] + dot(rho * z_fin - y_fin, p0matt_ref[:])
+            X_tail = offset + dot(U, sut_ref[:])
+
+            ax = jnp.clip(z_fin[0, 0], accel_lo[0], accel_hi[0])
+            ay = jnp.clip(z_fin[0, 1], accel_lo[1], accel_hi[1])
+            az = jnp.clip(z_fin[0, 2], accel_lo[2], accel_hi[2])
+            yr = jnp.clip(z_fin[0, 3], -yawrate_limit, yawrate_limit)
+            integral = (aux_row[0, 8], aux_row[0, 9], aux_row[0, 10])
+
+            thrust_hi = jnp.float32(1.2)
+            if fallback_error_m > 0.0:
+                # divergence guard on the controller-visible state
+                ex0 = ref_row[0, 0] - exn[0]
+                ey0 = ref_row[0, 1] - exn[1]
+                ez0 = ref_row[0, 2] - exn[2]
+                diverged = (
+                    ex0 * ex0 + ey0 * ey0 + ez0 * ez0 > fallback_error_m**2
+                )
+                ks = fallback_accel_scale
+                fb = lambda e, v, lo, hi: jnp.clip(1.5 * e - 0.8 * v,
+                                                   ks * lo, ks * hi)
+                ax = jnp.where(diverged, fb(ex0, exn[3], accel_lo[0], accel_hi[0]), ax)
+                ay = jnp.where(diverged, fb(ey0, exn[4], accel_lo[1], accel_hi[1]), ay)
+                az = jnp.where(diverged, fb(ez0, exn[5], accel_lo[2], accel_hi[2]), az)
+                yr = jnp.where(diverged, 0.0, yr)
+                thrust_hi = jnp.where(
+                    diverged, jnp.float32(fallback_thrust_ceiling), thrust_hi
+                )
+
+            # allocation sees the ESTIMATE; the plant integrates the truth
+            c, att_sp, new_int = _allocation(
+                exn, (ax, ay, az, yr, yaw_ref), integral, dt, gravity,
+                thrust_ceiling=thrust_hi,
+            )
+            s_new = _rk4_substeps(s, c, plant, dt, substeps)
+
+            # packed: state 0:12 | control 12:16 | att_sp 16:19 |
+            # integral 19:22 | accel 22:25 | u0 25:29 | vel_ref 29:32 |
+            # estimate 32:44
+            packed = jnp.stack(
+                s + c + att_sp + new_int + (ax, ay, az)
+                + (z_fin[0, 0], z_fin[0, 1], z_fin[0, 2], z_fin[0, 3])
+                + (X_tail[0, 3], X_tail[0, 4], X_tail[0, 5])
+                + exn
+                + (zero,) * (n_pad - 44)
+            ).reshape(1, n_pad)
+            out_ref[pl.ds(t, 1), :] = packed
+
+            new_state_row = jnp.stack(
+                s_new + (zero,) * (n_pad - 12)
+            ).reshape(1, n_pad)
+            new_aux = jnp.stack(
+                exn[0:6] + (zero, zero) + new_int + c
+                + (zero,) * (n_pad - 15)
+            ).reshape(1, n_pad)
+            return (new_state_row, est_new, Pm, new_aux, X_tail, z_fin, y_fin)
+
+        init = (state_ref[:], est_ref[:], p_ref[:], aux_ref[:], xtail_ref[:],
+                z0_ref[:], y0_ref[:])
+        (state_row, est_row, P, aux_row, xtail_row, z_fin, y_fin) = (
+            jax.lax.fori_loop(0, k_ticks, one_tick, init)
+        )
+        state_out_ref[:] = state_row
+        est_out_ref[:] = est_row
+        p_out_ref[:] = P
+        aux_out_ref[:] = aux_row
+        xtail_out_ref[:] = xtail_row
+        z_ref[:] = z_fin
+        y_ref[:] = y_fin
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_ticks", "iterations", "over_relax", "rho",
+        "dt", "substeps", "accel_lo", "accel_hi", "yawrate_limit",
+        "interpret", "loop_precision", "n", "nu", "nx",
+        "fallback_error_m", "fallback_thrust_ceiling",
+        "fallback_accel_scale",
+    ),
+)
+def gpmpc_noisy_multitick_fused(
+    data: FusedTickData,
+    state_row: jnp.ndarray,    # (1, n_pad) TRUE state, lanes 0:12
+    est_row: jnp.ndarray,      # (1, n_pad) EKF estimate, lanes 0:12
+    p_mat: jnp.ndarray,        # (PK, PK) covariance (12x12 block)
+    aux_row: jnp.ndarray,      # (1, n_pad): est x0 0:6, integral 8:11,
+                               #   prev applied control 11:15
+    xtail_row: jnp.ndarray,
+    z0: jnp.ndarray,
+    y0: jnp.ndarray,
+    refs: jnp.ndarray,         # (k_ticks, n_pad); lane n_pad-1 = yaw_ref
+    noise: jnp.ndarray,        # (k_ticks, n_pad): measurement noise per
+                               #   STATE lane (measured lanes only)
+    plant_row: jnp.ndarray,
+    f_mat: jnp.ndarray,        # (PK, PK) process Jacobian (per dispatch)
+    q_mat: jnp.ndarray,        # (PK, PK) diag(process noise)
+    rdiag_row: jnp.ndarray,    # (1, PK) measurement noise var per state lane
+    k_ticks: int,
+    rho: float,
+    iterations: int,
+    over_relax: float,
+    dt: float,
+    substeps: int,
+    accel_lo: tuple,
+    accel_hi: tuple,
+    yawrate_limit: float,
+    interpret: bool = False,
+    loop_precision: str = "highest",
+    n: int = 0,
+    nu: int = 4,
+    nx: int = 6,
+    fallback_error_m: float = 0.0,
+    fallback_thrust_ceiling: float = 1.5,
+    fallback_accel_scale: float = 1.5,
+):
+    """K whole noisy ticks (EKF + MPC + allocation + plant) per dispatch.
+
+    Returns ``(packed (k_ticks, n_pad), state_row, est_row, p_mat, aux_row,
+    xtail_row, z, y)`` — packed lanes as the multitick kernel plus the
+    per-tick EKF estimate at 32:44."""
+    ctrl = data.ctrl
+    m_pad = ctrl.P1.shape[0]
+    n_pad = ctrl.SxT.shape[0]
+    base = _make_noisy_multitick_kernel(
+        k_ticks, n, nu, nx,
+        iterations, over_relax, rho, dt, substeps,
+        accel_lo, accel_hi, yawrate_limit,
+        loop_precision=(jax.lax.Precision.DEFAULT
+                        if loop_precision == "default"
+                        else jax.lax.Precision.HIGHEST),
+        fallback_error_m=fallback_error_m,
+        fallback_thrust_ceiling=fallback_thrust_ceiling,
+        fallback_accel_scale=fallback_accel_scale,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    operands = (
+        state_row, est_row, p_mat, aux_row, xtail_row, z0, y0,
+        refs, noise, plant_row, f_mat, q_mat, rdiag_row,
+        data.SxSwT, ctrl.SuTqT, ctrl.SuT,
+        ctrl.P1, data.PM, ctrl.P0matT,
+        ctrl.u_lo_row, ctrl.u_hi_row, ctrl.x_lo_row, ctrl.x_hi_row,
+        data.ShiftT,
+    )
+    return pl.pallas_call(
+        base,
+        out_shape=(
+            jax.ShapeDtypeStruct((k_ticks, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((PK, PK), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+        ),
+        in_specs=[vmem] * len(operands),
+        out_specs=(vmem,) * 8,
+        interpret=interpret,
+    )(*operands)
