@@ -431,6 +431,7 @@ def _fused_noisy_multitick_rollout(
             "state_est": packed[:, 32:44],
             "meas_pos": packed[:, 0:3] + noise_k[:, 0:3],
             "pos_ref": pos_refs,
+            "vel_ref": packed[:, 29:32],
             "att_ref": packed[:, 16:19],
             "thrust": packed[:, 12],
             "rates_cmd": packed[:, 13:16],
