@@ -4,6 +4,8 @@ import glob
 import json
 import os
 
+import numpy as np
+
 from unmanned_aerial_vehicles_tpu.cli import main
 
 
@@ -155,3 +157,20 @@ def test_fly_pretrained_gp_model(tmp_path, capsys):
                  "--gp-model", model]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["rms_pos"] < 2.0
+
+
+def test_fly_noisy_fast_and_online(capsys):
+    """The round-3 fused CLI surfaces: --noisy --fast (EKF inside the
+    multi-tick kernel) and --fast --online (in-flight learning). Short
+    flights; both must produce finite metric JSON."""
+    assert main(["fly", "--controller", "mpc", "--noisy", "--fast",
+                 "--duration", "3"]) == 0
+    out = capsys.readouterr().out
+    m = json.loads(out[: out.rindex("}") + 1])
+    assert np.isfinite(m["rms_pos"])
+
+    assert main(["fly", "--controller", "gp-mpc", "--fast", "--online",
+                 "--duration", "3"]) == 0
+    out = capsys.readouterr().out
+    m = json.loads(out[: out.rindex("}") + 1])
+    assert np.isfinite(m["rms_pos"])
