@@ -232,7 +232,9 @@ def main():
 
     record("ltv_mpc12_10hz", make_ltv)
 
-    # estimator-in-the-loop tick (sensors -> EKF -> MPC -> plant), fused
+    # estimator-in-the-loop tick (sensors -> EKF -> MPC -> plant): the EKF
+    # runs INSIDE the multi-tick kernel (padded-P Riccati dots + sequential
+    # scalar measurement fusions, ops.tick_pallas)
     mpc_f = LinearMPC(
         LinearMPCConfig(horizon=20, admm_iterations=10,
                         use_fused_controller=True)
@@ -245,7 +247,9 @@ def main():
                   .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
             outs = noisy_mpc_flight_rollout(
                 mpc_f, ref, T, jax.random.PRNGKey(0),
-                cfg=FlightLoopConfig(use_fused_tick=True),
+                cfg=FlightLoopConfig(use_fused_tick=True,
+                                     ticks_per_dispatch=20,
+                                     fused_tick_loop_precision="default"),
                 initial_state=x0,
             )
             e = outs["pos_ref"] - outs["state"][:, 0:3]
@@ -253,7 +257,7 @@ def main():
 
         return run
 
-    record("ekf_mpc_fused", make_noisy)
+    record("ekf_mpc_fused_multitick", make_noisy)
 
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "artifacts",
