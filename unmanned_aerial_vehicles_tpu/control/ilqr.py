@@ -117,10 +117,16 @@ class ILQRRigidBodyMPC:
     """The 12-state torque-MPC task (``mpc_FULL``'s costs/bounds, as in
     ``control.mpc_rigid.RigidBodyMPC``) solved by iLQR instead of
     SQP+ADMM — the alternative engine on the same problem, warm-started by
-    shifting the previous control sequence."""
+    shifting the previous control sequence.
+
+    Default ``iterations=3``: like the ADMM controllers, the 50 Hz warm
+    start carries convergence across ticks — measured on v5e, circle-task
+    closed-loop RMS is IDENTICAL (0.6049 m) at 6/3/2/1 iterations while
+    the tick costs 2749/1479/1056/469 µs; 3 keeps a safety margin over
+    the single-iteration floor for cold transients."""
 
     def __init__(self, dt: float = 0.02, horizon: int = 15,
-                 iterations: int = 6, reg: float = 1e-2,
+                 iterations: int = 3, reg: float = 1e-2,
                  parallel: bool = False, dtype=jnp.float32):
         from ..models.params import X500_PARAMS
         from ..models.rigid_body import rigid_body_derivative
