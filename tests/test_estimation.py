@@ -225,7 +225,10 @@ def test_noisy_multitick_matches_staged():
     np.testing.assert_allclose(P, P.T, atol=1e-5)   # symmetric
 
 
-def test_noisy_multitick_rejects_gp_and_preview():
+def test_noisy_multitick_rejects_residual_fn():
+    """The multi-tick noisy path computes the GP in-kernel: a staged
+    residual_fn hook (without the raw posterior) is rejected with the
+    supported route named."""
     from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
 
     mpc = LinearMPC(
@@ -237,10 +240,10 @@ def test_noisy_multitick_rejects_gp_and_preview():
         noisy_mpc_flight_rollout(
             mpc, _circle, 8, jax.random.PRNGKey(0),
             cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
-            preview=True,
+            residual_fn=lambda X, U: jnp.zeros((5, 6), jnp.float32),
         )
     except ValueError as e:
-        assert "point-target" in str(e)
+        assert "gp_posterior" in str(e)
     else:
         raise AssertionError("expected ValueError")
 
@@ -264,3 +267,49 @@ def test_noisy_loop_matches_ideal_with_clean_sensors():
         np.asarray(ideal["state"][:, 0:3]) - np.asarray(noisy["state"][:, 0:3])
     ).max()
     assert gap < 0.02, gap
+
+
+def test_noisy_multitick_gp_preview_matches_staged():
+    """The full combination at the latency tier: EKF in-kernel + GP
+    residuals in-kernel (features from the ESTIMATE trajectory) + preview
+    references — must glue to the staged noisy GP+preview loop on the same
+    PRNG stream (measured 3.5e-4 m over 240 ticks)."""
+    from unmanned_aerial_vehicles_tpu.gp import (
+        build_horizon_residuals,
+        fit_residual_gp,
+    )
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+    from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(64, 10)), jnp.float32)
+    Y = jnp.asarray(0.05 * rng.normal(size=(64, 6)), jnp.float32)
+    gcfg = ResidualGPConfig()
+    post = fit_residual_gp(X, Y, gcfg)
+    rf = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gcfg)
+    steps = 240
+    staged = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            LinearMPC(LinearMPCConfig(horizon=10, admm_iterations=40),
+                      dtype=jnp.float32),
+            _circle, steps, jax.random.PRNGKey(0), residual_fn=rf,
+            preview=True,
+        )
+    )()
+    mpc_f = LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=40,
+                        use_fused_controller=True),
+        dtype=jnp.float32,
+    )
+    multi = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc_f, _circle, steps, jax.random.PRNGKey(0),
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+            gp_posterior=post, gp_gain=gcfg.residual_gain, preview=True,
+        )
+    )()
+    gap = np.abs(
+        np.asarray(staged["state"][:, 0:3])
+        - np.asarray(multi["state"][:, 0:3])
+    ).max()
+    assert gap < 5e-3, gap

@@ -247,19 +247,13 @@ def _cmd_fly(args) -> int:
             return 1
         if args.fast:
             # latency mode: whole ticks per Pallas dispatch, GP posterior
-            # in-kernel (bench.py's configuration; TPU only). --noisy with
-            # plain mpc runs the EKF INSIDE the multi-tick kernel
-            # (~8 us/tick); noisy gp-mpc/preview chain the single-tick
-            # kernel with an XLA EKF instead (the noisy multi-tick kernel
-            # is the plain point-target MPC configuration)
-            noisy_k1 = args.noisy and (
-                args.controller == "gp-mpc" or args.preview
-            )
-            k_ticks = 1 if noisy_k1 else 8
+            # in-kernel (bench.py's configuration; TPU only). --noisy runs
+            # the EKF INSIDE the multi-tick kernel too (~8 us/tick),
+            # including the gp-mpc/preview combinations
             cfg = FlightLoopConfig(use_fused_tick=True,
                                    fused_tick_loop_precision="default",
-                                   ticks_per_dispatch=k_ticks)
-            num_steps -= num_steps % k_ticks
+                                   ticks_per_dispatch=8)
+            num_steps -= num_steps % 8
             mpc = LinearMPC(LinearMPCConfig(horizon=20, admm_iterations=10,
                                             use_fused_controller=True))
         else:
@@ -376,7 +370,7 @@ def _cmd_fly(args) -> int:
                 output_correction_fn = make_output_correction_fn(
                     post, n_train=X.shape[0]
                 )
-            elif args.fast and not args.noisy:
+            elif args.fast:
                 gp_posterior, gp_gain = post, gp_cfg.residual_gain
             else:
                 residual_fn = lambda Xg, Ug: build_horizon_residuals(
@@ -397,6 +391,7 @@ def _cmd_fly(args) -> int:
                 lambda: noisy_mpc_flight_rollout(
                     mpc, ref, num_steps, jax.random.PRNGKey(args.seed),
                     cfg=cfg, residual_fn=residual_fn, preview=args.preview,
+                    gp_posterior=gp_posterior, gp_gain=gp_gain,
                 )
             )()
         else:

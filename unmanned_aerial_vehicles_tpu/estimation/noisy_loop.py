@@ -36,6 +36,9 @@ def noisy_mpc_flight_rollout(
     initial_state: jnp.ndarray | None = None,
     residual_fn: Callable | None = None,
     preview: bool = False,
+    gp_posterior=None,
+    gp_gain: float = 0.1,
+    gp_dt: float = 0.02,
     dtype=jnp.float32,
 ):
     """MPC flight on ESTIMATED state from noisy sensors.
@@ -63,15 +66,16 @@ def noisy_mpc_flight_rollout(
         #   scalar updates, F relinearised once per dispatch
         #   (ops.tick_pallas.gpmpc_noisy_multitick_fused).
         if cfg.ticks_per_dispatch > 1:
-            if residual_fn is not None or preview:
+            if residual_fn is not None and gp_posterior is None:
                 raise ValueError(
-                    "the noisy multi-tick kernel runs the plain point-target"
-                    " MPC configuration (no GP residuals / preview); use "
-                    "ticks_per_dispatch=1 or the staged path for those"
+                    "the noisy multi-tick kernel computes the GP INSIDE "
+                    "the kernel: pass the raw posterior via gp_posterior= "
+                    "instead of residual_fn (or use ticks_per_dispatch=1)"
                 )
             return _fused_noisy_multitick_rollout(
                 mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop,
-                cfg, initial_state,
+                cfg, initial_state, preview=preview,
+                gp_posterior=gp_posterior, gp_gain=gp_gain, gp_dt=gp_dt,
             )
         return _fused_noisy_rollout(
             mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop,
@@ -301,7 +305,8 @@ def _fused_noisy_rollout(
 
 def _fused_noisy_multitick_rollout(
     mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop, cfg,
-    initial_state,
+    initial_state, preview=False, gp_posterior=None, gp_gain=0.1,
+    gp_dt=0.02,
 ):
     """EKF INSIDE the multi-tick kernel: K whole noisy ticks per dispatch.
 
@@ -321,6 +326,7 @@ def _fused_noisy_multitick_rollout(
     from ..ops.tick_pallas import (
         EKF_MEAS_IDX,
         PK,
+        build_gp_rows,
         build_tick_data,
         gpmpc_noisy_multitick_fused,
     )
@@ -343,8 +349,13 @@ def _fused_noisy_multitick_rollout(
         (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
         body.gravity / rate_loop.hover_thrust_norm, body.wind,
     )
+    gp = (
+        build_gp_rows(gp_posterior, gp_gain, control_dt=cfg.control_dt,
+                      gp_dt=gp_dt)
+        if gp_posterior is not None else None
+    )
     statics = dict(
-        k_ticks=K,
+        k_ticks=K, use_gp=gp_posterior is not None,
         rho=mpc.config.admm_rho,
         iterations=mpc.config.admm_iterations,
         over_relax=mpc.config.admm_over_relax,
@@ -386,7 +397,14 @@ def _fused_noisy_multitick_rollout(
         pos_ref, yaw_ref = reference_fn(t)
         pos_ref = jnp.asarray(pos_ref, dtype)
         yaw_ref = jnp.asarray(yaw_ref, dtype)
-        ref = jnp.tile(jnp.concatenate([pos_ref, jnp.zeros(3, dtype)]), N)
+        if preview:
+            ts = t + cfg.control_dt * jnp.arange(1, N + 2, dtype=dtype)
+            pos_refs, _ = jax.vmap(reference_fn)(ts)
+            pos_refs = jnp.asarray(pos_refs, dtype)
+            vel_refs = (pos_refs[1:] - pos_refs[:-1]) / cfg.control_dt
+            ref = jnp.concatenate([pos_refs[:-1], vel_refs], axis=1).reshape(-1)
+        else:
+            ref = jnp.tile(jnp.concatenate([pos_ref, jnp.zeros(3, dtype)]), N)
         row = (
             jnp.zeros(n_pad, dtype)
             .at[: N * STATE_DIM].set(ref)
@@ -420,7 +438,7 @@ def _fused_noisy_multitick_rollout(
 
         (packed, state_row, est_row, P, aux_row, xtail_row, z, y) = (
             gpmpc_noisy_multitick_fused(
-                data, state_row, est_row, P, aux_row, xtail_row, z, y,
+                data, gp, state_row, est_row, P, aux_row, xtail_row, z, y,
                 refs, noise_k, plant_row, f_mat, q_mat, rdiag_row,
                 **statics,
             )

@@ -747,7 +747,7 @@ EKF_MEAS_IDX = (0, 1, 2, 6, 7, 8, 9, 10, 11)  # estimation.ekf.MEASURED_IDX
 PK = 128  # covariance pad (P, F, Q live as (PK, PK) operands)
 
 
-def _make_noisy_multitick_kernel(k_ticks, N, nu, nx,
+def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                                  iterations, over_relax, rho,
                                  dt, substeps, accel_lo, accel_hi,
                                  yawrate_limit,
@@ -770,6 +770,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx,
 
     def kernel(state_ref, est_ref, p_ref, aux_ref, xtail_ref, z0_ref, y0_ref,
                refs_ref, noise_ref, plant_ref, f_ref, qmat_ref, rdiag_ref,
+               ztrT_ref, sq2_ref, alphas_ref, ymean_ref, invls_ref, scal_ref,
                sxswt_ref, sutqt_ref, sut_ref,
                p1_ref, pm_ref, p0matt_ref,
                ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
@@ -821,8 +822,43 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx,
             )
             est_new = jnp.stack(exn + (zero,) * (n_pad - 12)).reshape(1, n_pad)
 
+            # ---- GP horizon posterior on the ESTIMATE trajectory --------
+            # (mirrors _make_multitick_kernel; aux lanes 0:6 hold the
+            # estimate's stage-0 anchor, set below each tick)
+            if use_gp:
+                def stage_features(k):
+                    if k == 0:
+                        xs = tuple(aux_row[0, d] for d in range(nx))
+                    else:
+                        xs = tuple(
+                            xtail_row[0, (k - 1) * nx + d] for d in range(nx)
+                        )
+                    us = tuple(z_prev[0, k * nu + u] for u in range(nu))
+                    return xs + us + (zero,) * (16 - nx - nu)
+
+                Fg = jnp.stack(
+                    [jnp.stack(stage_features(k)) for k in range(N)]
+                )
+                Zf = Fg * invls_ref[:]
+                sq1 = jnp.sum(Zf * Zf, axis=1, keepdims=True)
+                cross = dot(Zf, ztrT_ref[:])
+                dists = jnp.maximum(sq1 + sq2_ref[:] - 2.0 * cross, 0.0)
+                sf2 = scal_ref[0, 0]
+                gain = scal_ref[0, 1]
+                Kst = sf2 * jnp.exp(-0.5 * dists)
+                mean = dot(Kst, alphas_ref[:]) + ymean_ref[:]
+                w_scalars = []
+                for k in range(N):
+                    w_scalars.extend([zero, zero, zero])
+                    w_scalars.extend(
+                        gain * mean[k, 3 + j] for j in range(3)
+                    )
+                w_scalars.extend([zero] * (n_pad - Nnx))
+                w_row = jnp.stack(w_scalars).reshape(1, n_pad)
+            else:
+                w_row = jnp.zeros((1, n_pad), jnp.float32)
+
             # ---- MPC on the ESTIMATE (same blocks as the multitick kernel)
-            w_row = jnp.zeros((1, n_pad), jnp.float32)
             zy = dot(jnp.concatenate([z_prev, y_prev], axis=0), shiftt_ref[:])
             z0, y0 = zy[0:1], zy[1:2]
             xw = jnp.concatenate([est_new, w_row], axis=1)
@@ -927,7 +963,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_ticks", "iterations", "over_relax", "rho",
+        "k_ticks", "use_gp", "iterations", "over_relax", "rho",
         "dt", "substeps", "accel_lo", "accel_hi", "yawrate_limit",
         "interpret", "loop_precision", "n", "nu", "nx",
         "fallback_error_m", "fallback_thrust_ceiling",
@@ -936,6 +972,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx,
 )
 def gpmpc_noisy_multitick_fused(
     data: FusedTickData,
+    gp: GPRows | None,
     state_row: jnp.ndarray,    # (1, n_pad) TRUE state, lanes 0:12
     est_row: jnp.ndarray,      # (1, n_pad) EKF estimate, lanes 0:12
     p_mat: jnp.ndarray,        # (PK, PK) covariance (12x12 block)
@@ -952,6 +989,7 @@ def gpmpc_noisy_multitick_fused(
     q_mat: jnp.ndarray,        # (PK, PK) diag(process noise)
     rdiag_row: jnp.ndarray,    # (1, PK) measurement noise var per state lane
     k_ticks: int,
+    use_gp: bool,
     rho: float,
     iterations: int,
     over_relax: float,
@@ -978,7 +1016,7 @@ def gpmpc_noisy_multitick_fused(
     m_pad = ctrl.P1.shape[0]
     n_pad = ctrl.SxT.shape[0]
     base = _make_noisy_multitick_kernel(
-        k_ticks, n, nu, nx,
+        k_ticks, n, nu, nx, use_gp,
         iterations, over_relax, rho, dt, substeps,
         accel_lo, accel_hi, yawrate_limit,
         loop_precision=(jax.lax.Precision.DEFAULT
@@ -989,9 +1027,20 @@ def gpmpc_noisy_multitick_fused(
         fallback_accel_scale=fallback_accel_scale,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if gp is None:  # placeholder rows keep the arg list static
+        gp = GPRows(
+            ztrT=jnp.zeros((16, 8), jnp.float32),
+            sq2_row=jnp.zeros((1, 8), jnp.float32),
+            alpha_s=jnp.zeros((8, 8), jnp.float32),
+            y_mean_row=jnp.zeros((1, 8), jnp.float32),
+            inv_ls_row=jnp.zeros((1, 16), jnp.float32),
+            scal_row=jnp.zeros((1, 8), jnp.float32),
+        )
     operands = (
         state_row, est_row, p_mat, aux_row, xtail_row, z0, y0,
         refs, noise, plant_row, f_mat, q_mat, rdiag_row,
+        gp.ztrT, gp.sq2_row, gp.alpha_s, gp.y_mean_row, gp.inv_ls_row,
+        gp.scal_row,
         data.SxSwT, ctrl.SuTqT, ctrl.SuT,
         ctrl.P1, data.PM, ctrl.P0matT,
         ctrl.u_lo_row, ctrl.u_hi_row, ctrl.x_lo_row, ctrl.x_hi_row,
