@@ -180,3 +180,48 @@ def test_autodetect_and_flight(tmp_path, rng):
         ),
     )
     assert np.isfinite(np.asarray(outs["state"])).all()
+
+
+def test_perdim_partial_package(tmp_path, rng):
+    """gp_trainer.py legitimately skips an output when std(y) < 1e-6
+    (pretrained_gp.py:93-96 then predicts zero for it) — a partial package
+    must load, with the missing dim predicting exactly zero and the present
+    dims untouched."""
+    path, models, sxs, sys_, X = _perdim_pickle(tmp_path, rng)
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    for store in ("gp_models", "scalers_X", "scalers_y"):
+        del data[store]["vz_residual"]
+    ppath = tmp_path / "gp_perdim_partial.pkl"
+    with open(ppath, "wb") as f:
+        pickle.dump(data, f)
+
+    model = load_sklearn_perdim_pickle(str(ppath))
+    Xq = rng.normal(size=(12, 10))
+    mean, _ = predict_per_dim(model, jnp.asarray(Xq))
+    np.testing.assert_allclose(np.asarray(mean[:, 5]), 0.0, atol=1e-12)
+    # a present dim is unchanged vs the full package
+    Xs = sxs["x_residual"].transform(Xq)
+    m_ref = sys_["x_residual"].inverse_transform(
+        models["x_residual"].predict(Xs).reshape(-1, 1)
+    ).ravel()
+    np.testing.assert_allclose(np.asarray(mean[:, 0]), m_ref, atol=1e-6)
+
+
+def test_single_pickle_meta_fit_settings(tmp_path, rng):
+    """load_reference_gp surfaces the regressor's actual alpha/normalize_y
+    so capacity-capped refits (cli.py) reuse them instead of defaults."""
+    X = rng.normal(size=(30, 10))
+    Y = 0.1 * rng.normal(size=(30, 6))
+    gpr = GaussianProcessRegressor(
+        kernel=RBF(0.5) + WhiteKernel(0.1),
+        alpha=3e-3, normalize_y=False, optimizer=None,
+    )
+    gpr.fit(X, Y)
+    path = tmp_path / "bare.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(gpr, f)
+    kind, _post, meta = load_reference_gp(str(path))
+    assert kind == "single"
+    assert meta["jitter"] == pytest.approx(3e-3)
+    assert meta["normalize_y"] is False

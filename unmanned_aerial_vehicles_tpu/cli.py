@@ -331,7 +331,13 @@ def _cmd_fly(args) -> int:
                         Ys = np.asarray(
                             post.y_train_norm * post.y_std + post.y_mean
                         )
-                    jitter, norm_y = gp_cfg.alpha, True
+                    # any capacity-capped refit below must reuse the
+                    # regressor's ACTUAL fit settings (surfaced by
+                    # load_reference_gp in meta), not config defaults — a
+                    # bare pickle with normalize_y=False or a non-default
+                    # alpha round-trips faithfully
+                    jitter = _meta.get("jitter", gp_cfg.alpha)
+                    norm_y = _meta.get("normalize_y", True)
                 else:
                     post, X, Ys, jitter, norm_y = load_gp_checkpoint(
                         args.gp_model, dtype=jnp.float32
@@ -786,7 +792,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     e = sub.add_parser("evaluate-gp", help="offline nominal-vs-GP evaluation")
     e.add_argument("--model", required=True,
-                   help="GP checkpoint (.npz, or a reference sklearn .pkl)")
+                   help="GP checkpoint (.npz, or a reference sklearn .pkl; "
+                        "unpickling runs arbitrary code — only load "
+                        "pickles you trust)")
     e.add_argument("--data", required=True)
     e.add_argument("--output", default=None, help="metrics CSV prefix")
     e.add_argument("--full-analysis", action="store_true",
@@ -808,7 +816,9 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--gp-model", default=None,
                    help="fly a saved GP checkpoint (train-gp output) "
                         "instead of refitting from --gp-data (the "
-                        "reference's GP_USE_MODEL/GP_MODEL_PATH channel)")
+                        "reference's GP_USE_MODEL/GP_MODEL_PATH channel). "
+                        ".pkl checkpoints are unpickled — arbitrary code "
+                        "runs; only load pickles you trust")
     f.add_argument("--gp-mode", choices=["dynamics", "output"],
                    default="dynamics",
                    help="GP enters the prediction model ('dynamics', "

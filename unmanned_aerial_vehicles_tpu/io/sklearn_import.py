@@ -25,6 +25,12 @@ pinned at 1e-6 by ``tests/test_gp.py``. A user of the reference can point
 
 sklearn itself is only needed to UNPICKLE (the classes must be importable);
 all prediction runs through this framework's JAX engine.
+
+SECURITY: ``pickle.load`` executes arbitrary code embedded in the file —
+inherent to sklearn checkpoint ingestion (the reference has the same
+exposure at ``simple_gp.py:50-73``). Only load pickles you trust; the CLI
+flags that reach this module (``fly --gp-model``, ``evaluate-gp --model``)
+repeat this warning in their help text.
 """
 
 from __future__ import annotations
@@ -137,6 +143,11 @@ def _single_from_dict(data, dtype):
         meta = {k: v for k, v in data.items() if k != "gp_model"}
     else:  # a bare pickled regressor
         gpr, meta = data, {}
+    # surface the regressor's ACTUAL fit settings so any downstream refit
+    # (e.g. the CLI's capacity cap) reuses them instead of config defaults —
+    # a bare GPR with normalize_y=False / non-default alpha must round-trip
+    meta["jitter"] = float(np.max(np.atleast_1d(gpr.alpha)))
+    meta["normalize_y"] = bool(gpr.normalize_y)
     return _posterior_from_gpr(gpr, dtype), meta
 
 
@@ -147,8 +158,11 @@ def load_sklearn_perdim_pickle(path: str, dtype=jnp.float64) -> PerDimGP:
     (gp_trainer.py:152-176); the trainer fits one scaler per output on the
     same X, so they are numerically identical — asserted here — and the
     shared ``PerDimGP.scaler_X`` reproduces ``pretrained_gp.py:72`` exactly.
-    Missing outputs (the reference tolerates partial packages,
-    pretrained_gp.py:93-96) are rejected loudly instead."""
+    Partial packages are legitimate reference output — ``gp_trainer.py``
+    skips an output when ``std(y) < 1e-6`` and ``pretrained_gp.py:93-96``
+    tolerates the gap by predicting zero — so missing outputs get a
+    zero-residual posterior here (zero targets on the shared X: the
+    posterior mean is exactly 0 everywhere)."""
     with open(path, "rb") as f:
         data = pickle.load(f)
     return _perdim_from_dict(data, dtype)
@@ -158,12 +172,14 @@ def _perdim_from_dict(data, dtype) -> PerDimGP:
     models = data["gp_models"]
     scalers_X = data["scalers_X"]
     scalers_y = data["scalers_y"]
-    missing = [n for n in PER_DIM_OUTPUT_NAMES if n not in models]
-    if missing:
-        raise ValueError(f"per-dim package is missing outputs: {missing}")
+    present = [n for n in PER_DIM_OUTPUT_NAMES if n in models]
+    if not present:
+        raise ValueError(
+            f"per-dim package has none of the outputs {PER_DIM_OUTPUT_NAMES}"
+        )
 
-    sx0 = scalers_X[PER_DIM_OUTPUT_NAMES[0]]
-    for name in PER_DIM_OUTPUT_NAMES[1:]:
+    sx0 = scalers_X[present[0]]
+    for name in present[1:]:
         if not (
             np.allclose(scalers_X[name].mean_, sx0.mean_)
             and np.allclose(scalers_X[name].scale_, sx0.scale_)
@@ -173,13 +189,31 @@ def _perdim_from_dict(data, dtype) -> PerDimGP:
                 "package was not produced by the reference trainer"
             )
 
+    template = _posterior_from_gpr(models[present[0]], dtype)
+
+    def zero_posterior() -> GPPosterior:
+        # gp_trainer.py skips an output when std(y_train) < 1e-6;
+        # pretrained_gp.py:93-96 then predicts zero for it. Zero targets on
+        # the template's (standardised) X give mean == 0 everywhere (alpha =
+        # K^{-1} 0 = 0) with the template's hyperparameters, so the stacked
+        # pytree keeps uniform leaf shapes.
+        Y0 = jnp.zeros((template.X_train.shape[0], 1), dtype)
+        return fit_gp(template.params, template.X_train, Y0,
+                      jitter=float(jnp.exp(template.params.log_noise_variance))
+                      + 1e-10,
+                      normalize_y=False)
+
     posteriors = []
     y_means, y_stds = [], []
     for name in PER_DIM_OUTPUT_NAMES:
-        gpr = models[name]
-        posteriors.append(_posterior_from_gpr(gpr, dtype))
-        y_means.append(float(np.atleast_1d(scalers_y[name].mean_)[0]))
-        y_stds.append(float(np.atleast_1d(scalers_y[name].scale_)[0]))
+        if name in models:
+            posteriors.append(_posterior_from_gpr(models[name], dtype))
+            y_means.append(float(np.atleast_1d(scalers_y[name].mean_)[0]))
+            y_stds.append(float(np.atleast_1d(scalers_y[name].scale_)[0]))
+        else:
+            posteriors.append(zero_posterior())
+            y_means.append(0.0)
+            y_stds.append(1.0)
 
     batched = jax.tree_util.tree_map(
         lambda *leaves: jnp.stack(leaves), *posteriors

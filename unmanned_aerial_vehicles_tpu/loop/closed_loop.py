@@ -700,6 +700,15 @@ def _multitick_rollout(
             yr = jnp.clip(
                 packed[:, 28], -cfg.yawrate_limit, cfg.yawrate_limit
             )
+            if cfg.fallback_error_m > 0.0:
+                # on fallback-engaged ticks the kernel applies yawrate 0
+                # while lane 28 still holds the clipped MPC yawrate —
+                # recompute the kernel's divergence mask (same first-stage
+                # ref lanes it read) so captured controls match APPLIED ones
+                err2 = jnp.sum(
+                    (refs[:, 0:3] - packed[:, 0:3]) ** 2, axis=1
+                )
+                yr = jnp.where(err2 > cfg.fallback_error_m**2, 0.0, yr)
             controls = jnp.concatenate(
                 [packed[:, 22:25], yr[:, None]], axis=1
             )
