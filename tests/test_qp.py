@@ -1,6 +1,7 @@
 """Box-QP solver correctness: analytic unconstrained optimum, scipy
 high-accuracy references, KKT residuals."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.optimize
@@ -113,3 +114,41 @@ def test_condense_dynamics_prediction(rng):
     for k in range(N):
         x = A @ x + B @ U[k] + W[k]
         np.testing.assert_allclose(X_pred[k], x, atol=1e-12)
+
+
+def test_ip_box_qp_matches_reference(rng):
+    """Fixed-iteration interior point (the Ipopt-semantics tier) solves a
+    random strictly convex box QP to 1e-8 of scipy trust-constr, including
+    placeholder 'infinite' (1e9) rows."""
+    from scipy.optimize import LinearConstraint, minimize
+
+    from unmanned_aerial_vehicles_tpu.ops.qp import ip_box_qp, kkt_score
+
+    n, m = 24, 60
+    A = rng.standard_normal((n, n))
+    H = A @ A.T + 0.5 * np.eye(n)
+    G = rng.standard_normal((m, n))
+    f = rng.standard_normal(n)
+    center = G @ rng.standard_normal(n) * 0.1
+    lo = center - rng.uniform(0.1, 1.0, m)
+    hi = center + rng.uniform(0.1, 1.0, m)
+    # a few unbounded placeholder rows
+    lo[:5] = -1e9
+    hi[-5:] = 1e9
+
+    Hj, Gj, fj = jnp.asarray(H), jnp.asarray(G), jnp.asarray(f)
+    loj, hij = jnp.asarray(lo), jnp.asarray(hi)
+    sol = jax.jit(lambda: ip_box_qp(Hj, Gj, fj, loj, hij, iterations=50))()
+    assert float(kkt_score(Hj, Gj, fj, loj, hij, sol.primal, sol.dual)) < 1e-8
+
+    lo_inf = np.where(lo < -1e8, -np.inf, lo)
+    hi_inf = np.where(hi > 1e8, np.inf, hi)
+    res = minimize(
+        lambda x: 0.5 * x @ H @ x + f @ x,
+        np.zeros(n),
+        jac=lambda x: H @ x + f,
+        method="trust-constr",
+        constraints=[LinearConstraint(G, lo_inf, hi_inf)],
+        options=dict(gtol=1e-12, xtol=1e-14, maxiter=2000),
+    )
+    np.testing.assert_allclose(np.asarray(sol.primal), res.x, atol=1e-7)

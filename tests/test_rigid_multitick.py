@@ -1,0 +1,108 @@
+"""Multi-tick (per-dispatch-relinearisation) tier for the 12-state family.
+
+RMS parity of ``loop.rigid_loop.sqp_multitick_rollout`` against the per-tick
+staged SQP engines on the circle task — the same accuracy treatment the
+in-kernel EKF's per-dispatch relinearisation got (bounded by test, not
+assumed). Also pins the structural claim that motivates the tier: with the
+equilibration frozen across a dispatch, ADMM duals warm-start across ticks
+and the iteration count stops mattering (30 vs 80 identical).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unmanned_aerial_vehicles_tpu.control.mpc_rigid import (
+    DirectRateMPC,
+    RigidBodyMPC,
+    direct_rate_step,
+)
+from unmanned_aerial_vehicles_tpu.loop.rigid_loop import sqp_multitick_rollout
+from unmanned_aerial_vehicles_tpu.models import X500_PARAMS, rigid_body_rk4_step
+from unmanned_aerial_vehicles_tpu.trajectories import ramped_circle_reference
+
+DT = 0.02
+H = 3.0
+T = 240
+
+
+def _ref(t):
+    pos, _, yaw = ramped_circle_reference(t, amplitude=2.0, height=H)
+    return pos, yaw
+
+
+def _staged_rms(eng, plant, T):
+    def step(c, i):
+        st, mc = c
+        t = i.astype(jnp.float32) * DT
+        pos_ref, _ = _ref(t)
+        u, _, mc = eng.solve(mc, st, jnp.asarray(pos_ref, jnp.float32))
+        st = plant(st, u)
+        return (st, mc), jnp.sum((st[0:3] - pos_ref) ** 2)
+
+    x0 = jnp.zeros(12, jnp.float32).at[2].set(H)
+    errs = jax.jit(
+        lambda x: jax.lax.scan(step, (x, eng.init_carry(x)), jnp.arange(T))[1]
+    )(x0)
+    return float(jnp.sqrt(jnp.mean(errs)))
+
+
+def _multitick_rms(eng, plant, T, K, iters):
+    N = eng.mpc.config.horizon
+
+    def reference_fn(ticks):
+        ts = ticks.astype(jnp.float32) * DT
+        pos, _, _ = jax.vmap(
+            lambda t: ramped_circle_reference(t, amplitude=2.0, height=H)
+        )(ts)
+        stage = jnp.concatenate([pos, jnp.zeros((ts.shape[0], 9))], axis=1)
+        return jnp.tile(stage[:, None, :], (1, N, 1))
+
+    x0 = jnp.zeros(12, jnp.float32).at[2].set(H)
+    outs = jax.jit(lambda x: sqp_multitick_rollout(
+        eng.mpc, eng.cost, reference_fn, plant, x, T,
+        ticks_per_dispatch=K, admm_iterations=iters, u_init=eng.u_hover,
+    ))(x0)
+    ps = np.asarray(outs["state"])[:, 0:3]
+    rs = np.stack([np.asarray(_ref(t * DT)[0]) for t in range(T)])
+    assert np.isfinite(ps).all()
+    return float(np.sqrt(np.mean(np.sum((ps - rs) ** 2, -1))))
+
+
+@pytest.mark.parametrize("engine", ["rigid", "direct_rate"])
+def test_multitick_rms_parity(engine):
+    if engine == "rigid":
+        eng = RigidBodyMPC()
+        plant = lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS, DT)
+    else:
+        eng = DirectRateMPC()
+        plant = lambda x, u: direct_rate_step(
+            x, u, jnp.zeros(12, jnp.float32), dt=DT
+        )
+    staged = _staged_rms(eng, plant, T)
+    fused = _multitick_rms(eng, plant, T, K=8, iters=30)
+    # per-dispatch relinearisation costs <1 cm RMS on a ~0.5 m task
+    # (measured 4-6 mm for both engines at K=4 AND K=8 — the gap is the
+    # warm-anchor difference, not dispatch length)
+    assert abs(fused - staged) < 0.012, (staged, fused)
+
+
+def test_multitick_iteration_invariance():
+    """Frozen equilibration -> duals warm-start across ticks -> the ADMM
+    count stops mattering (30 vs 80 within 1e-4 RMS)."""
+    eng = RigidBodyMPC()
+    plant = lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS, DT)
+    rms30 = _multitick_rms(eng, plant, T, K=8, iters=30)
+    rms80 = _multitick_rms(eng, plant, T, K=8, iters=80)
+    assert abs(rms30 - rms80) < 1e-4, (rms30, rms80)
+
+
+def test_multitick_dispatch_length_insensitive():
+    eng = DirectRateMPC()
+    plant = lambda x, u: direct_rate_step(
+        x, u, jnp.zeros(12, jnp.float32), dt=DT
+    )
+    r4 = _multitick_rms(eng, plant, T, K=4, iters=30)
+    r8 = _multitick_rms(eng, plant, T, K=8, iters=30)
+    assert abs(r4 - r8) < 1e-3, (r4, r8)

