@@ -13,12 +13,16 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from unmanned_aerial_vehicles_tpu.control.ilqr import ILQRRigidBodyMPC
 from unmanned_aerial_vehicles_tpu.control.mpc_rigid import (
     DirectRateMPC,
     RigidBodyMPC,
     direct_rate_step,
 )
-from unmanned_aerial_vehicles_tpu.loop.rigid_loop import sqp_multitick_rollout
+from unmanned_aerial_vehicles_tpu.loop.rigid_loop import (
+    ilqr_multitick_rollout,
+    sqp_multitick_rollout,
+)
 from unmanned_aerial_vehicles_tpu.models import X500_PARAMS, rigid_body_rk4_step
 from unmanned_aerial_vehicles_tpu.trajectories import ramped_circle_reference
 
@@ -96,6 +100,41 @@ def test_multitick_iteration_invariance():
     rms30 = _multitick_rms(eng, plant, T, K=8, iters=30)
     rms80 = _multitick_rms(eng, plant, T, K=8, iters=80)
     assert abs(rms30 - rms80) < 1e-4, (rms30, rms80)
+
+
+def test_ilqr_multitick_policy_parity():
+    """iLQR policy-reuse tier: one solve per dispatch + per-tick LQR
+    feedback tracks the per-tick staged engine on the circle task."""
+    eng = ILQRRigidBodyMPC()
+    plant = lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS, DT)
+    staged = _staged_rms(eng, plant, T)
+
+    def position_ref_fn(ticks):
+        ts = ticks.astype(jnp.float32) * DT
+        pos, _, _ = jax.vmap(
+            lambda t: ramped_circle_reference(t, amplitude=2.0, height=H)
+        )(ts)
+        return pos
+
+    x0 = jnp.zeros(12, jnp.float32).at[2].set(H)
+    rs = np.stack([np.asarray(_ref(t * DT)[0]) for t in range(T)])
+
+    def rms_at(K):
+        outs = jax.jit(lambda x: ilqr_multitick_rollout(
+            eng, position_ref_fn, plant, x, T, ticks_per_dispatch=K,
+        ))(x0)
+        ps = np.asarray(outs["state"])[:, 0:3]
+        assert np.isfinite(ps).all()
+        return float(np.sqrt(np.mean(np.sum((ps - rs) ** 2, -1))))
+
+    # default K=2: policy ticks cost <1.5 cm RMS on a ~0.55 m task
+    # (measured trend vs staged 0.549: K=1 0.552, K=2 0.559, K=4 0.576,
+    # K=8 0.602 — the Euler-prediction-vs-RK4-plant mismatch accumulates)
+    fused2 = rms_at(2)
+    assert abs(fused2 - staged) < 0.015, (staged, fused2)
+    # longer dispatches degrade gracefully, not catastrophically
+    fused8 = rms_at(8)
+    assert abs(fused8 - staged) < 0.07, (staged, fused8)
 
 
 def test_multitick_dispatch_length_insensitive():

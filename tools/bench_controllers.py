@@ -189,6 +189,79 @@ def main():
 
     record("direct_rate_mpc12", make_direct_rate)
 
+    # ---- 12-state multi-tick tiers (loop.rigid_loop): relinearise/solve
+    # once per dispatch, frozen equilibration / LQR policy per tick ----
+    from unmanned_aerial_vehicles_tpu.loop.rigid_loop import (
+        ilqr_multitick_rollout,
+        sqp_multitick_rollout,
+    )
+
+    def make_sqp_multitick(ctrl_factory, plant, K=8, iters=30):
+        def make_run(T):
+            ctrl = ctrl_factory()
+            N = ctrl.mpc.config.horizon
+
+            def reference_fn(ticks):
+                ts = ticks.astype(jnp.float32) * CFG.control_dt
+                pos = jax.vmap(lambda t: ref(t)[0])(ts)
+                stage = jnp.concatenate(
+                    [pos, jnp.zeros((ts.shape[0], 9))], axis=1
+                )
+                return jnp.tile(stage[:, None, :], (1, N, 1))
+
+            @jax.jit
+            def run(x_jitter):
+                x0 = (jnp.zeros(12, jnp.float32)
+                      .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+                outs = sqp_multitick_rollout(
+                    ctrl.mpc, ctrl.cost, reference_fn, plant, x0, T,
+                    ticks_per_dispatch=K, admm_iterations=iters,
+                    u_init=ctrl.u_hover,
+                )
+                ts = jnp.arange(T, dtype=jnp.float32) * CFG.control_dt
+                pos_refs = jax.vmap(lambda t: ref(t)[0])(ts)
+                e = outs["state"][:, 0:3] - pos_refs
+                return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+            return run
+
+        return make_run
+
+    record("sqp_mpc12_multitick", make_sqp_multitick(
+        RigidBodyMPC,
+        lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS, CFG.control_dt),
+    ))
+    record("direct_rate_mpc12_multitick", make_sqp_multitick(
+        DirectRateMPC,
+        lambda x, u: direct_rate_step(x, u, jnp.zeros(12, jnp.float32),
+                                      dt=CFG.control_dt),
+    ))
+
+    def make_ilqr_multitick(T):
+        ctrl = ILQRRigidBodyMPC()
+        plant = lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS,
+                                                 CFG.control_dt)
+
+        def position_ref_fn(ticks):
+            ts = ticks.astype(jnp.float32) * CFG.control_dt
+            return jax.vmap(lambda t: ref(t)[0])(ts)
+
+        @jax.jit
+        def run(x_jitter):
+            x0 = (jnp.zeros(12, jnp.float32)
+                  .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+            outs = ilqr_multitick_rollout(
+                ctrl, position_ref_fn, plant, x0, T, ticks_per_dispatch=2,
+            )
+            ts = jnp.arange(T, dtype=jnp.float32) * CFG.control_dt
+            pos_refs = jax.vmap(lambda t: ref(t)[0])(ts)
+            e = outs["state"][:, 0:3] - pos_refs
+            return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+        return run
+
+    record("ilqr12_multitick_policy", make_ilqr_multitick)
+
     # LTV tracking MPC: its own idiom — (N+1, 12) shifting stage references
     # at 10 Hz on the GZ plant (tests/test_ltv_flight.py)
     from unmanned_aerial_vehicles_tpu.models import GZ_QUADROTOR_PARAMS

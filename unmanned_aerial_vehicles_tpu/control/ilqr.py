@@ -33,6 +33,7 @@ class ILQRSolution(NamedTuple):
     U: jnp.ndarray        # (N, nu)
     X: jnp.ndarray        # (N+1, nx)
     cost: jnp.ndarray     # () tracking cost of the returned trajectory
+    gains: jnp.ndarray    # (N, nu, nx) final LQR subproblem's feedback K_k
 
 
 def _tracking_cost(X, U, q_diag, r_diag, x_ref, u_ref):
@@ -86,27 +87,34 @@ def ilqr_solve(
         return U
 
     def one_iter(carry, _):
-        U, best_U, best_cost = carry
-        X = rollout(U)
+        # X == rollout(U) is carried from the previous iteration: the
+        # cost-evaluation rollout of iterate i IS the linearisation rollout
+        # of iterate i+1, so each iteration runs exactly ONE serial rollout
+        # chain (plus the backward/forward Riccati scans) — the iterates
+        # are bit-identical to rolling out twice, at 3/4 the latency
+        U, X, best_U, best_X, best_cost, _K = carry
         A, B = step_jac(X[:-1], U)
         sol = lqr(
             A, B, zeros_c, q_diag, r_sub,
             x_ref - X, u_ref - U, dx0,
         )
         U_new = clamp(U + sol.U)
-        cost = _tracking_cost(rollout(U_new), U_new, q_diag, r_diag,
-                              x_ref, u_ref)
+        X_new = rollout(U_new)
+        cost = _tracking_cost(X_new, U_new, q_diag, r_diag, x_ref, u_ref)
         better = cost < best_cost
         best_U = jnp.where(better, U_new, best_U)
+        best_X = jnp.where(better, X_new, best_X)
         best_cost = jnp.minimum(cost, best_cost)
-        return (U_new, best_U, best_cost), None
+        return (U_new, X_new, best_U, best_X, best_cost, sol.gains), None
 
-    init_cost = _tracking_cost(rollout(U_init), U_init, q_diag, r_diag,
-                               x_ref, u_ref)
-    (_, U_best, cost_best), _ = jax.lax.scan(
-        one_iter, (U_init, U_init, init_cost), None, length=iterations
+    X_init = rollout(U_init)
+    init_cost = _tracking_cost(X_init, U_init, q_diag, r_diag, x_ref, u_ref)
+    K_init = jnp.zeros((N, nu, nx), U_init.dtype)
+    (_, _, U_best, X_best, cost_best, K_last), _ = jax.lax.scan(
+        one_iter, (U_init, X_init, U_init, X_init, init_cost, K_init), None,
+        length=iterations,
     )
-    return ILQRSolution(U=U_best, X=rollout(U_best), cost=cost_best)
+    return ILQRSolution(U=U_best, X=X_best, cost=cost_best, gains=K_last)
 
 
 def ilqr_optimality(

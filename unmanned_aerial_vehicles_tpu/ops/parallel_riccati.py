@@ -19,6 +19,18 @@ Axehill, arXiv:1407.6898, and pi-MPC, arXiv:2601.14414 — PAPERS.md):
 Semantics and signature match ``lqr_tracking_solve`` exactly (same costs,
 same references, same feedback/feedforward outputs); parity is asserted to
 1e-8 in ``tests/test_riccati.py``.
+
+WHEN TO USE (measured, v5e-1, nx=12/nu=4, slope-timed): the sequential
+solver wins at every horizon tested — serial/parallel us per solve:
+N=15 129/282, N=30 278/471, N=60 546/957, N=120 1088/1696, N=240
+2145/3045. At this state dimension each sequential Riccati step is a
+handful of (12,12) ops, so cheap that the associative combine's 5-tuple
+of (nx,nx) matmuls (~4x the per-element work) outweighs the O(log N)
+depth saving even at N=240. The crossover needs larger nx (combine cost
+grows like the step cost) or horizons beyond any MPC here — which is why
+``ilqr_solve(parallel=False)`` stays the default and the latency fix for
+iLQR is the policy-reuse multitick tier (``loop.rigid_loop``), not this
+solver.
 """
 
 from __future__ import annotations
