@@ -10,6 +10,7 @@ loop.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
     LinearMPC,
@@ -183,12 +184,16 @@ def test_noisy_fused_matches_staged():
     assert abs(rms(fused) - rms(staged)) < 0.05
 
 
-def test_noisy_multitick_matches_staged():
+@pytest.mark.parametrize("K", [8, 20])
+def test_noisy_multitick_matches_staged(K):
     """EKF INSIDE the multi-tick kernel (estimation at the latency tier):
     covariance as a padded VMEM operand, nine sequential scalar measurement
-    fusions, F relinearised once per dispatch. Same PRNG stream as the
-    staged loop -> trajectories must glue together; the frozen-F
-    approximation is bounded here (measured 4e-4 m over 240 ticks)."""
+    fusions, F relinearised PER TICK from the in-kernel analytic Jacobian
+    (the exact RK4 chain rule — same F as the staged jacfwd up to f32
+    rounding). Same PRNG stream as the staged loop -> trajectories must
+    glue to rounding level, independent of dispatch length (measured
+    1.7e-6 m at BOTH K=8 and K=20 over 240 ticks; the rounds-2/3
+    per-dispatch frozen F sat at 4e-4 m and grew with K)."""
     from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
 
     steps = 240
@@ -207,14 +212,19 @@ def test_noisy_multitick_matches_staged():
     multi = jax.jit(
         lambda: noisy_mpc_flight_rollout(
             mpc_f, _circle, steps, jax.random.PRNGKey(0),
-            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=K),
         )
     )()
     gap = np.abs(
         np.asarray(staged["state"][:, 0:3])
         - np.asarray(multi["state"][:, 0:3])
     ).max()
-    assert gap < 5e-3, gap
+    assert gap < 1e-4, gap
+    est_gap = np.abs(
+        np.asarray(staged["state_est"][:, 0:3])
+        - np.asarray(multi["state_est"][:, 0:3])
+    ).max()
+    assert est_gap < 1e-4, est_gap
     est_err = np.linalg.norm(
         np.asarray(multi["state_est"][:, 0:3] - multi["state"][:, 0:3]),
         axis=1,

@@ -20,7 +20,7 @@ from ..control.allocation import attitude_loop_init, geometric_control_allocatio
 from ..control.mpc_linear import LinearMPC
 from ..loop.closed_loop import FlightLoopConfig, _plant_substeps
 from ..models.params import RigidBodyParams
-from ..models.px4_surrogate import RateLoopParams, px4_rate_tracking_step
+from ..models.px4_surrogate import RateLoopParams
 from .ekf import EKFConfig, EKFState, ekf_init, ekf_step, measure
 
 
@@ -63,8 +63,8 @@ def noisy_mpc_flight_rollout(
         #   between dispatches (VERDICT round-2 #7);
         # * multi-tick: the EKF itself moves INSIDE the kernel — covariance
         #   as a (128,128) VMEM operand, measurement fusion as sequential
-        #   scalar updates, F relinearised once per dispatch
-        #   (ops.tick_pallas.gpmpc_noisy_multitick_fused).
+        #   scalar updates, F relinearised per tick from the analytic
+        #   Jacobian (ops.tick_pallas.gpmpc_noisy_multitick_fused).
         if cfg.ticks_per_dispatch > 1:
             if residual_fn is not None and gp_posterior is None:
                 raise ValueError(
@@ -310,12 +310,14 @@ def _fused_noisy_multitick_rollout(
 ):
     """EKF INSIDE the multi-tick kernel: K whole noisy ticks per dispatch.
 
-    The covariance recursion runs in-kernel ((128,128) padded P, two MXU
-    dots per predict, nine sequential scalar measurement fusions — exact
-    for the diagonal-R direct-measurement model); the process Jacobian F is
-    relinearised once per DISPATCH from the current estimate (vs per tick
-    in ``ekf_step``) — the one approximation, bounded by
-    ``tests/test_estimation.py::test_noisy_multitick_matches_staged``.
+    The covariance recursion runs in-kernel ((128,128) padded P, nine
+    sequential scalar measurement fusions — exact for the diagonal-R
+    direct-measurement model); the process Jacobian F is relinearised
+    PER TICK in-kernel from the hand-derived analytic Jacobian chained
+    through the RK4 stages (``ops.plant_pallas._jac_padded``) — the same
+    chain rule as the staged ``ekf_step``'s ``jacfwd``, so no frozen-F
+    approximation remains (parity pinned at K=20 in
+    ``tests/test_estimation.py::test_noisy_multitick_matches_staged``).
     The measurement-noise stream reproduces the staged loop's PRNG scheme
     exactly (same keys, same draws), so trajectories are comparable
     draw-for-draw.
@@ -423,23 +425,10 @@ def _fused_noisy_multitick_rollout(
         ts = (i * K + jnp.arange(K)).astype(dtype) * cfg.control_dt
         refs, pos_refs = jax.vmap(one_ref)(ts)
 
-        # per-dispatch relinearisation at the current estimate + the control
-        # actually applied over the last interval (aux lanes 11:15)
-        est12 = est_row[0, :12]
-        prev_c = aux_row[0, 11:15]
-        F12 = jax.jacfwd(
-            lambda x: px4_rate_tracking_step(
-                x, prev_c, body, rate_loop, cfg.control_dt
-            )
-        )(est12)
-        f_mat = jnp.zeros((PK, PK), dtype).at[:12, :12].set(
-            F12.astype(dtype)
-        )
-
         (packed, state_row, est_row, P, aux_row, xtail_row, z, y) = (
             gpmpc_noisy_multitick_fused(
                 data, gp, state_row, est_row, P, aux_row, xtail_row, z, y,
-                refs, noise_k, plant_row, f_mat, q_mat, rdiag_row,
+                refs, noise_k, plant_row, q_mat, rdiag_row,
                 **statics,
             )
         )

@@ -113,6 +113,103 @@ def _rk4_substeps(s, c, plant, dt, substeps):
     return s
 
 
+def _jacobian_rows(s, c, plant):
+    """Scalar-register transcription of the analytic continuous-time process
+    Jacobian ``models.px4_surrogate.derivative_jacobian`` (d _derivative/ds).
+
+    Returns 12 row tuples of 12 scalars each — built entirely from VPU
+    scalar ops so the EKF transition Jacobian can be relinearised PER TICK
+    inside the fused noisy kernel (``tick_pallas``) with no autodiff and no
+    scatter (Mosaic supports neither). The lone guard difference vs
+    ``_derivative``: the phi-row terms use the cth_safe-guarded tangent
+    (``_derivative`` uses the raw one for phi_dot) — identical for any
+    bounded attitude, finite at the theta singularity.
+    """
+    (mass, gravity, k_drag_linear, tau_r, tau_p, tau_y,
+     thrust_gain, wx, wy, wz) = plant
+    vx, vy, vz = s[3], s[4], s[5]
+    phi, theta, psi = s[6], s[7], s[8]
+    p, q, r = s[9], s[10], s[11]
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    cth, sth = jnp.cos(theta), jnp.sin(theta)
+    cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+    cth_safe = jnp.where(jnp.abs(cth) < 1e-6,
+                         jnp.where(cth < 0, -1e-6, 1e-6), cth)
+    tth = sth / cth_safe
+    sec = one / cth_safe
+    sec2 = sec * sec
+
+    # drag block: -(k/m)(speed I + av av'/speed), zero at zero airspeed
+    avx, avy, avz = vx - wx, vy - wy, vz - wz
+    sq = avx * avx + avy * avy + avz * avz
+    pos = sq > 0.0
+    inv_speed = jnp.where(
+        pos, one / jnp.sqrt(jnp.where(pos, sq, one)), zero
+    )
+    speed = sq * inv_speed
+    kd = k_drag_linear / mass
+
+    def drag(ai, aj, diag):
+        return -kd * (speed * diag + ai * aj * inv_speed)
+
+    # thrust-direction derivatives wrt the Euler angles (mixed-NED signs)
+    a_thrust = c[0] * thrust_gain
+    dphi = (a_thrust * (sphi * sth * cpsi - cphi * spsi),
+            a_thrust * (sphi * sth * spsi + cphi * cpsi),
+            a_thrust * (-sphi * cth))
+    dth = (a_thrust * (-cphi * cth * cpsi),
+           a_thrust * (-cphi * cth * spsi),
+           a_thrust * (-cphi * sth))
+    dpsi = (a_thrust * (cphi * sth * spsi - sphi * cpsi),
+            a_thrust * (-(cphi * sth * cpsi + sphi * spsi)),
+            zero)
+
+    z12 = (zero,) * 12
+    rows = [
+        z12[:3] + (one, zero, zero) + z12[:6],
+        z12[:4] + (one, zero) + z12[:6],
+        z12[:5] + (one,) + z12[:6],
+        (zero, zero, zero,
+         drag(avx, avx, one), drag(avx, avy, zero), drag(avx, avz, zero),
+         dphi[0], dth[0], dpsi[0], zero, zero, zero),
+        (zero, zero, zero,
+         drag(avy, avx, zero), drag(avy, avy, one), drag(avy, avz, zero),
+         dphi[1], dth[1], dpsi[1], zero, zero, zero),
+        (zero, zero, zero,
+         drag(avz, avx, zero), drag(avz, avy, zero), drag(avz, avz, one),
+         dphi[2], dth[2], dpsi[2], zero, zero, zero),
+        (zero, zero, zero, zero, zero, zero,
+         q * cphi * tth - r * sphi * tth, (q * sphi + r * cphi) * sec2,
+         zero, one, sphi * tth, cphi * tth),
+        (zero, zero, zero, zero, zero, zero,
+         -q * sphi - r * cphi, zero, zero, zero, cphi, -sphi),
+        (zero, zero, zero, zero, zero, zero,
+         (q * cphi - r * sphi) * sec, (q * sphi + r * cphi) * sth * sec2,
+         zero, zero, sphi * sec, cphi * sec),
+        z12[:9] + (-one / tau_r, zero, zero),
+        z12[:9] + (zero, -one / tau_p, zero),
+        z12[:9] + (zero, zero, -one / tau_y),
+    ]
+    return rows
+
+
+def _jac_padded(s, c, plant, pk):
+    """The analytic Jacobian as a zero-padded (pk, pk) matrix (no scatter:
+    12 row stacks + a zero block, the Mosaic-legal construction)."""
+    zero = jnp.float32(0.0)
+    rows = [
+        jnp.stack(row + (zero,) * (pk - 12))
+        for row in _jacobian_rows(s, c, plant)
+    ]
+    top = jnp.stack(rows)
+    return jnp.concatenate(
+        [top, jnp.zeros((pk - 12, pk), jnp.float32)], axis=0
+    )
+
+
 def _make_kernel(dt, substeps):
     def kernel(state_ref, control_ref, plant_ref, out_ref):
         s = tuple(state_ref[0, i] for i in range(12))

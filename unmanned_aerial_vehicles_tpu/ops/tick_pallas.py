@@ -50,6 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .controller_pallas import FusedControllerData
 from .plant_pallas import (
     _allocation,
+    _axpy,
+    _derivative,
+    _jac_padded,
     _read_plant,
     _rk4_substeps,
 )
@@ -729,15 +732,18 @@ def gpmpc_multitick_fused(
 #
 # Estimation at the latency tier: the (12,12) EKF Riccati recursion runs
 # INSIDE the multi-tick kernel — covariance as a padded (128,128) VMEM
-# operand (two MXU dots per predict), measurement fusion as NINE sequential
-# scalar updates (exact for the diagonal-R direct-state measurement model of
-# ``estimation.ekf``: each update is rank-1, S is a scalar — no in-kernel
-# matrix inverse needed; the broadcast form P <- P - (P[:,j]/S) P[j,:]
-# preserves symmetry up to f32 rounding, re-symmetrized per dispatch
-# outside). The process Jacobian F is relinearised once per DISPATCH
-# (jacfwd at the dispatch-start estimate, computed in XLA) instead of per
-# tick — the one approximation vs the staged ``ekf_step``; the flight-level
-# impact is bounded by test (RMS within the staged-noisy bar).
+# operand, measurement fusion as NINE sequential scalar updates (exact for
+# the diagonal-R direct-state measurement model of ``estimation.ekf``: each
+# update is rank-1, S is a scalar — no in-kernel matrix inverse needed; the
+# broadcast form P <- P - (P[:,j]/S) P[j,:] preserves symmetry up to f32
+# rounding, re-symmetrized per dispatch outside). The process Jacobian F is
+# relinearised PER TICK in-kernel from the hand-derived analytic Jacobian
+# (``plant_pallas._jac_padded``, the scalar transcription of
+# ``px4_surrogate.derivative_jacobian``) chained exactly through the RK4
+# stages — the same chain rule as ``jax.jacfwd`` of the step, so the
+# rounds-2/3 per-dispatch frozen-F approximation is GONE: the in-kernel
+# filter now computes the same F as the staged ``ekf_step`` up to f32
+# rounding (parity pinned at K=20 in ``tests/test_estimation.py``).
 #
 # MAINTENANCE NOTE: the ADMM/allocation/plant blocks deliberately mirror
 # ``_make_multitick_kernel`` (GP/tightening excluded here — the noisy tier
@@ -769,7 +775,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
     two_pi = 2.0 * jnp.pi
 
     def kernel(state_ref, est_ref, p_ref, aux_ref, xtail_ref, z0_ref, y0_ref,
-               refs_ref, noise_ref, plant_ref, f_ref, qmat_ref, rdiag_ref,
+               refs_ref, noise_ref, plant_ref, qmat_ref, rdiag_ref,
                ztrT_ref, sq2_ref, alphas_ref, ymean_ref, invls_ref, scal_ref,
                sxswt_ref, sutqt_ref, sut_ref,
                p1_ref, pm_ref, p0matt_ref,
@@ -781,8 +787,6 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         zero = jnp.float32(0.0)
         plant = _read_plant(plant_ref)
         gravity = plant[1]
-        F = f_ref[:]
-        FT = f_ref[:].T
         Qmat = qmat_ref[:]
 
         def one_tick(t, carry):
@@ -795,12 +799,38 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             )
             s = tuple(state_row[0, i] for i in range(12))  # truth
 
-            # ---- EKF predict (estimate + frozen-F covariance) ------------
+            # ---- EKF predict (per-tick analytic-F covariance) ------------
             prev_c = tuple(aux_row[0, 11 + i] for i in range(4))
             ex = tuple(est_row[0, i] for i in range(12))
-            # process model = ONE RK4 step at the control dt (ekf_step)
-            xp = _rk4_substeps(ex, prev_c, plant, dt, 1)
-            P_pred = dot(dot(F, P), FT) + Qmat
+            # process model = ONE RK4 step at the control dt (ekf_step);
+            # the stage states double as the linearisation points of the
+            # transition Jacobian F = I + h/6 (K1 + 2K2 + 2K3 + K4) with
+            # K_{i+1} = J(x_i)(I + c_i h K_i) — the exact RK4 chain rule
+            # (px4_step_jacobian), relinearised EVERY tick from the
+            # hand-derived analytic J (no frozen-F approximation)
+            k1 = _derivative(ex, prev_c, plant)
+            x2 = _axpy(ex, k1, 0.5 * dt)
+            k2 = _derivative(x2, prev_c, plant)
+            x3 = _axpy(ex, k2, 0.5 * dt)
+            k3 = _derivative(x3, prev_c, plant)
+            x4 = _axpy(ex, k3, dt)
+            k4 = _derivative(x4, prev_c, plant)
+            xp = tuple(
+                ex[i]
+                + (dt / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
+                for i in range(12)
+            )
+            K1 = _jac_padded(ex, prev_c, plant, PK)
+            J2 = _jac_padded(x2, prev_c, plant, PK)
+            J3 = _jac_padded(x3, prev_c, plant, PK)
+            J4 = _jac_padded(x4, prev_c, plant, PK)
+            K2 = J2 + 0.5 * dt * dot(J2, K1)
+            K3 = J3 + 0.5 * dt * dot(J3, K2)
+            K4 = J4 + dt * dot(J4, K3)
+            Fd = (dt / 6.0) * (K1 + 2.0 * K2 + 2.0 * K3 + K4)  # F = I + Fd
+            # (I+Fd) P (I+Fd)' + Q with P symmetric: no materialised identity
+            FdP = dot(Fd, P)
+            P_pred = P + FdP + FdP.T + dot(FdP, Fd.T) + Qmat
 
             # ---- EKF update: 9 sequential scalar measurement fusions -----
             wrap = lambda a: (a + jnp.pi) % two_pi - jnp.pi
@@ -985,7 +1015,6 @@ def gpmpc_noisy_multitick_fused(
     noise: jnp.ndarray,        # (k_ticks, n_pad): measurement noise per
                                #   STATE lane (measured lanes only)
     plant_row: jnp.ndarray,
-    f_mat: jnp.ndarray,        # (PK, PK) process Jacobian (per dispatch)
     q_mat: jnp.ndarray,        # (PK, PK) diag(process noise)
     rdiag_row: jnp.ndarray,    # (1, PK) measurement noise var per state lane
     k_ticks: int,
@@ -1038,7 +1067,7 @@ def gpmpc_noisy_multitick_fused(
         )
     operands = (
         state_row, est_row, p_mat, aux_row, xtail_row, z0, y0,
-        refs, noise, plant_row, f_mat, q_mat, rdiag_row,
+        refs, noise, plant_row, q_mat, rdiag_row,
         gp.ztrT, gp.sq2_row, gp.alpha_s, gp.y_mean_row, gp.inv_ls_row,
         gp.scal_row,
         data.SxSwT, ctrl.SuTqT, ctrl.SuT,
