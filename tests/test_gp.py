@@ -151,6 +151,82 @@ def test_horizon_residuals_shape_and_conversion(flight_data):
     np.testing.assert_allclose(np.asarray(D[0, 3:6]), expected, atol=1e-9)
 
 
+def test_standardized_params_match_sklearn_scaled_fit():
+    """``standardized_params`` (ARD ls = l * sigma_d) must reproduce a
+    sklearn fit on ``StandardScaler``-transformed inputs — the reference's
+    own OFFLINE practice (gp_trainer.py:121-135) expressed as ARD (the mean
+    shift cancels in RBF distances), opt-in for the ONLINE path.
+
+    Synthetic multi-scale data: real flight CSVs carry a CONSTANT yawrate
+    column (std ~1e-19) that sklearn's scaler divides by — amplifying float
+    noise to O(1) features — while our 1e-8 guard falls back to the plain
+    RBF distance on that lane; equivalence holds on non-degenerate dims."""
+    from sklearn.preprocessing import StandardScaler
+
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import (
+        ResidualDataset,
+        fit_residual_gp_masked,
+        masked_input_stats,
+        standardized_params,
+    )
+
+    rng = np.random.default_rng(7)
+    scales = np.r_[6.0, 6.0, 3.0, 1.5, 1.5, 0.8, 1.0, 0.5, 0.5, 0.3]
+    offsets = np.r_[0.0, 0.0, 3.0, 0.0, 0.0, 0.0, 0.7, 0.0, 0.0, 0.0]
+    X = rng.normal(size=(200, 10)) * scales + offsets
+    Y = 0.05 * rng.normal(size=(200, 6))
+    Xt = rng.normal(size=(40, 10)) * scales + offsets
+    n = X.shape[0]
+    ds = ResidualDataset(
+        X=jnp.asarray(X), Y=jnp.asarray(Y),
+        head=jnp.asarray(n, jnp.int32), count=jnp.asarray(n, jnp.int32),
+    )
+    cfg = ResidualGPConfig()
+    params = standardized_params(ds, cfg)
+    assert np.asarray(params.length_scale).shape == (10,)
+    shift, _ = masked_input_stats(ds)
+    np.testing.assert_allclose(np.asarray(shift), X.mean(axis=0), rtol=1e-9)
+    post = fit_residual_gp_masked(ds, cfg, params=params, x_shift=shift)
+    mean, var = predict(post, jnp.asarray(Xt))
+
+    scaler = StandardScaler().fit(X)   # population std, like our masked std
+    skl = sklearn_reference(scaler.transform(X), Y)
+    mean_ref, std_ref = skl.predict(scaler.transform(Xt), return_std=True)
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, atol=1e-6)
+    np.testing.assert_allclose(np.sqrt(np.asarray(var)), std_ref, atol=1e-6)
+
+
+def test_standardized_params_half_full_buffer(flight_data):
+    """Masked std uses VALID rows only: a half-full ring buffer must give
+    the same ARD scales as the dense fit on the valid prefix; degenerate
+    (constant) dims fall back to plain RBF distance on that lane."""
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import (
+        ResidualDataset,
+        empty_dataset,
+        standardized_params,
+    )
+
+    X, Y, _, _ = flight_data
+    n = X.shape[0] // 2
+    cap = X.shape[0]
+    ds = ResidualDataset(
+        X=jnp.asarray(X).at[n:].set(777.0),   # garbage beyond count
+        Y=jnp.asarray(Y),
+        head=jnp.asarray(n, jnp.int32), count=jnp.asarray(n, jnp.int32),
+    )
+    cfg = ResidualGPConfig()
+    ls = np.asarray(standardized_params(ds, cfg).length_scale)
+    std = np.asarray(X[:n]).std(axis=0)
+    # the flight CSVs' constant yawrate column (std ~1e-19) exercises the
+    # degenerate-dim fallback: plain RBF distance on that lane
+    expected = cfg.length_scale * np.where(std > 1e-8, std, 1.0)
+    np.testing.assert_allclose(ls, expected, rtol=1e-6)
+
+    empty = empty_dataset(cap)
+    ls0 = np.asarray(standardized_params(empty, cfg).length_scale)
+    np.testing.assert_allclose(ls0, cfg.length_scale)  # all dims degenerate
+
+
 def test_checkpoint_roundtrip(tmp_path, flight_data):
     X, Y, Xt, _ = flight_data
     post = fit_residual_gp(jnp.asarray(X), jnp.asarray(Y))

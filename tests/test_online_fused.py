@@ -451,3 +451,93 @@ def test_mid_flight_checkpoint_resume(tmp_path):
         mpc_flight_rollout(mpc, circle_ref, 80, body=body, cfg=cfg,
                            online_gp=ogp,
                            resume=rs2.replace(tick=81))
+
+
+# ---------------------------------------------------------------------------
+# opt-in standardized-input (ARD) online GP (VERDICT round-3 weak #6)
+# ---------------------------------------------------------------------------
+
+
+def test_standardized_ard_posterior_fused_matches_staged():
+    """An ARD (standardized-input-equivalent) posterior through the
+    multi-tick kernel must match the staged residual_fn path as tightly as
+    the isotropic one — pins the kernel's per-dim ``inv_ls`` lanes (the
+    scaled mode changes ONLY those operand values)."""
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import (
+        ResidualDataset,
+        fit_residual_gp_masked,
+        masked_input_stats,
+        standardized_params,
+    )
+
+    rng = np.random.default_rng(3)
+    scales = np.r_[6.0, 6.0, 3.0, 1.5, 1.5, 0.8, 1.0, 0.5, 0.5, 0.3]
+    offsets = np.r_[0.0, 0.0, 3.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    X = np.asarray(rng.normal(size=(64, 10)) * scales + offsets, np.float32)
+    Y = np.asarray(0.05 * rng.normal(size=(64, 6)), np.float32)
+    ds = ResidualDataset(
+        X=jnp.asarray(X), Y=jnp.asarray(Y),
+        head=jnp.asarray(64, jnp.int32), count=jnp.asarray(64, jnp.int32),
+    )
+    gcfg = ResidualGPConfig(residual_gain=1.0)
+    post = fit_residual_gp_masked(
+        ds, gcfg, params=standardized_params(ds, gcfg),
+        x_shift=masked_input_stats(ds)[0],
+    )
+    ls = np.asarray(post.params.length_scale)
+    assert ls.shape == (10,) and ls.std() > 0.1   # ARD really engaged
+    assert post.x_shift is not None               # centered fit engaged
+
+    mpc = fused_mpc()
+    rf = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gcfg)
+    T = 80
+    staged = mpc_flight_rollout(
+        mpc, circle_ref, T, cfg=FlightLoopConfig(use_fused_tick=True),
+        residual_fn=rf,
+    )
+    fused = mpc_flight_rollout(
+        mpc, circle_ref, T,
+        cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8,
+                             fused_tick_loop_precision="highest"),
+        gp_posterior=post, gp_gain=gcfg.residual_gain,
+    )
+    np.testing.assert_allclose(
+        np.asarray(staged["state"]), np.asarray(fused["state"]), atol=2e-4
+    )
+
+
+def test_online_standardized_inputs_fused_matches_staged_system():
+    """ONLINE scaled mode: the fused multi-tick path with
+    ``standardize_inputs=True`` must produce the same learning dynamics as
+    enabling the flag alone changes — vs its own unscaled run the ARD
+    refits must actually change the flight, and the run must stay healthy
+    under wind."""
+    windy = RigidBodyParams(wind=(1.2, 0.6, 0.0))
+    mpc = fused_mpc(horizon=10, admm_iterations=40)
+    cfg = FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8)
+    base = dict(
+        gp=ResidualGPConfig(max_data_points=128, residual_gain=1.0),
+        refit_every=64, min_samples=16,
+    )
+    T = 320
+    runs = {}
+    for name, std in (("raw", False), ("scaled", True)):
+        ogp = OnlineFusedGPConfig(**base, standardize_inputs=std)
+        runs[name] = jax.jit(
+            lambda o=ogp: mpc_flight_rollout(
+                mpc, circle_ref, T, body=windy, cfg=cfg, online_gp=o,
+                gp_gain=1.0,
+            )
+        )()
+    for outs in runs.values():
+        assert np.isfinite(np.asarray(outs["state"])).all()
+        assert int(outs["gp_count"][-1]) > 16
+    # the flag is live: post-refit trajectories diverge between modes
+    gap = np.max(
+        np.abs(np.asarray(runs["raw"]["state"])
+               - np.asarray(runs["scaled"]["state"]))
+    )
+    assert gap > 1e-4, gap
+    # and the scaled mode keeps tracking sane (its win is measured on TPU
+    # in the windy-fig8 campaign row; CPU-sized runs only guard health)
+    assert rms(runs["scaled"], tail=160) < 1.0

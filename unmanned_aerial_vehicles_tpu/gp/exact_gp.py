@@ -72,6 +72,13 @@ class GPPosterior:
     y_mean: jnp.ndarray       # (out,) target normalisation (sklearn normalize_y)
     y_std: jnp.ndarray        # (out,)
     y_train_norm: jnp.ndarray  # (n, out) normalised targets (for the LML)
+    # input centering: when set, X_train is stored SHIFTED (X - x_shift) and
+    # queries are shifted before kernel evaluation. RBF distances are
+    # shift-invariant, so predictions are mathematically unchanged — this
+    # exists purely to keep the f32 squared-distance trick well-conditioned
+    # for standardized-input (ARD) fits, where uncentered features like
+    # z ~ 3 m / std ~ 5 mm otherwise cancel catastrophically on TPU
+    x_shift: jnp.ndarray | None = None   # (d,)
 
 
 def _train_kernel(params: GPParams, X: jnp.ndarray, jitter: float) -> jnp.ndarray:
@@ -123,6 +130,8 @@ def predict(
     ``RBF + WhiteKernel`` predict.
     """
     p = posterior.params
+    if posterior.x_shift is not None:
+        X_test = X_test - posterior.x_shift
     K_star = rbf_kernel(X_test, posterior.X_train, p.length_scale, p.signal_variance)
     mean = K_star @ posterior.alpha * posterior.y_std + posterior.y_mean
 
@@ -143,6 +152,8 @@ def predict_mean(posterior: GPPosterior, X_test: jnp.ndarray) -> jnp.ndarray:
     per-tick cost at a single ``(N, n_train) @ (n_train, out)`` matmul.
     """
     p = posterior.params
+    if posterior.x_shift is not None:
+        X_test = X_test - posterior.x_shift
     K_star = rbf_kernel(X_test, posterior.X_train, p.length_scale, p.signal_variance)
     return K_star @ posterior.alpha * posterior.y_std + posterior.y_mean
 

@@ -178,6 +178,54 @@ def default_params(config: ResidualGPConfig = ResidualGPConfig()) -> GPParams:
     )
 
 
+def standardized_params(
+    dataset: ResidualDataset,
+    config: ResidualGPConfig = ResidualGPConfig(),
+) -> GPParams:
+    """ARD hyperparameters equivalent to standardizing the GP inputs.
+
+    The reference's ONLINE GP feeds raw 10-D features into an isotropic
+    RBF(0.5) (``simple_gp.py:160``) — kernel distance is dominated by the
+    +-6 m position lanes, making learning local along the trajectory
+    (VERDICT round-3 weak #6). Its own OFFLINE trainer standardizes inputs
+    with a ``StandardScaler`` first (``gp_trainer.py:121-135``); this helper
+    brings that practice to the online path: an RBF over ``(x - mu)/sigma``
+    equals ARD with per-dim length scales ``l * sigma_d`` (the mean shift
+    cancels in pairwise distances), so the existing kernel operands express
+    it exactly — no kernel change, opt-in via
+    ``OnlineFusedGPConfig.standardize_inputs`` (default stays bit-faithful
+    to the reference).
+
+    ``sigma_d`` is the masked per-dim std over valid ring-buffer rows;
+    zero/degenerate dims fall back to 1 (plain RBF distance on that lane).
+    Fully in-graph — safe inside the cond-gated refit.
+    """
+    _, std = masked_input_stats(dataset)
+    return GPParams.create(
+        length_scale=config.length_scale * std,
+        signal_variance=1.0,
+        noise_variance=config.noise_variance,
+    )
+
+
+def masked_input_stats(dataset: ResidualDataset):
+    """Per-dim (mean, std) of the VALID ring-buffer inputs, in-graph.
+
+    The mean doubles as the fit's ``x_shift`` (see ``GPPosterior.x_shift``):
+    standardized-equivalent ARD fits must center their features or the f32
+    squared-distance trick cancels catastrophically for small-std/large-
+    offset dims (z ~ 3 m with mm-scale std). Degenerate dims get std 1."""
+    capacity = dataset.X.shape[0]
+    valid = (jnp.arange(capacity) < dataset.count)[:, None]
+    count = jnp.maximum(dataset.count, 1).astype(dataset.X.dtype)
+    Xv = jnp.where(valid, dataset.X, 0.0)
+    mean = jnp.sum(Xv, axis=0) / count
+    var = jnp.sum(jnp.where(valid, (dataset.X - mean) ** 2, 0.0), axis=0) / count
+    std = jnp.sqrt(var)
+    std = jnp.where(std > 1e-8, std, 1.0)
+    return mean, std
+
+
 def fit_residual_gp(
     X: jnp.ndarray,
     Y: jnp.ndarray,
@@ -196,6 +244,7 @@ def fit_residual_gp_masked(
     dataset: ResidualDataset,
     config: ResidualGPConfig = ResidualGPConfig(),
     params: GPParams | None = None,
+    x_shift: jnp.ndarray | None = None,
 ) -> GPPosterior:
     """Fit on a partially-filled ring buffer, fully in-graph (static shapes).
 
@@ -205,6 +254,11 @@ def fit_residual_gp_masked(
     the kernel matrix algebraically — masked rows get k(i, :) = 0 off-diag,
     k(i, i) = 1, y_i = 0, so their alpha is exactly 0 and they contribute
     nothing to posteriors; target normalisation uses masked statistics.
+
+    ``x_shift`` (the standardized-input path, ``masked_input_stats``):
+    inputs are centered before the kernel matrix and the posterior stores
+    centered ``X_train`` plus the shift, so every consumer (staged predict,
+    kernel GP rows) evaluates well-conditioned f32 distances.
     """
     if params is None:
         params = default_params(config)
@@ -213,6 +267,7 @@ def fit_residual_gp_masked(
     idx = jnp.arange(capacity)
     valid = (idx < dataset.count)[:, None]  # ring buffer fills in order
     count = jnp.maximum(dataset.count, 1).astype(dataset.X.dtype)
+    X_in = dataset.X if x_shift is None else dataset.X - x_shift
 
     # masked normalize_y (sklearn semantics over valid rows only)
     Yv = jnp.where(valid, dataset.Y, 0.0)
@@ -224,7 +279,7 @@ def fit_residual_gp_masked(
 
     from .kernels import rbf_kernel
 
-    K = rbf_kernel(dataset.X, dataset.X, jnp.exp(params.log_length_scale),
+    K = rbf_kernel(X_in, X_in, jnp.exp(params.log_length_scale),
                    jnp.exp(params.log_signal_variance))
     mask2d = valid & valid.T
     K = jnp.where(mask2d, K, 0.0)
@@ -241,12 +296,13 @@ def fit_residual_gp_masked(
         params=params,
         # large finite sentinel (inf would give inf-inf=NaN in the
         # squared-distance trick): k(x*, masked row) = exp(-~1e12) = 0
-        X_train=jnp.where(valid, dataset.X, 1e6),
+        X_train=jnp.where(valid, X_in, 1e6),
         chol=L,
         alpha=alpha,
         y_mean=y_mean,
         y_std=y_std,
         y_train_norm=Yn,
+        x_shift=x_shift,
     )
 
 

@@ -99,12 +99,13 @@ def compress_posterior(
     Ln = jnp.linalg.cholesky(Kn)
     return GPPosterior(
         params=p,
-        X_train=Z,
+        X_train=Z,   # anchors live in the same (possibly shifted) frame
         chol=Ln,
         alpha=w,
         y_mean=posterior.y_mean,
         y_std=posterior.y_std,
         y_train_norm=g_z,
+        x_shift=posterior.x_shift,
     )
 
 

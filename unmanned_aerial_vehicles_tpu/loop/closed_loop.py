@@ -65,6 +65,12 @@ class FlightLoopConfig:
     # loads. Requires num_steps % K == 0 and (for the GP) passing the raw
     # posterior via mpc_flight_rollout(gp_posterior=...)
     ticks_per_dispatch: int = 1
+    # route the fused Pallas tiers through their custom_vjp wrappers
+    # (``ops.tick_ad``): forward = the same kernels, backward = the staged
+    # XLA twin's VJP — so ``jax.grad`` flows through the program that
+    # actually flies (the auto-tuner sets this; flight paths leave it off,
+    # it is forward-identical either way)
+    fused_tick_ad: bool = False
     # position-error-triggered safety fallback (the reference's >50 m hover
     # -mode switch, src/px4/mpc.py:2276-2282): when |pos - pos_ref| exceeds
     # this threshold the MPC command is replaced in-graph by the reference's
@@ -87,7 +93,10 @@ class FlightLoopConfig:
 
 def _plant_substeps(state, control, body, rate_loop, cfg: FlightLoopConfig):
     if cfg.use_pallas_plant:
-        from ..ops.plant_pallas import px4_plant_step_fused
+        if cfg.fused_tick_ad:
+            from ..ops.tick_ad import px4_plant_step_ad as px4_plant_step_fused
+        else:
+            from ..ops.plant_pallas import px4_plant_step_fused
 
         return px4_plant_step_fused(
             state, control, body.mass, body.gravity, body.k_drag_linear,
@@ -178,6 +187,12 @@ class OnlineFusedGPConfig:
     gp: ResidualGPConfig = struct.field(default_factory=ResidualGPConfig)
     refit_every: int = 250     # ticks; 5 s at 50 Hz (gaussian_process.py:122)
     min_samples: int = 30      # simple_gp.py:158
+    # opt-in: refit with per-dim ARD length scales equivalent to
+    # standardized inputs (the reference's OFFLINE StandardScaler practice,
+    # gp_trainer.py:121-135, brought to the online path — the default False
+    # keeps the reference's unscaled online RBF(0.5), simple_gp.py:160);
+    # see gp.residual_gp.standardized_params
+    standardize_inputs: bool = False
 
 
 @struct.dataclass
@@ -380,7 +395,13 @@ def mpc_flight_rollout(
         if cfg.use_pallas_plant:
             # allocation + attitude PID + all plant substeps in ONE kernel
             from ..control.allocation import AttitudeLoopState
-            from ..ops.plant_pallas import allocation_plant_tick_fused
+
+            if cfg.fused_tick_ad:
+                from ..ops.tick_ad import (
+                    allocation_plant_tick_ad as allocation_plant_tick_fused,
+                )
+            else:
+                from ..ops.plant_pallas import allocation_plant_tick_fused
 
             new_state, control, att_sp, new_int = allocation_plant_tick_fused(
                 state, accel_des, yawrate_des, yaw_ref, att_carry.integral,
@@ -580,6 +601,9 @@ def _multitick_rollout(
         gpmpc_multitick_fused,
     )
 
+    if cfg.fused_tick_ad:
+        from ..ops.tick_ad import gpmpc_multitick_ad as gpmpc_multitick_fused  # noqa: F811
+
     if not mpc.config.use_fused_controller:
         raise ValueError("use_fused_tick requires LinearMPCConfig."
                          "use_fused_controller=True (padded kernel data)")
@@ -614,12 +638,28 @@ def _multitick_rollout(
             initial_dataset if initial_dataset is not None
             else empty_dataset(gcfg.max_data_points, dtype)
         )
+
+        def fit_scaled(ds):
+            """Masked refit; scaled mode uses standardize-equivalent ARD
+            length scales AND centers the features by the masked mean
+            (``GPPosterior.x_shift`` — f32 distance conditioning; opt-in,
+            default = the reference's fixed isotropic unscaled RBF)."""
+            if online_gp.standardize_inputs:
+                from ..gp.residual_gp import masked_input_stats, standardized_params
+
+                shift, _ = masked_input_stats(ds)
+                return fit_residual_gp_masked(
+                    ds, gcfg, params=standardized_params(ds, gcfg),
+                    x_shift=shift,
+                )
+            return fit_residual_gp_masked(ds, gcfg)
+
         # gain gates the kernel's correction: zero until enough samples
         gain0 = jnp.where(
             dataset0.count >= online_gp.min_samples, gp_gain, 0.0
         )
         gp0 = build_gp_rows(
-            fit_residual_gp_masked(dataset0, gcfg), gain0,
+            fit_scaled(dataset0), gain0,
             control_dt=cfg.control_dt, gp_dt=gcfg.dt,
             with_variance=with_variance,
         )
@@ -726,7 +766,7 @@ def _multitick_rollout(
 
             def do_refit(ds):
                 return build_gp_rows(
-                    fit_residual_gp_masked(ds, gcfg), gp_gain,
+                    fit_scaled(ds), gp_gain,
                     control_dt=cfg.control_dt, gp_dt=gcfg.dt,
                     with_variance=with_variance,
                 )
@@ -738,12 +778,13 @@ def _multitick_rollout(
         N, K,
         int(online_gp.gp.max_data_points) if online else 0,
         bool(with_variance),
+        bool(online_gp.standardize_inputs) if online else False,
     )
     if resume is not None:
         if resume.meta and resume.meta != meta:
             raise ValueError(
                 f"resume checkpoint config mismatch: saved {resume.meta}, "
-                f"current (horizon, K, gp_capacity, variance) = {meta}"
+                f"current (horizon, K, gp_capacity, variance, scaled) = {meta}"
             )
         if resume.tick % K != 0:
             raise ValueError(

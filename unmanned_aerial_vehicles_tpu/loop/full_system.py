@@ -51,6 +51,9 @@ class OnlineGPMPCConfig:
     gp_min_samples: int = 30       # simple_gp.py:158
     mpc_every: int = 1             # solve every k-th tick (10 Hz MPC = 5)
     preview: bool = False          # per-stage horizon references
+    # opt-in standardize-equivalent ARD refits (the OnlineFusedGPConfig
+    # flag's staged twin; gp.residual_gp.standardized_params)
+    standardize_inputs: bool = False
 
 
 def online_gp_mpc_rollout(
@@ -80,7 +83,18 @@ def online_gp_mpc_rollout(
     accel_hi = jnp.asarray(fcfg.accel_upper, dtype)
     hover_u = jnp.zeros(4, dtype)  # zero-acceleration command = hover
 
-    posterior0 = fit_residual_gp_masked(initial_dataset, cfg.gp)
+    def fit_scaled(ds):
+        if cfg.standardize_inputs:
+            from ..gp.residual_gp import masked_input_stats, standardized_params
+
+            shift, _ = masked_input_stats(ds)
+            return fit_residual_gp_masked(
+                ds, cfg.gp, params=standardized_params(ds, cfg.gp),
+                x_shift=shift,
+            )
+        return fit_residual_gp_masked(ds, cfg.gp)
+
+    posterior0 = fit_scaled(initial_dataset)
 
     def step(carry, i):
         (state, mpc_carry, att_carry, dataset, posterior,
@@ -101,10 +115,7 @@ def online_gp_mpc_rollout(
             dataset.count >= cfg.gp_min_samples
         )
         posterior = jax.lax.cond(
-            refit,
-            lambda ds: fit_residual_gp_masked(ds, cfg.gp),
-            lambda ds: posterior,
-            dataset,
+            refit, fit_scaled, lambda ds: posterior, dataset
         )
 
         # --- MPC tick (rate-divided), GP residuals gated on is_trained --

@@ -73,9 +73,15 @@ def _derivative(s, c, plant):
     t2 = cphi * cth
     a_thrust = thrust_norm * thrust_gain
 
-    # drag acts on the airspeed (v - wind); zero wind = reference behaviour
+    # drag acts on the airspeed (v - wind); zero wind = reference behaviour.
+    # The double-where guards the sqrt's gradient at exact-zero airspeed
+    # (forward value unchanged): this function doubles as the staged-twin
+    # backward of the plant kernels (ops.tick_ad), where an unguarded
+    # sqrt(0) NaNs whole-flight gradients — same fix as px4_surrogate.
     avx, avy, avz = vx - wx, vy - wy, vz - wz
-    speed = jnp.sqrt(avx * avx + avy * avy + avz * avz)
+    sq = avx * avx + avy * avy + avz * avz
+    pos_sq = sq > 0.0
+    speed = jnp.where(pos_sq, jnp.sqrt(jnp.where(pos_sq, sq, 1.0)), 0.0)
     kd = k_drag_linear / mass
     ax = a_thrust * t0 - kd * speed * avx
     ay = a_thrust * t1 - kd * speed * avy

@@ -70,7 +70,15 @@ class FusedTickData(NamedTuple):
 
 def build_tick_data(ctrl: FusedControllerData, N: int, nu: int, nx: int) -> FusedTickData:
     """Stack the controller matrices into the tick kernel's wide layouts
-    (fewer, larger MXU dots per tick: 10 -> 6)."""
+    (fewer, larger MXU dots per tick: 10 -> 6).
+
+    Accepts host-NumPy controller data (flight path: baked XLA constants)
+    or traced jnp arrays (the differentiable tuner path,
+    ``ops.tick_ad.build_fused_controller_data_traced``)."""
+    if not isinstance(ctrl.SxT, np.ndarray):
+        from .tick_ad import build_tick_data_traced
+
+        return build_tick_data_traced(ctrl, N, nu, nx)
     m_pad = ctrl.P1.shape[0]
     return FusedTickData(
         ctrl=ctrl,
@@ -326,7 +334,10 @@ class GPRows(NamedTuple):
     sq2_row: jnp.ndarray   # (1, P)  per-training-point squared norms
     alpha_s: jnp.ndarray   # (P, 8)  alpha * y_std (cols 0:6)
     y_mean_row: jnp.ndarray  # (1, 8) target means (cols 0:6)
-    inv_ls_row: jnp.ndarray  # (1, 16) 1/length_scale per input lane (0:10)
+    # row 0: 1/length_scale per input lane (0:10); row 1: x_shift/ls — the
+    # query centering of GPPosterior.x_shift (zeros for unshifted fits);
+    # the kernel computes Zf = F * row0 - row1
+    inv_ls_row: jnp.ndarray  # (2, 16)
     scal_row: jnp.ndarray  # (1, 8): [signal_variance, gain, prior_var, 0...]
     kinv: jnp.ndarray | None = None      # (P, P) K^{-1} (variance path only)
     y_std_row: jnp.ndarray | None = None  # (1, 8) y_std (variance path only)
@@ -364,7 +375,12 @@ def build_gp_rows(
     y_mean_row = jnp.zeros((1, 8), dtype).at[0, :6].set(
         posterior.y_mean.astype(dtype)
     )
-    inv_ls_row = jnp.zeros((1, 16), dtype).at[0, :d].set(1.0 / ls)
+    inv_ls_row = jnp.zeros((2, 16), dtype).at[0, :d].set(1.0 / ls)
+    if posterior.x_shift is not None:
+        # X_train is stored centered; center queries by the same shift
+        inv_ls_row = inv_ls_row.at[1, :d].set(
+            posterior.x_shift.astype(dtype) / ls
+        )
     sf2 = jnp.asarray(posterior.params.signal_variance, dtype)
     noise = jnp.asarray(posterior.params.noise_variance, dtype)
     scal_row = (
@@ -458,7 +474,8 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                 F = jnp.stack(
                     [jnp.stack(stage_features(k)) for k in range(N)]
                 )                                           # (N, 16)
-                Zf = F * invls_ref[:]                       # broadcast row
+                # centered scaled features: row 0 = 1/ls, row 1 = shift/ls
+                Zf = F * invls_ref[0:1, :] - invls_ref[1:2, :]
                 sq1 = jnp.sum(Zf * Zf, axis=1, keepdims=True)
                 cross = dot(Zf, ztrT_ref[:])                # (N, P)
                 dists = jnp.maximum(sq1 + sq2_ref[:] - 2.0 * cross, 0.0)
@@ -690,7 +707,7 @@ def gpmpc_multitick_fused(
             sq2_row=jnp.zeros((1, 8), jnp.float32),
             alpha_s=jnp.zeros((8, 8), jnp.float32),
             y_mean_row=jnp.zeros((1, 8), jnp.float32),
-            inv_ls_row=jnp.zeros((1, 16), jnp.float32),
+            inv_ls_row=jnp.zeros((2, 16), jnp.float32),
             scal_row=jnp.zeros((1, 8), jnp.float32),
         )
     if use_tightening and (gp.kinv is None or gp.y_std_row is None):
@@ -869,7 +886,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                 Fg = jnp.stack(
                     [jnp.stack(stage_features(k)) for k in range(N)]
                 )
-                Zf = Fg * invls_ref[:]
+                Zf = Fg * invls_ref[0:1, :] - invls_ref[1:2, :]
                 sq1 = jnp.sum(Zf * Zf, axis=1, keepdims=True)
                 cross = dot(Zf, ztrT_ref[:])
                 dists = jnp.maximum(sq1 + sq2_ref[:] - 2.0 * cross, 0.0)
@@ -1062,7 +1079,7 @@ def gpmpc_noisy_multitick_fused(
             sq2_row=jnp.zeros((1, 8), jnp.float32),
             alpha_s=jnp.zeros((8, 8), jnp.float32),
             y_mean_row=jnp.zeros((1, 8), jnp.float32),
-            inv_ls_row=jnp.zeros((1, 16), jnp.float32),
+            inv_ls_row=jnp.zeros((2, 16), jnp.float32),
             scal_row=jnp.zeros((1, 8), jnp.float32),
         )
     operands = (

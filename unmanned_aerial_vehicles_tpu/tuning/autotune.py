@@ -336,6 +336,20 @@ class _TracedWeightMPC:
         M = H + cfg.admm_rho * mm(G_j.T, G_j)
         self._M_chol = jnp.linalg.cholesky(M)
 
+        if config.use_fused_controller:
+            # traced twin of LinearMPC's fused-kernel operands: weight
+            # gradients flow through the padded matrices into the Pallas
+            # tick (whose VJP is supplied by ops.tick_ad)
+            from ..ops.tick_ad import build_fused_controller_data_traced
+
+            M_inv = jax.scipy.linalg.cho_solve(
+                (self._M_chol, True), jnp.eye(N * nu, dtype=jnp.float32)
+            )
+            self._fc_data = build_fused_controller_data_traced(
+                self._Sx, self._Su, self._Sw, self._SuTq, M_inv,
+                self._G, self._u_lo, self._u_hi, self._x_lo, self._x_hi,
+            )
+
     def init_carry(self, state=None) -> MPCCarry:
         N = self.config.horizon
         x0 = (
@@ -446,6 +460,18 @@ def tune_mpc_weights(
     (compile-time-constant matrices, fused kernels available).
     """
     base = base_config if base_config is not None else LinearMPCConfig()
+    if loop_cfg.use_fused_tick:
+        # tune THE PROGRAM THAT FLIES: the fused multi-tick Pallas kernel
+        # forward, staged-twin VJP backward (ops.tick_ad)
+        if not base.use_fused_controller:
+            base = base.replace(use_fused_controller=True)
+        if not loop_cfg.fused_tick_ad:
+            loop_cfg = loop_cfg.replace(fused_tick_ad=True)
+        if loop_cfg.ticks_per_dispatch <= 1:
+            raise ValueError(
+                "fused-tier tuning runs on the multi-tick path: set "
+                "FlightLoopConfig.ticks_per_dispatch > 1"
+            )
 
     def loss_fn(theta):
         mpc = _TracedWeightMPC(theta, base)

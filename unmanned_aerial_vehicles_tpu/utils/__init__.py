@@ -1,3 +1,4 @@
+from .examples import fast_examples, scaled
 from .profiling import device_timeit, scan_slope_timeit, trace
 from .rotations import (
     euler_to_quaternion,
@@ -8,6 +9,8 @@ from .rotations import (
 )
 
 __all__ = [
+    "fast_examples",
+    "scaled",
     "device_timeit",
     "scan_slope_timeit",
     "trace",
