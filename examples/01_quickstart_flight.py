@@ -15,10 +15,11 @@ from unmanned_aerial_vehicles_tpu.io import load_gp_datasets
 from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig, mpc_flight_rollout
 from unmanned_aerial_vehicles_tpu.metrics import tracking_metrics
 from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+from unmanned_aerial_vehicles_tpu.utils import scaled
 
 # 1. flight data -> residual GP training set
 paths = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))
-X, Y = load_gp_datasets(paths, max_samples=800)
+X, Y = load_gp_datasets(paths, max_samples=scaled(800, 128))
 
 # 2. the controller and the loop configuration
 mpc = LinearMPC(LinearMPCConfig())          # N=25 condensed-QP GP-MPC
@@ -35,7 +36,8 @@ def reference(t):
 def fly(Xd, Yd):
     post = fit_residual_gp(Xd, Yd)
     rf = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug)
-    return mpc_flight_rollout(mpc, reference, 3000, cfg=cfg, residual_fn=rf)
+    return mpc_flight_rollout(mpc, reference, scaled(3000, 200), cfg=cfg,
+                              residual_fn=rf)
 
 
 outs = fly(jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32))

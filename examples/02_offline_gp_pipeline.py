@@ -15,15 +15,17 @@ from unmanned_aerial_vehicles_tpu.gp import (
 )
 from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig, default_params
 from unmanned_aerial_vehicles_tpu.io import load_gp_datasets, save_gp_checkpoint
+from unmanned_aerial_vehicles_tpu.utils import scaled
 
 paths = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))
-X, Y = load_gp_datasets(paths, max_samples=600)
+X, Y = load_gp_datasets(paths, max_samples=scaled(600, 128))
 Xj, Yj = jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32)
 cfg = ResidualGPConfig()
 
 params, nll = optimize_hyperparameters_restarts(
     default_params(cfg), Xj, Yj, jax.random.PRNGKey(0),
-    restarts=3, jitter=cfg.alpha, normalize_y=True, steps=40,
+    restarts=scaled(3, 2), jitter=cfg.alpha, normalize_y=True,
+    steps=scaled(40, 8),
 )
 print(f"optimised nll: {float(nll):.1f}, "
       f"length_scale: {float(jnp.exp(params.log_length_scale)):.3f}")

@@ -9,10 +9,11 @@ from unmanned_aerial_vehicles_tpu.control.mpc_linear import LinearMPC, LinearMPC
 from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
 from unmanned_aerial_vehicles_tpu.loop import OnlineGPMPCConfig, online_gp_mpc_rollout
 from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+from unmanned_aerial_vehicles_tpu.utils import scaled
 
 cfg = OnlineGPMPCConfig(
     gp=ResidualGPConfig(max_data_points=400, residual_gain=1.0),
-    gp_refit_every=250,   # 5 s at 50 Hz, like the reference's training timer
+    gp_refit_every=scaled(250, 64),  # 5 s at 50 Hz (reference training timer)
 )
 mpc = LinearMPC(LinearMPCConfig())
 
@@ -23,7 +24,7 @@ def reference(t):
 
 
 outs, dataset, posterior = jax.jit(
-    lambda: online_gp_mpc_rollout(mpc, reference, 3000, cfg=cfg)
+    lambda: online_gp_mpc_rollout(mpc, reference, scaled(3000, 200), cfg=cfg)
 )()
 err = np.linalg.norm(np.asarray(outs["pos_ref"] - outs["state"][:, 0:3]), axis=1)
 print(f"samples collected in flight: {int(dataset.count)}")

@@ -10,6 +10,7 @@ from unmanned_aerial_vehicles_tpu.control.mpc_linear import LinearMPC, LinearMPC
 from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig, mpc_flight_rollout
 from unmanned_aerial_vehicles_tpu.parallel import make_mesh, sharded_flight_sweep
 from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+from unmanned_aerial_vehicles_tpu.utils import scaled
 
 cfg = FlightLoopConfig()
 mpc = LinearMPC(LinearMPCConfig())
@@ -21,10 +22,11 @@ def reference(t):
 
 
 def one_flight(x0):
-    return mpc_flight_rollout(mpc, reference, 1000, cfg=cfg, initial_state=x0)
+    return mpc_flight_rollout(mpc, reference, scaled(1000, 128), cfg=cfg,
+                              initial_state=x0)
 
 
-B = 64
+B = scaled(64, 16)
 starts = jnp.zeros((B, 12), jnp.float32).at[:, 2].set(cfg.takeoff_height)
 starts = starts.at[:, 0].set(jnp.linspace(-2.0, 2.0, B))
 

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from unmanned_aerial_vehicles_tpu.control import QuadCost, SQPConfig, SQPMPC
+from unmanned_aerial_vehicles_tpu.utils import scaled
 
 # a toy 2D unicycle: state [x, y, heading], control [speed, turn rate]
 DT = 0.1
@@ -45,7 +46,8 @@ def drive(state, carry):
         st = unicycle_step(st, u, jnp.zeros(3))
         return (st, mc), st
 
-    (final, _), path = jax.lax.scan(step, (state, carry), None, length=80)
+    (final, _), path = jax.lax.scan(step, (state, carry), None,
+                                    length=scaled(80, 30))
     return final, path
 
 final, path = drive(state, carry)

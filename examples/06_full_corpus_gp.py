@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig, default_params
 from unmanned_aerial_vehicles_tpu.io import load_gp_datasets
+from unmanned_aerial_vehicles_tpu.utils import scaled
 from unmanned_aerial_vehicles_tpu.parallel import (
     fit_residual_gp_sharded,
     make_mesh,
@@ -24,7 +25,7 @@ from unmanned_aerial_vehicles_tpu.parallel import (
 
 cfg = ResidualGPConfig()
 paths = sorted(glob.glob("/root/reference/gp_datasets/*.csv"))
-X, Y = load_gp_datasets(paths, max_samples=None)   # the FULL corpus
+X, Y = load_gp_datasets(paths, max_samples=scaled(None, 512))  # FULL corpus
 print(f"corpus: {X.shape[0]} samples")
 
 mesh = make_mesh()  # every visible device
@@ -32,7 +33,8 @@ mesh = make_mesh()  # every visible device
 # stochastic-trace LML ascent (Hutchinson probes through the sharded CG)
 params = optimize_hyperparameters_sharded(
     default_params(cfg), X, Y, mesh=mesh, config=cfg,
-    steps=10, num_probes=16, cg_iterations=100,
+    steps=scaled(10, 2), num_probes=scaled(16, 4),
+    cg_iterations=scaled(100, 30),
 )
 print(f"optimised: ls={float(params.length_scale):.4f} "
       f"sf2={float(params.signal_variance):.4f} "

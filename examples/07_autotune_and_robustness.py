@@ -17,6 +17,7 @@ from unmanned_aerial_vehicles_tpu.loop import (
 )
 from unmanned_aerial_vehicles_tpu.trajectories import ramped_circle_reference
 from unmanned_aerial_vehicles_tpu.tuning import TuneConfig, tune_cascade_gains
+from unmanned_aerial_vehicles_tpu.utils import scaled
 
 
 def reference(t):
@@ -24,12 +25,12 @@ def reference(t):
     return pos, yaw
 
 
-STEPS = 1500  # 30 s at 50 Hz
+STEPS = scaled(1500, 200)  # 30 s at 50 Hz
 
 # --- 1. tune -----------------------------------------------------------
 result = tune_cascade_gains(
     reference, STEPS,
-    tune_cfg=TuneConfig(iterations=30, learning_rate=0.06),
+    tune_cfg=TuneConfig(iterations=scaled(30, 3), learning_rate=0.06),
 )
 print(f"tuning loss: {float(result.initial_loss):.4f} -> "
       f"{float(result.final_loss):.4f} over 30 gradient steps")
@@ -51,7 +52,7 @@ print(f"circle RMS: hand-tuned {rms(base):.3f} m -> auto-tuned "
       f"{rms(tuned):.3f} m")
 
 # --- 2. robustness -----------------------------------------------------
-mc = MonteCarloConfig(n_rollouts=128, wind_std=0.8)
+mc = MonteCarloConfig(n_rollouts=scaled(128, 16), wind_std=0.8)
 for name, gains in (("hand-tuned", None), ("auto-tuned", result.params)):
     stats = jax.jit(
         lambda g=gains: monte_carlo_pid(reference, STEPS, mc=mc, gains=g)

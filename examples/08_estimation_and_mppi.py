@@ -17,6 +17,7 @@ from unmanned_aerial_vehicles_tpu.estimation import noisy_mpc_flight_rollout
 from unmanned_aerial_vehicles_tpu.loop import mpc_flight_rollout
 from unmanned_aerial_vehicles_tpu.models import X500_PARAMS, rigid_body_rk4_step
 from unmanned_aerial_vehicles_tpu.trajectories import ramped_circle_reference
+from unmanned_aerial_vehicles_tpu.utils import scaled
 
 
 def reference(t):
@@ -29,7 +30,7 @@ def rms(pos, ref, skip=100):
     return float(np.sqrt((err[skip:] ** 2).mean()))
 
 
-STEPS = 1000  # 20 s
+STEPS = scaled(1000, 128)  # 20 s
 
 # --- 1. EKF in the loop ------------------------------------------------
 mpc = LinearMPC(LinearMPCConfig())
@@ -48,7 +49,7 @@ print(f"EKF position error: {est_err[100:].mean() * 100:.1f} cm mean "
       f"(sensors at 5 cm std)")
 
 # --- 2. MPPI -----------------------------------------------------------
-ctrl = MPPIController(MPPIConfig())
+ctrl = MPPIController(MPPIConfig(num_samples=scaled(512, 64)))
 dt = ctrl.config.dt
 
 

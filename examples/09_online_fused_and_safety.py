@@ -25,6 +25,7 @@ from unmanned_aerial_vehicles_tpu.loop import (
 )
 from unmanned_aerial_vehicles_tpu.models import RigidBodyParams
 from unmanned_aerial_vehicles_tpu.trajectories import ramped_figure8_reference
+from unmanned_aerial_vehicles_tpu.utils import scaled
 
 mpc = LinearMPC(
     LinearMPCConfig(
@@ -50,23 +51,24 @@ def reference(t):
 windy = RigidBodyParams(wind=(1.5, 0.8, 0.0))
 ogp = OnlineFusedGPConfig(
     gp=ResidualGPConfig(max_data_points=256, residual_gain=1.0),
-    refit_every=250,
+    refit_every=scaled(250, 64),
 )
 
 plain = jax.jit(
-    lambda: mpc_flight_rollout(mpc, reference, 2000, body=windy, cfg=cfg,
-                               preview=True)
+    lambda: mpc_flight_rollout(mpc, reference, scaled(2000, 256), body=windy,
+                               cfg=cfg, preview=True)
 )()
 online = jax.jit(
-    lambda: mpc_flight_rollout(mpc, reference, 2000, body=windy, cfg=cfg,
-                               preview=True, online_gp=ogp, gp_gain=1.0)
+    lambda: mpc_flight_rollout(mpc, reference, scaled(2000, 256), body=windy,
+                               cfg=cfg, preview=True, online_gp=ogp,
+                               gp_gain=1.0)
 )()
 
 
 def rms_tail(outs):
     e = np.linalg.norm(np.asarray(outs["pos_ref"] - outs["state"][:, 0:3]),
                        axis=1)
-    return float(np.sqrt((e[1000:] ** 2).mean()))
+    return float(np.sqrt((e[scaled(1000, 128):] ** 2).mean()))
 
 
 print(f"windy fig-8, plain MPC:        {rms_tail(plain):.3f} m RMS")
@@ -76,8 +78,8 @@ print(f"windy fig-8, ONLINE GP-MPC:    {rms_tail(online):.3f} m RMS "
 # --- 2. dispersed-plant Monte-Carlo on the same fused kernels -------------
 stats = jax.jit(
     lambda: monte_carlo_mpc(
-        mpc, reference, 1504,
-        mc=MonteCarloConfig(n_rollouts=64, wind_std=0.8),
+        mpc, reference, scaled(1504, 256),
+        mc=MonteCarloConfig(n_rollouts=scaled(64, 8), wind_std=0.8),
         loop_cfg=cfg,
     )
 )()

@@ -1,0 +1,254 @@
+"""Kernel-level numerics on the REAL chip (Mosaic-compiled, not interpreted).
+
+Every assertion here has a CPU interpreter-mode twin in ``tests/``; these
+runs catch what only the hardware shows: Mosaic lowering/relayout rules,
+MXU precision behaviour (bf16 passes vs HIGHEST), and the axon-tunnel
+execution path. Shapes are kept small — the first run compiles (~minutes
+over the tunnel, cached thereafter), warm reruns take seconds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unmanned_aerial_vehicles_tpu.control.mpc_linear import LinearMPC, LinearMPCConfig
+from unmanned_aerial_vehicles_tpu.gp import build_horizon_residuals
+from unmanned_aerial_vehicles_tpu.gp.residual_gp import (
+    ResidualDataset,
+    ResidualGPConfig,
+    fit_residual_gp_masked,
+    masked_input_stats,
+    standardized_params,
+)
+from unmanned_aerial_vehicles_tpu.loop import (
+    FlightLoopConfig,
+    OnlineFusedGPConfig,
+    mpc_flight_rollout,
+)
+from unmanned_aerial_vehicles_tpu.models import RigidBodyParams
+from unmanned_aerial_vehicles_tpu.models.params import RigidBodyParams as Body
+from unmanned_aerial_vehicles_tpu.models.px4_surrogate import (
+    RateLoopParams,
+    px4_rate_tracking_step,
+)
+
+_f32 = jnp.float32
+
+
+def circle_ref(t):
+    pos = jnp.stack(
+        [0.5 * jnp.sin(0.3 * t), 0.5 * jnp.cos(0.3 * t), 3.0 + 0.0 * t]
+    )
+    return pos, _f32(0.0)
+
+
+def fused_mpc(**kw):
+    kw.setdefault("horizon", 10)
+    kw.setdefault("admm_iterations", 40)
+    return LinearMPC(LinearMPCConfig(use_fused_controller=True, **kw),
+                     dtype=_f32)
+
+
+def _pos_gap(a, b):
+    return float(np.max(np.abs(
+        np.asarray(a["state"][:, 0:3]) - np.asarray(b["state"][:, 0:3])
+    )))
+
+
+# ---------------------------------------------------------------------------
+# plant kernel: Mosaic RK4 vs the staged XLA step
+# ---------------------------------------------------------------------------
+
+
+def test_plant_kernel_matches_staged_on_chip():
+    from unmanned_aerial_vehicles_tpu.ops.plant_pallas import (
+        px4_plant_step_fused,
+    )
+
+    body, rl = Body(), RateLoopParams()
+    state = jnp.asarray(
+        [0.3, -0.2, 3.0, 0.4, 0.1, -0.3, 0.05, -0.02, 0.3, 0.1, 0.0, -0.1],
+        _f32,
+    )
+    control = jnp.asarray([0.8, 0.1, -0.2, 0.05], _f32)
+
+    @jax.jit
+    def both(s, c):
+        fused = px4_plant_step_fused(
+            s, c, body.mass, body.gravity, body.k_drag_linear,
+            (rl.tau_roll, rl.tau_pitch, rl.tau_yaw), 0.02, substeps=2,
+            thrust_gain=body.gravity / rl.hover_thrust_norm,
+        )
+        staged = s
+        for _ in range(2):
+            staged = px4_rate_tracking_step(staged, c, body, rl, 0.01)
+        return fused, staged
+
+    fused, staged = both(state, control)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(staged), atol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-tick GP-MPC kernel vs the staged path, on-chip, HIGHEST precision
+# ---------------------------------------------------------------------------
+
+
+def test_multitick_kernel_matches_staged_on_chip():
+    mpc = fused_mpc()
+    T = 80
+    staged = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, circle_ref, T,
+            cfg=FlightLoopConfig(use_fused_tick=True,
+                                 fused_tick_loop_precision="highest"),
+        )
+    )()
+    multi = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, circle_ref, T,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8,
+                                 fused_tick_loop_precision="highest"),
+        )
+    )()
+    assert _pos_gap(staged, multi) < 2e-4
+
+
+def test_fused_tick_ad_forward_identity_on_chip():
+    """The custom_vjp wrapper's forward IS the kernel: bit-equal on TPU."""
+    mpc = fused_mpc()
+    cfg = FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8)
+    raw = jax.jit(
+        lambda: mpc_flight_rollout(mpc, circle_ref, 40, cfg=cfg)
+    )()
+    ad = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, circle_ref, 40, cfg=cfg.replace(fused_tick_ad=True)
+        )
+    )()
+    np.testing.assert_array_equal(
+        np.asarray(raw["state"]), np.asarray(ad["state"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# in-kernel GP posterior (incl. the centered/ARD scaled mode) vs XLA predict
+# ---------------------------------------------------------------------------
+
+
+def _ard_posterior():
+    rng = np.random.default_rng(3)
+    scales = np.r_[6.0, 6.0, 3.0, 1.5, 1.5, 0.8, 1.0, 0.5, 0.5, 0.3]
+    offsets = np.r_[0.0, 0.0, 3.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    X = np.asarray(rng.normal(size=(64, 10)) * scales + offsets, np.float32)
+    Y = np.asarray(0.05 * rng.normal(size=(64, 6)), np.float32)
+    ds = ResidualDataset(
+        X=jnp.asarray(X), Y=jnp.asarray(Y),
+        head=jnp.asarray(64, jnp.int32), count=jnp.asarray(64, jnp.int32),
+    )
+    gcfg = ResidualGPConfig(residual_gain=1.0)
+    post = jax.jit(
+        lambda d: fit_residual_gp_masked(
+            d, gcfg, params=standardized_params(d, gcfg),
+            x_shift=masked_input_stats(d)[0],
+        )
+    )(ds)
+    return post, gcfg
+
+
+def test_scaled_ard_gp_through_kernel_on_chip():
+    """The centered standardized (ARD) posterior must fly the multi-tick
+    kernel on the REAL chip without the f32 distance blow-up that motivated
+    GPPosterior.x_shift, matching the staged residual_fn path."""
+    post, gcfg = _ard_posterior()
+    assert np.isfinite(np.asarray(post.chol)).all()   # centered fit is sane
+    mpc = fused_mpc()
+    T = 40
+    rf = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gcfg)
+    staged = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, circle_ref, T, cfg=FlightLoopConfig(use_fused_tick=True),
+            residual_fn=rf,
+        )
+    )()
+    fused = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, circle_ref, T,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8,
+                                 fused_tick_loop_precision="highest"),
+            gp_posterior=post, gp_gain=gcfg.residual_gain,
+        )
+    )()
+    assert _pos_gap(staged, fused) < 5e-4
+
+
+# ---------------------------------------------------------------------------
+# online learning + EKF tiers: health on the hardware execution path
+# ---------------------------------------------------------------------------
+
+
+def test_online_fused_learns_on_chip():
+    windy = RigidBodyParams(wind=(1.0, 0.5, 0.0))
+    mpc = fused_mpc()
+    ogp = OnlineFusedGPConfig(
+        gp=ResidualGPConfig(max_data_points=64, residual_gain=1.0),
+        refit_every=64, min_samples=16,
+    )
+    outs = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, circle_ref, 256, body=windy,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+            online_gp=ogp, gp_gain=1.0,
+        )
+    )()
+    assert np.isfinite(np.asarray(outs["state"])).all()
+    assert int(outs["gp_count"][-1]) > 16
+
+
+def test_noisy_multitick_kernel_on_chip():
+    """EKF inside the multi-tick kernel (per-tick analytic Jacobian):
+    matches the staged per-tick-jacfwd EKF loop on the same PRNG stream."""
+    from unmanned_aerial_vehicles_tpu.estimation import (
+        noisy_mpc_flight_rollout,
+    )
+
+    mpc = fused_mpc()
+    key = jax.random.PRNGKey(0)
+    staged = jax.jit(
+        lambda: noisy_mpc_flight_rollout(mpc, circle_ref, 64, key)
+    )()
+    fused = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc, circle_ref, 64, key,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+        )
+    )()
+    assert _pos_gap(staged, fused) < 1e-3
+
+
+def test_batched_controller_kernel_on_chip():
+    from unmanned_aerial_vehicles_tpu.loop.closed_loop import (
+        batched_mpc_flight_sweep,
+    )
+
+    mpc = fused_mpc()
+    starts = jnp.zeros((8, 12), _f32).at[:, 2].set(3.0)
+    starts = starts.at[:, 0].set(jnp.linspace(-0.3, 0.3, 8, dtype=_f32))
+    batched = jax.jit(
+        lambda: batched_mpc_flight_sweep(mpc, circle_ref, 64, starts)
+    )()
+    single = jax.jit(
+        lambda: mpc_flight_rollout(
+            mpc, circle_ref, 64,
+            cfg=FlightLoopConfig(use_fused_tick=True),
+            initial_state=starts[0],
+        )
+    )()
+    # batched flight 0 == the single flight from the same start
+    # (sweep outputs are (T, B, ...))
+    gap = float(np.max(np.abs(
+        np.asarray(batched["state"][:, 0, 0:3])
+        - np.asarray(single["state"][:, 0:3])
+    )))
+    assert gap < 5e-4, gap
