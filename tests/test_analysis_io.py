@@ -215,3 +215,27 @@ def test_run_complete_gp_analysis(tmp_path):
     for suffix in ("_distributions.png", "_uncertainty.png",
                    "_correlations.png"):
         assert os.path.getsize(prefix + suffix) > 10_000
+
+
+def test_animate_flight(tmp_path):
+    """Streaming-visualizer role (results_visualizer.py:17-30): animated
+    replay renders headless to GIF; .mp4 falls back to GIF without ffmpeg."""
+    from unmanned_aerial_vehicles_tpu.metrics.animate import animate_flight
+
+    T = 120
+    t = np.arange(T) * 0.02
+    log = {
+        "state": np.stack(
+            [np.sin(t), np.cos(t), 3 + 0 * t, 0 * t, 0 * t, 0 * t], axis=1
+        ),
+        "pos_ref": np.stack([np.sin(t + 0.05), np.cos(t + 0.05), 3 + 0 * t],
+                            axis=1),
+        "thrust": 0.5 + 0.1 * np.sin(3 * t),
+    }
+    path = animate_flight(log, str(tmp_path / "replay.gif"), stride=20, fps=8)
+    assert path.endswith(".gif") and os.path.getsize(path) > 10_000
+    # no-thrust logs render with the panel disabled
+    log.pop("thrust")
+    path2 = animate_flight(log, str(tmp_path / "replay2.mp4"), stride=30,
+                           fps=8)
+    assert os.path.getsize(path2) > 5_000

@@ -174,3 +174,14 @@ def test_fly_noisy_fast_and_online(capsys):
     out = capsys.readouterr().out
     m = json.loads(out[: out.rindex("}") + 1])
     assert np.isfinite(m["rms_pos"])
+
+
+def test_fly_animate(tmp_path, capsys):
+    gif = str(tmp_path / "replay.gif")
+    assert main(["fly", "--controller", "pid", "--duration", "3",
+                 "--amplitude", "2", "--trajectory", "circle",
+                 "--animate", gif]) == 0
+    out = capsys.readouterr().out
+    assert "animation written" in out
+    import os
+    assert os.path.getsize(gif) > 10_000

@@ -447,3 +447,121 @@ def test_multitick_requires_divisible_steps():
         assert "divisible" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_posterior_mean_pallas_matches_predict_mean(rng):
+    """Limb-compensated fused posterior mean vs gp.exact_gp.predict_mean.
+
+    "highest" packs 6 bf16-limb products into the dead K lanes of the
+    skinny distance dot (f32-grade); "high" 3 (~2^-17); "default" is plain
+    single-limb bf16."""
+    from unmanned_aerial_vehicles_tpu.gp import fit_residual_gp
+    from unmanned_aerial_vehicles_tpu.gp.exact_gp import predict_mean
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+    from unmanned_aerial_vehicles_tpu.ops.rbf_pallas import (
+        rbf_posterior_mean_pallas,
+    )
+
+    X = jnp.asarray(rng.normal(size=(300, 10)), jnp.float32)
+    Y = jnp.asarray(0.05 * rng.normal(size=(300, 6)), jnp.float32)
+    post = fit_residual_gp(X, Y, ResidualGPConfig())
+    Xt = jnp.asarray(rng.normal(size=(777, 10)), jnp.float32)
+    ref = predict_mean(post, Xt)
+    for prec, atol in (("highest", 5e-7), ("high", 1e-5), ("default", 5e-3)):
+        got = rbf_posterior_mean_pallas(post, Xt, interpret=True,
+                                        precision=prec)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=atol)
+
+
+def test_posterior_mean_pallas_x_shift(rng):
+    """Centered (standardized-input ARD) posteriors flow through the fused
+    mean kernel exactly like the staged predict."""
+    from unmanned_aerial_vehicles_tpu.gp import fit_residual_gp
+    from unmanned_aerial_vehicles_tpu.gp.exact_gp import predict_mean
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+    from unmanned_aerial_vehicles_tpu.ops.rbf_pallas import (
+        rbf_posterior_mean_pallas,
+    )
+
+    X = jnp.asarray(rng.normal(size=(200, 10)), jnp.float32)
+    Y = jnp.asarray(0.05 * rng.normal(size=(200, 6)), jnp.float32)
+    post = fit_residual_gp(X, Y, ResidualGPConfig())
+    post = post.replace(x_shift=jnp.asarray(rng.normal(size=10), jnp.float32))
+    Xt = jnp.asarray(rng.normal(size=(130, 10)), jnp.float32)
+    got = rbf_posterior_mean_pallas(post, Xt, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(predict_mean(post, Xt)), atol=5e-7
+    )
+
+
+def test_batched_fused_residuals_match_vmapped(rng):
+    """build_horizon_residuals_batched_fused == vmap(build_horizon_residuals)."""
+    from unmanned_aerial_vehicles_tpu.gp import (
+        build_horizon_residuals,
+        fit_residual_gp,
+    )
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import (
+        ResidualGPConfig,
+        build_horizon_residuals_batched_fused,
+    )
+
+    cfg = ResidualGPConfig()
+    X = jnp.asarray(rng.normal(size=(150, 10)), jnp.float32)
+    Y = jnp.asarray(0.05 * rng.normal(size=(150, 6)), jnp.float32)
+    post = fit_residual_gp(X, Y, cfg)
+    B, N = 5, 12
+    Xg = jnp.asarray(rng.normal(size=(B, N + 1, 6)), jnp.float32)
+    Ug = jnp.asarray(rng.normal(size=(B, N, 4)), jnp.float32)
+    ref = jax.vmap(lambda a, b: build_horizon_residuals(post, a, b, cfg))(Xg, Ug)
+    got = build_horizon_residuals_batched_fused(
+        post, Xg, Ug, cfg, precision="highest", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_batched_sweep_fused_gp_matches_staged(rng):
+    """gp_posterior routing through the fused Pallas mean kernel reproduces
+    the vmapped residual_fn sweep ("highest" is bit-identical on CPU)."""
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+    from unmanned_aerial_vehicles_tpu.gp import (
+        build_horizon_residuals,
+        fit_residual_gp,
+    )
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+    from unmanned_aerial_vehicles_tpu.loop.closed_loop import (
+        FlightLoopConfig,
+        batched_mpc_flight_sweep,
+    )
+
+    gp_cfg = ResidualGPConfig()
+    X = jnp.asarray(rng.normal(size=(120, 10)), jnp.float32)
+    Y = jnp.asarray(0.05 * rng.normal(size=(120, 6)), jnp.float32)
+    post = fit_residual_gp(X, Y, gp_cfg)
+    mpc = LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=5,
+                        use_fused_controller=True)
+    )
+    ref_fn = lambda t: (jnp.array([1.0, 0.5, 3.0]), jnp.float32(0.0))
+    starts = jnp.zeros((4, 12), jnp.float32).at[:, 2].set(3.0)
+    rf = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
+    o_staged = batched_mpc_flight_sweep(
+        mpc, ref_fn, 30, starts, cfg=FlightLoopConfig(), residual_fn=rf
+    )
+    o_fused = batched_mpc_flight_sweep(
+        mpc, ref_fn, 30, starts, cfg=FlightLoopConfig(),
+        gp_posterior=post, gp_cfg=gp_cfg, gp_fused_precision="highest",
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_fused["state"]), np.asarray(o_staged["state"]), atol=1e-6
+    )
+    # the bf16 throughput tier stays within a bounded trajectory shift
+    o_bf16 = batched_mpc_flight_sweep(
+        mpc, ref_fn, 30, starts, cfg=FlightLoopConfig(),
+        gp_posterior=post, gp_cfg=gp_cfg, gp_fused_precision="default",
+    )
+    assert float(jnp.max(jnp.abs(o_bf16["state"] - o_staged["state"]))) < 1e-4

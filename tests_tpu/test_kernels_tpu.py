@@ -252,3 +252,86 @@ def test_batched_controller_kernel_on_chip():
         - np.asarray(single["state"][:, 0:3])
     )))
     assert gap < 5e-4, gap
+
+
+# ---------------------------------------------------------------------------
+# fused GP posterior-mean kernel: limb-compensated dist-in-GEMM on the MXU
+# ---------------------------------------------------------------------------
+def test_posterior_mean_kernel_on_chip():
+    """The bf16-limb tiers on REAL Mosaic: "highest" must beat the staged
+    f32 path against an f64 ground truth (the per-dim in-accumulator
+    cancellation avoids f32's sq1+sq2-2cross catastrophic cancellation);
+    "high" must be within the staged path's own f64 error class. Also guards
+    the XLA-side limb splits against convert-elision under jit (the
+    optimization_barrier in _split_limbs is load-bearing — without it
+    XLA:TPU folds f32->bf16->f32 round-trips to identity inside fusions and
+    every compensation limb silently becomes zero)."""
+    from unmanned_aerial_vehicles_tpu.gp import fit_residual_gp
+    from unmanned_aerial_vehicles_tpu.gp.exact_gp import predict_mean
+    from unmanned_aerial_vehicles_tpu.ops.rbf_pallas import (
+        rbf_posterior_mean_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    # real-flight-like magnitudes: the failure mode needs |z|^2 ~ hundreds
+    X = jnp.asarray(
+        rng.normal(size=(300, 10)) * np.array([6, 6, 0.3, 1, 1, 0.3,
+                                               1, 1, 0.5, 0.1])
+        + np.array([0, 0, 3.4, 0, 0, 0, 0, 0, -2, 0]),
+        _f32,
+    )
+    Y = jnp.asarray(0.05 * rng.normal(size=(300, 6)), _f32)
+    post = fit_residual_gp(X, Y, ResidualGPConfig())
+    Xt = X[:128] + 0.01
+
+    Z = np.asarray(X, np.float64) / 0.5
+    Zt = np.asarray(Xt, np.float64) / 0.5
+    d2 = ((Zt[:, None, :] - Z[None, :, :]) ** 2).sum(-1)
+    tru = (
+        np.exp(-0.5 * d2) @ np.asarray(post.alpha, np.float64)
+        * np.asarray(post.y_std, np.float64)
+        + np.asarray(post.y_mean, np.float64)
+    )
+    staged_err = np.abs(
+        np.asarray(jax.jit(predict_mean)(post, Xt), np.float64) - tru
+    ).max()
+
+    errs = {}
+    for prec in ("highest", "high", "default"):
+        got = rbf_posterior_mean_pallas(post, Xt, precision=prec)
+        errs[prec] = np.abs(np.asarray(got, np.float64) - tru).max()
+    assert errs["highest"] <= max(staged_err, 1e-6), (errs, staged_err)
+    assert errs["high"] <= 10 * max(staged_err, 1e-6), (errs, staged_err)
+    # elision guard: the convert-elision bug collapsed every tier to plain
+    # bf16 (all errs equal); the tiers must actually separate
+    assert errs["highest"] < errs["default"] / 100, (errs, staged_err)
+
+
+def test_batched_sweep_fused_gp_on_chip():
+    """gp_posterior routing (fused Pallas GP) vs staged residual_fn on the
+    REAL batched sweep: bounded RMS shift."""
+    from unmanned_aerial_vehicles_tpu.gp import fit_residual_gp
+    from unmanned_aerial_vehicles_tpu.loop.closed_loop import (
+        batched_mpc_flight_sweep,
+    )
+
+    rng = np.random.default_rng(2)
+    gp_cfg = ResidualGPConfig()
+    X = jnp.asarray(rng.normal(size=(200, 10)), _f32)
+    Y = jnp.asarray(0.05 * rng.normal(size=(200, 6)), _f32)
+    post = fit_residual_gp(X, Y, gp_cfg)
+    mpc = fused_mpc()
+    starts = jnp.zeros((4, 12), _f32).at[:, 2].set(3.0)
+    rf = lambda Xg, Ug: build_horizon_residuals(post, Xg, Ug, gp_cfg)
+    o_staged = batched_mpc_flight_sweep(
+        mpc, circle_ref, 50, starts, cfg=FlightLoopConfig(), residual_fn=rf
+    )
+    o_fused = batched_mpc_flight_sweep(
+        mpc, circle_ref, 50, starts, cfg=FlightLoopConfig(),
+        gp_posterior=post, gp_cfg=gp_cfg, gp_fused_precision="high",
+    )
+    gap = float(np.max(np.abs(
+        np.asarray(o_fused["state"][:, :, 0:3])
+        - np.asarray(o_staged["state"][:, :, 0:3])
+    )))
+    assert gap < 1e-3, gap

@@ -239,6 +239,12 @@ def _cmd_fly(args) -> int:
 
             save_flight_log(args.save_log, outs)
             print(f"flight log written to {args.save_log}")
+        if getattr(args, "animate", None):
+            from .metrics.animate import animate_flight
+
+            path = animate_flight(outs, args.animate, dt=0.02,
+                                  title=args.trajectory)
+            print(f"animation written to {path}")
         return 0
     else:
         if args.fast and args.gp_mode == "output":
@@ -423,6 +429,12 @@ def _cmd_fly(args) -> int:
 
         save_flight_log(args.save_log, outs)
         print(f"flight log written to {args.save_log}")
+    if getattr(args, "animate", None):
+        from .metrics.animate import animate_flight
+
+        path = animate_flight(outs, args.animate, dt=float(cfg.control_dt),
+                              title=args.trajectory)
+        print(f"animation written to {path}")
     return 0
 
 
@@ -839,6 +851,10 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--save-log", default=None,
                    help="write the flight log (.npz snapshot, or .uavlog "
                         "for the streaming binary format)")
+    f.add_argument("--animate", default=None, metavar="OUT.gif",
+                   help="animated replay of the flight (the reference's "
+                        "live-visualizer role, results_visualizer.py:17-30; "
+                        ".gif always works headless, .mp4 needs ffmpeg)")
     f.add_argument("--noisy", action="store_true",
                    help="fly on EKF-estimated state from noisy sensors "
                         "(estimation/; mpc and gp-mpc controllers)")

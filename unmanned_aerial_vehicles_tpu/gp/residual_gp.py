@@ -340,6 +340,42 @@ def build_horizon_residuals(
     return D.at[:, 3:6].set(config.residual_gain * dyn[:, 3:6])
 
 
+def build_horizon_residuals_batched_fused(
+    posterior: GPPosterior,
+    X_guess: jnp.ndarray,
+    U_guess: jnp.ndarray,
+    config: ResidualGPConfig = ResidualGPConfig(),
+    precision: str = "high",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flight-batched ``build_horizon_residuals`` through the fused Pallas
+    posterior-mean kernel (``ops.rbf_pallas.rbf_posterior_mean_pallas``).
+
+    Semantically equal to ``vmap(build_horizon_residuals)`` — same feature
+    assembly, same ``/dt`` + ``residual_gain`` conversion
+    (``src/px4/mpc.py:1490-1506``) — but the (B*N, n_train) cross-kernel
+    never leaves VMEM: at the throughput tier (B=1024, N=20, 800 points)
+    the vmapped XLA path spends ~180 us/tick writing + re-reading a 66 MB
+    K_star through HBM; the fused kernel runs the same math in 40-85 us
+    depending on ``precision`` ("high" is bf16-limb-compensated to ~2^-17,
+    see the kernel docstring; "highest" is f32-grade).
+
+    ``X_guess (B, N+1, 6)``, ``U_guess (B, N, 4)`` -> ``(B, N, 6)``.
+    """
+    from ..ops.rbf_pallas import rbf_posterior_mean_pallas
+
+    B, N = U_guess.shape[0], U_guess.shape[1]
+    inputs = jnp.concatenate(
+        [X_guess[:, :N, :6], U_guess[:, :, :4]], axis=2
+    ).reshape(B * N, INPUT_DIM)
+    mean = rbf_posterior_mean_pallas(
+        posterior, inputs, precision=precision, interpret=interpret
+    ).reshape(B, N, OUTPUT_DIM)
+    dyn = mean / config.dt
+    D = jnp.zeros((B, N, OUTPUT_DIM), mean.dtype)
+    return D.at[:, :, 3:6].set(config.residual_gain * dyn[:, :, 3:6])
+
+
 # ---------------------------------------------------------------------------
 # Output-correction generation (the reference's EARLIER GP-MPC architecture)
 # ---------------------------------------------------------------------------

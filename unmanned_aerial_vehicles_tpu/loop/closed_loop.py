@@ -831,6 +831,9 @@ def batched_mpc_flight_sweep(
     cfg: FlightLoopConfig = FlightLoopConfig(),
     residual_fn: Callable | None = None,
     gp_every: int = 1,
+    gp_posterior=None,
+    gp_cfg=None,
+    gp_fused_precision: str = "high",
 ):
     """Throughput mode: B GP-MPC flights advance in lockstep.
 
@@ -854,6 +857,15 @@ def batched_mpc_flight_sweep(
     recovers most of it for a ~1e-3 m RMS change (the warm-start
     trajectory the GP is queried on moves slowly between ticks).
 
+    ``gp_posterior``: routes the GP stage through the fused Pallas
+    posterior-mean kernel instead of a vmapped ``residual_fn`` — the
+    (B*N, n_train) K_star stays in VMEM, removing the ~180 us/tick of HBM
+    traffic that made the exact GP 62% of the throughput tick (see
+    ``gp.residual_gp.build_horizon_residuals_batched_fused``).
+    ``gp_fused_precision``: "highest" (f32-grade bf16-limb compensation) /
+    "high" (~2^-17, default) / "default" (single-limb bf16). Mutually
+    exclusive with ``residual_fn``; composes with ``gp_every``.
+
     Returns ``{"state": (T, B, 12), "pos_ref": (T, 3), "thrust": (T, B)}``.
     """
     from ..control.allocation import AttitudeLoopState
@@ -868,6 +880,15 @@ def batched_mpc_flight_sweep(
     if not mpc.config.use_fused_controller:
         raise ValueError("batched_mpc_flight_sweep requires "
                          "LinearMPCConfig.use_fused_controller=True")
+    if gp_posterior is not None:
+        if residual_fn is not None:
+            raise ValueError("pass gp_posterior OR residual_fn, not both")
+        from ..gp.residual_gp import (
+            ResidualGPConfig,
+            build_horizon_residuals_batched_fused,
+        )
+
+        _gp_cfg = gp_cfg if gp_cfg is not None else ResidualGPConfig()
     dtype = jnp.float32
     B_in = initial_states.shape[0]
     B = int(-(-B_in // BATCH_BLOCK) * BATCH_BLOCK)
@@ -899,10 +920,16 @@ def batched_mpc_flight_sweep(
         pos_ref = jnp.asarray(pos_ref, dtype)
         yaw_ref = jnp.asarray(yaw_ref, dtype)
 
-        if residual_fn is not None:
+        if residual_fn is not None or gp_posterior is not None:
             def fresh_w(args):
                 Xp, Up = args
-                residuals = jax.vmap(residual_fn)(Xp, Up)     # (B, N, 6)
+                if gp_posterior is not None:
+                    residuals = build_horizon_residuals_batched_fused(
+                        gp_posterior, Xp, Up, _gp_cfg,
+                        precision=gp_fused_precision, interpret=interpret,
+                    )                                         # (B, N, 6)
+                else:
+                    residuals = jax.vmap(residual_fn)(Xp, Up)  # (B, N, 6)
                 return rows((cfg.control_dt * residuals).reshape(B, -1),
                             n_pad)
 
@@ -929,6 +956,7 @@ def batched_mpc_flight_sweep(
             sdata, X0, W, REF, ZU, ZX, YU, YX,
             mpc.config.admm_rho, mpc.config.admm_iterations,
             mpc.config.admm_over_relax, interpret=interpret,
+            horizon=N, nu=CONTROL_DIM, nx=STATE_DIM,
         )
         U_blk = ZU[:, : N * CONTROL_DIM].reshape(B, N, CONTROL_DIM)
         accel_des = jnp.clip(U_blk[:, 0, 0:3], accel_lo, accel_hi)

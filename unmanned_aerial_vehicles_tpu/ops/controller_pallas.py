@@ -366,7 +366,8 @@ def build_structured_batch_data(
     )
 
 
-def _make_structured_kernel(iterations: int, over_relax: float, rho: float):
+def _make_structured_kernel(iterations: int, over_relax: float, rho: float,
+                            N: int, nu: int, nx: int, interpret: bool):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -385,16 +386,30 @@ def _make_structured_kernel(iterations: int, over_relax: float, rho: float):
     dot = _dot(jax.lax.Precision.HIGHEST)
     dot_loop = _dot(jax.lax.Precision.DEFAULT)
 
+    def _shift(v, width):
+        # warm-start shift as an exact lane roll (new[i] = old[i+width] for
+        # i < (N-1)*width, old[i] in the repeated last block, 0 in padding)
+        # — replaces a 6-pass HIGHEST (B,128)@(128,128) permutation GEMM
+        # per operand with ~3 VPU ops, and is bit-exact where the GEMM only
+        # reproduces f32 values through an identity contraction
+        if interpret:   # pltpu.roll has no interpret-mode lowering
+            rolled = jnp.roll(v, -width, axis=1)
+        else:           # pltpu.roll requires a non-negative rotate amount
+            rolled = pltpu.roll(v, v.shape[1] - width, 1)
+        idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        keep = idx < (N - 1) * width
+        tail = idx < N * width
+        return jnp.where(keep, rolled, jnp.where(tail, v, 0.0))
+
     def kernel(x0_ref, w_ref, ref_ref,
                zu0_ref, zx0_ref, yu0_ref, yx0_ref,
                sxt_ref, swt_ref, sutqt_ref, sut_ref, surow_ref, minvt_ref,
-               shiftu_ref, shiftx_ref,
                ulo_ref, uhi_ref, xlo_ref, xhi_ref,
                zu_ref, zx_ref, yu_ref, yx_ref, u_ref, xtail_ref):
-        zU = dot(zu0_ref[:], shiftu_ref[:])
-        zX = dot(zx0_ref[:], shiftx_ref[:])
-        yU = dot(yu0_ref[:], shiftu_ref[:])
-        yX = dot(yx0_ref[:], shiftx_ref[:])
+        zU = _shift(zu0_ref[:], nu)
+        zX = _shift(zx0_ref[:], nx)
+        yU = _shift(yu0_ref[:], nu)
+        yX = _shift(yx0_ref[:], nx)
 
         offset = dot(x0_ref[:], sxt_ref[:]) + dot(w_ref[:], swt_ref[:])
         f = dot(offset - ref_ref[:], sutqt_ref[:])
@@ -437,7 +452,8 @@ def _make_structured_kernel(iterations: int, over_relax: float, rho: float):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "over_relax", "rho", "interpret", "block"),
+    static_argnames=("iterations", "over_relax", "rho", "interpret", "block",
+                     "horizon", "nu", "nx"),
 )
 def gpmpc_controller_structured_batched(
     sdata: StructuredBatchData,
@@ -451,15 +467,21 @@ def gpmpc_controller_structured_batched(
     over_relax: float = 1.6,
     interpret: bool = False,
     block: int = 1024,
+    horizon: int = 20,
+    nu: int = 4,
+    nx: int = 6,
 ):
     """Structured whole-controller tick for a flight batch. Returns
-    ``(ZU, ZX, YU, YX, U, X_tail)``, each ``(B, n_pad)``."""
+    ``(ZU, ZX, YU, YX, U, X_tail)``, each ``(B, n_pad)``. ``horizon/nu/nx``
+    define the in-kernel warm-start lane rolls (must match the sdata
+    layout)."""
     B = X0.shape[0]
     block = min(block, B)
     if B % block:
         raise ValueError(f"batch {B} must be a multiple of {block}")
     n_pad = sdata.SxT.shape[0]
-    kernel = _make_structured_kernel(iterations, over_relax, rho)
+    kernel = _make_structured_kernel(iterations, over_relax, rho,
+                                     horizon, nu, nx, interpret)
     brow = pl.BlockSpec((block, n_pad), lambda b: (b, 0),
                         memory_space=pltpu.VMEM)
     full = lambda rows: pl.BlockSpec((rows, n_pad), lambda b: (0, 0),
@@ -470,12 +492,12 @@ def gpmpc_controller_structured_batched(
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, n_pad), jnp.float32) for _ in range(6)
         ),
-        in_specs=[brow] * 7 + [full(n_pad)] * 8 + [full(1)] * 4,
+        in_specs=[brow] * 7 + [full(n_pad)] * 6 + [full(1)] * 4,
         out_specs=(brow,) * 6,
         interpret=interpret,
     )(
         X0, W, REF, ZU, ZX, YU, YX,
         sdata.SxT, sdata.SwT, sdata.SuTqT, sdata.SuT, sdata.SuRow,
-        sdata.MinvT, sdata.ShiftU, sdata.ShiftX,
+        sdata.MinvT,
         sdata.u_lo, sdata.u_hi, sdata.x_lo, sdata.x_hi,
     )
