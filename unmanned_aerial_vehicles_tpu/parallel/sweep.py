@@ -106,6 +106,9 @@ def sharded_structured_flight_sweep(
     cfg=None,
     residual_fn: Callable | None = None,
     axis_name: str = "batch",
+    gp_posterior=None,
+    gp_cfg=None,
+    gp_fused_precision: str = "high",
 ):
     """B flights through the STRUCTURED batched controller kernel, sharded
     over the mesh: each device runs its local flight block through
@@ -113,6 +116,10 @@ def sharded_structured_flight_sweep(
     dispatch per tick, iterates VMEM-resident), and the cross-flight RMS
     aggregates reduce over ICI. This is the multi-chip form of the
     throughput mode — kernels inside ``jax.shard_map``.
+
+    ``gp_posterior`` routes the GP stage through the fused limb-packed
+    Pallas posterior-mean kernel on every device (replicated posterior,
+    sharded flights) — see ``batched_mpc_flight_sweep``.
 
     ``mpc`` must be built with ``use_fused_controller=True``. Flights
     per device are padded up to the kernel block internally, so prefer
@@ -141,7 +148,8 @@ def sharded_structured_flight_sweep(
     def run(local_starts):
         outs = batched_mpc_flight_sweep(
             mpc, reference_fn, num_steps, local_starts, cfg=cfg,
-            residual_fn=residual_fn,
+            residual_fn=residual_fn, gp_posterior=gp_posterior,
+            gp_cfg=gp_cfg, gp_fused_precision=gp_fused_precision,
         )
         err = outs["pos_ref"][:, None, :] - outs["state"][:, :, 0:3]
         rms = jnp.sqrt(jnp.mean(jnp.sum(err**2, axis=-1), axis=0))  # (B_loc,)
