@@ -237,8 +237,8 @@ def main():
                                       dt=CFG.control_dt),
     ))
 
-    def make_ilqr_multitick(T):
-        ctrl = ILQRRigidBodyMPC()
+    def make_ilqr_multitick(T, iters=3):
+        ctrl = ILQRRigidBodyMPC(iterations=iters)
         plant = lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS,
                                                  CFG.control_dt)
 
@@ -261,6 +261,10 @@ def main():
         return run
 
     record("ilqr12_multitick_policy", make_ilqr_multitick)
+    # warm-start iteration invariance at dispatch granularity (the ADMM/SQP
+    # result repeats): RMS identical at 1 iteration, ~2x cheaper again
+    record("ilqr12_multitick_policy_1iter",
+           lambda T: make_ilqr_multitick(T, iters=1))
 
     # LTV tracking MPC: its own idiom — (N+1, 12) shifting stage references
     # at 10 Hz on the GZ plant (tests/test_ltv_flight.py)
