@@ -112,11 +112,39 @@ def build_shift_matrix(N: int, nu: int, nx: int, m_pad: int) -> np.ndarray:
     return out
 
 
+def _warm_shift_rolls(zy, Nnu, Nnx, nu, nx, interpret):
+    """Exact warm-start shift as two lane rolls + selects.
+
+    Replaces the per-tick ``(2, m_pad) @ (m_pad, m_pad)`` permutation dot
+    (HIGHEST = 6 MXU passes) with ~6 VPU ops: the U block advances by
+    ``nu`` lanes, the X block by ``nx``, each duplicating its last stage,
+    padding zeroed — bit-identical to ``z @ ShiftT`` (a 0/1 contraction of
+    f32 values is exact in both forms)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, zy.shape, 1)
+    if interpret:   # pltpu.roll has no interpret-mode lowering
+        ru = jnp.roll(zy, -nu, axis=1)
+        rx = jnp.roll(zy, -nx, axis=1)
+    else:
+        ru = pltpu.roll(zy, zy.shape[1] - nu, 1)
+        rx = pltpu.roll(zy, zy.shape[1] - nx, 1)
+    return jnp.where(
+        lane < Nnu - nu, ru,
+        jnp.where(
+            lane < Nnu, zy,
+            jnp.where(
+                lane < Nnu + Nnx - nx, rx,
+                jnp.where(lane < Nnu + Nnx, zy, 0.0),
+            ),
+        ),
+    )
+
+
 def _make_tick_kernel(iterations, over_relax, rho,
                       dt, substeps, accel_lo, accel_hi, yawrate_limit,
                       loop_precision=jax.lax.Precision.HIGHEST,
                       fallback_error_m=0.0, fallback_thrust_ceiling=1.5,
-                      fallback_accel_scale=1.5):
+                      fallback_accel_scale=1.5,
+                      nu=4, nx=6, interpret=False):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -138,9 +166,10 @@ def _make_tick_kernel(iterations, over_relax, rho,
         m_pad = p1_ref.shape[0]
         plant = _read_plant(plant_ref)
         gravity = plant[1]
-        # ---- warm-start shift: both rows through one permutation dot ------
-        zy = dot(
-            jnp.concatenate([z0_ref[:], y0_ref[:]], axis=0), shiftt_ref[:]
+        # ---- warm-start shift: both rows via exact lane rolls -------------
+        zy = _warm_shift_rolls(
+            jnp.concatenate([z0_ref[:], y0_ref[:]], axis=0),
+            Nnu, Nnx, nu, nx, interpret,
         )
         z0, y0 = zy[0:1], zy[1:2]
 
@@ -291,6 +320,7 @@ def gpmpc_tick_fused(
         fallback_error_m=fallback_error_m,
         fallback_thrust_ceiling=fallback_thrust_ceiling,
         fallback_accel_scale=fallback_accel_scale,
+        interpret=interpret,
     )
     kernel = functools.partial(base, Nnu=nnu, Nnx=nnx)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -409,7 +439,7 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                            loop_precision=jax.lax.Precision.HIGHEST,
                            tighten_kappa=0.0, fallback_error_m=0.0,
                            fallback_thrust_ceiling=1.5,
-                           fallback_accel_scale=1.5):
+                           fallback_accel_scale=1.5, interpret=False):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -529,8 +559,11 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             else:
                 w_row = jnp.zeros((1, n_pad), jnp.float32)
 
-            # ---- warm-start shift ----------------------------------------
-            zy = dot(jnp.concatenate([z_prev, y_prev], axis=0), shiftt_ref[:])
+            # ---- warm-start shift (exact lane rolls) ----------------------
+            zy = _warm_shift_rolls(
+                jnp.concatenate([z_prev, y_prev], axis=0),
+                Nnu, Nnx, nu, nx, interpret,
+            )
             z0, y0 = zy[0:1], zy[1:2]
 
             # ---- condensed gradient / bounds -----------------------------
@@ -699,6 +732,7 @@ def gpmpc_multitick_fused(
         fallback_error_m=fallback_error_m,
         fallback_thrust_ceiling=fallback_thrust_ceiling,
         fallback_accel_scale=fallback_accel_scale,
+        interpret=interpret,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if gp is None:  # placeholder rows keep the arg list static
@@ -777,7 +811,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                                  loop_precision=jax.lax.Precision.HIGHEST,
                                  fallback_error_m=0.0,
                                  fallback_thrust_ceiling=1.5,
-                                 fallback_accel_scale=1.5):
+                                 fallback_accel_scale=1.5, interpret=False):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -906,7 +940,10 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                 w_row = jnp.zeros((1, n_pad), jnp.float32)
 
             # ---- MPC on the ESTIMATE (same blocks as the multitick kernel)
-            zy = dot(jnp.concatenate([z_prev, y_prev], axis=0), shiftt_ref[:])
+            zy = _warm_shift_rolls(
+                jnp.concatenate([z_prev, y_prev], axis=0),
+                Nnu, Nnx, nu, nx, interpret,
+            )
             z0, y0 = zy[0:1], zy[1:2]
             xw = jnp.concatenate([est_new, w_row], axis=1)
             offset = dot(xw, sxswt_ref[:])
@@ -1071,6 +1108,7 @@ def gpmpc_noisy_multitick_fused(
         fallback_error_m=fallback_error_m,
         fallback_thrust_ceiling=fallback_thrust_ceiling,
         fallback_accel_scale=fallback_accel_scale,
+        interpret=interpret,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if gp is None:  # placeholder rows keep the arg list static
