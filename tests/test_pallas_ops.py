@@ -565,3 +565,23 @@ def test_batched_sweep_fused_gp_matches_staged(rng):
         gp_posterior=post, gp_cfg=gp_cfg, gp_fused_precision="default",
     )
     assert float(jnp.max(jnp.abs(o_bf16["state"] - o_staged["state"]))) < 1e-4
+
+
+def test_posterior_mean_pallas_large_train_fallback(rng):
+    """Corpus-scale posteriors (train set > 4096 padded) exceed the kernel's
+    VMEM residency budget; the wrapper must route to the staged predict."""
+    from unmanned_aerial_vehicles_tpu.gp import fit_residual_gp
+    from unmanned_aerial_vehicles_tpu.gp.exact_gp import predict_mean
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+    from unmanned_aerial_vehicles_tpu.ops.rbf_pallas import (
+        rbf_posterior_mean_pallas,
+    )
+
+    X = jnp.asarray(rng.normal(size=(4200, 10)), jnp.float32)
+    Y = jnp.asarray(0.05 * rng.normal(size=(4200, 6)), jnp.float32)
+    post = fit_residual_gp(X, Y, ResidualGPConfig())
+    Xt = jnp.asarray(rng.normal(size=(64, 10)), jnp.float32)
+    got = rbf_posterior_mean_pallas(post, Xt, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(predict_mean(post, Xt)), atol=1e-6
+    )

@@ -207,6 +207,13 @@ def rbf_posterior_mean_pallas(
     d = Z.shape[1]
     P = Zt.shape[0]
     P_pad = pad_lane(P)
+    if P_pad > 4096:
+        # the kernel holds ALL train points VMEM-resident per block
+        # (k_star block = P_pad x MEAN_TILE f32); corpus-scale posteriors
+        # (e.g. the 19.8k sharded fit) would blow VMEM — use the staged path
+        from ..gp.exact_gp import predict_mean
+
+        return predict_mean(posterior, X_test).astype(dtype)
     n_limbs = _NUM_LIMBS[precision]
     terms = _LIMB_TERMS[precision]
 
