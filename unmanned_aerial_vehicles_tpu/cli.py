@@ -242,7 +242,8 @@ def _cmd_fly(args) -> int:
         if getattr(args, "animate", None):
             from .metrics.animate import animate_flight
 
-            path = animate_flight(outs, args.animate, dt=0.02,
+            path = animate_flight(outs, args.animate,
+                                  dt=float(cfg.control_dt),
                                   title=args.trajectory)
             print(f"animation written to {path}")
         return 0

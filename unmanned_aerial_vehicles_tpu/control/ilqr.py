@@ -92,7 +92,7 @@ def ilqr_solve(
         # of iterate i+1, so each iteration runs exactly ONE serial rollout
         # chain (plus the backward/forward Riccati scans) — the iterates
         # are bit-identical to rolling out twice, at 3/4 the latency
-        U, X, best_U, best_X, best_cost, _K = carry
+        U, X, best_U, best_X, best_cost, best_K = carry
         A, B = step_jac(X[:-1], U)
         sol = lqr(
             A, B, zeros_c, q_diag, r_sub,
@@ -104,17 +104,22 @@ def ilqr_solve(
         better = cost < best_cost
         best_U = jnp.where(better, U_new, best_U)
         best_X = jnp.where(better, X_new, best_X)
+        # gains must track the SAME iterate as U/X: the policy-reuse tier
+        # applies gains around (U_best, X_best), and gains linearised about
+        # a rejected late iterate would be applied around a different
+        # trajectory for a whole dispatch
+        best_K = jnp.where(better, sol.gains, best_K)
         best_cost = jnp.minimum(cost, best_cost)
-        return (U_new, X_new, best_U, best_X, best_cost, sol.gains), None
+        return (U_new, X_new, best_U, best_X, best_cost, best_K), None
 
     X_init = rollout(U_init)
     init_cost = _tracking_cost(X_init, U_init, q_diag, r_diag, x_ref, u_ref)
     K_init = jnp.zeros((N, nu, nx), U_init.dtype)
-    (_, _, U_best, X_best, cost_best, K_last), _ = jax.lax.scan(
+    (_, _, U_best, X_best, cost_best, K_best), _ = jax.lax.scan(
         one_iter, (U_init, X_init, U_init, X_init, init_cost, K_init), None,
         length=iterations,
     )
-    return ILQRSolution(U=U_best, X=X_best, cost=cost_best, gains=K_last)
+    return ILQRSolution(U=U_best, X=X_best, cost=cost_best, gains=K_best)
 
 
 def ilqr_optimality(

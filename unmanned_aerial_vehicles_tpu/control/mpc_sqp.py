@@ -72,9 +72,10 @@ class SQPConfig:
     admm_iterations: int = 40
     admm_rho: float = 1.0  # in equilibrated space (unit-diag H)
     admm_over_relax: float = 1.6
-    # solve-to-convergence verification mode: run active_set_polish on each
-    # subproblem's ADMM iterate (unequilibrated space). With dtype=f64 and
-    # generous admm_iterations this matches an interior-point reference
+    # solve-to-convergence verification mode: REPLACE the fixed-iteration
+    # ADMM with a primal-dual interior-point solve of each subproblem plus
+    # active_set_polish (the ADMM block is skipped). With dtype=f64 this
+    # matches an interior-point reference
     # solve of the SAME subproblem to <=1e-6 (tests/test_solver_parity_
     # nonlinear.py) — the stand-in for the reference's per-tick Ipopt
     # tol=1e-6 semantics (mpc_FULL.py:438-549). Off by default: flight mode
@@ -320,38 +321,6 @@ class SQPMPC:
                 qbar, rbar, ref_flat, u_ref_flat,
             )
 
-            # Diagonal (OSQP/Ruiz-style) equilibration, in-graph: the traced
-            # Hessians here are brutally ill-conditioned (thrust weight 0.01
-            # vs position 100 through the prediction matrix — kappa ~ 1e6)
-            # and plain single-rho ADMM crawls. Scale primal by
-            # d = diag(H)^{-1/2} and constraint rows to unit norm.
-            d = 1.0 / jnp.sqrt(jnp.diagonal(H) + 1e-10)
-            Hs = H * d[:, None] * d[None, :]
-            fs = f * d
-            Gd = G * d[None, :]
-            e = 1.0 / jnp.sqrt(jnp.sum(Gd**2, axis=1) + 1e-10)
-            Gs = Gd * e[:, None]
-
-            rho = cfg.admm_rho
-            M = Hs + rho * mm(Gs.T, Gs)
-            M_chol = jnp.linalg.cholesky(M)
-
-            # operator composition (one matvec per ADMM iteration): factor
-            # once, precompose G M^-1 G' for this tick's traced matrices
-            GMinvT_s = jax.scipy.linalg.cho_solve((M_chol, True), Gs.T)  # (n,m)
-            P1 = mm(Gs, GMinvT_s)
-            p0 = -mm(GMinvT_s.T, fs)
-            minv_f = jax.scipy.linalg.cho_solve((M_chol, True), fs)
-
-            sol = admm_box_qp_composite(
-                P1, p0, GMinvT_s, minv_f,
-                lower * e, upper * e,
-                z * e, y / e,
-                rho, cfg.admm_iterations, cfg.admm_over_relax,
-            )
-            sol_slack = sol.slack / e
-            sol_dual = sol.dual * e
-
             if cfg.polish:
                 # solve-to-convergence (Ipopt-semantics verification mode):
                 # primal-dual interior point on the unequilibrated QP —
@@ -359,7 +328,8 @@ class SQPMPC:
                 # detection (the kappa~1e9 LTV Hessian) — then active-set
                 # polish snaps the converged iterate to machine precision.
                 # Matches scipy trust-constr to <=1e-6 in f64
-                # (tests/test_solver_parity_nonlinear.py).
+                # (tests/test_solver_parity_nonlinear.py). The ADMM block
+                # below is skipped entirely (cfg.polish is a static bool).
                 sol_ip = ip_box_qp(H, G, f, lower, upper)
                 U_pol, y_pol, _score = active_set_polish(
                     H, G, f, lower, upper, sol_ip,
@@ -368,6 +338,39 @@ class SQPMPC:
                 sol_slack = jnp.clip(mm(G, U_pol), lower, upper)
                 sol_dual = y_pol
             else:
+                # Diagonal (OSQP/Ruiz-style) equilibration, in-graph: the
+                # traced Hessians here are brutally ill-conditioned (thrust
+                # weight 0.01 vs position 100 through the prediction matrix
+                # — kappa ~ 1e6) and plain single-rho ADMM crawls. Scale
+                # primal by d = diag(H)^{-1/2}, constraint rows to unit norm.
+                d = 1.0 / jnp.sqrt(jnp.diagonal(H) + 1e-10)
+                Hs = H * d[:, None] * d[None, :]
+                fs = f * d
+                Gd = G * d[None, :]
+                e = 1.0 / jnp.sqrt(jnp.sum(Gd**2, axis=1) + 1e-10)
+                Gs = Gd * e[:, None]
+
+                rho = cfg.admm_rho
+                M = Hs + rho * mm(Gs.T, Gs)
+                M_chol = jnp.linalg.cholesky(M)
+
+                # operator composition (one matvec per ADMM iteration):
+                # factor once, precompose G M^-1 G' for the traced matrices
+                GMinvT_s = jax.scipy.linalg.cho_solve(
+                    (M_chol, True), Gs.T
+                )  # (n, m)
+                P1 = mm(Gs, GMinvT_s)
+                p0 = -mm(GMinvT_s.T, fs)
+                minv_f = jax.scipy.linalg.cho_solve((M_chol, True), fs)
+
+                sol = admm_box_qp_composite(
+                    P1, p0, GMinvT_s, minv_f,
+                    lower * e, upper * e,
+                    z * e, y / e,
+                    rho, cfg.admm_iterations, cfg.admm_over_relax,
+                )
+                sol_slack = sol.slack / e
+                sol_dual = sol.dual * e
                 # take controls from the slack's U-block: it is box-feasible
                 # by construction at every iteration and equals the primal
                 # at convergence — a controller must never emit

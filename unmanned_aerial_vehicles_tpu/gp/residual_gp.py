@@ -181,6 +181,7 @@ def default_params(config: ResidualGPConfig = ResidualGPConfig()) -> GPParams:
 def standardized_params(
     dataset: ResidualDataset,
     config: ResidualGPConfig = ResidualGPConfig(),
+    std: jnp.ndarray | None = None,
 ) -> GPParams:
     """ARD hyperparameters equivalent to standardizing the GP inputs.
 
@@ -198,9 +199,12 @@ def standardized_params(
 
     ``sigma_d`` is the masked per-dim std over valid ring-buffer rows;
     zero/degenerate dims fall back to 1 (plain RBF distance on that lane).
-    Fully in-graph — safe inside the cond-gated refit.
+    Fully in-graph — safe inside the cond-gated refit. Callers that already
+    ran ``masked_input_stats`` (for the ``x_shift``) pass its ``std`` to
+    avoid a second full pass over the ring buffer.
     """
-    _, std = masked_input_stats(dataset)
+    if std is None:
+        _, std = masked_input_stats(dataset)
     return GPParams.create(
         length_scale=config.length_scale * std,
         signal_variance=1.0,

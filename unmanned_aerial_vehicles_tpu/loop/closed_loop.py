@@ -647,9 +647,10 @@ def _multitick_rollout(
             if online_gp.standardize_inputs:
                 from ..gp.residual_gp import masked_input_stats, standardized_params
 
-                shift, _ = masked_input_stats(ds)
+                shift, std = masked_input_stats(ds)
                 return fit_residual_gp_masked(
-                    ds, gcfg, params=standardized_params(ds, gcfg),
+                    ds, gcfg,
+                    params=standardized_params(ds, gcfg, std=std),
                     x_shift=shift,
                 )
             return fit_residual_gp_masked(ds, gcfg)

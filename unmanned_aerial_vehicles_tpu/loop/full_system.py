@@ -87,9 +87,10 @@ def online_gp_mpc_rollout(
         if cfg.standardize_inputs:
             from ..gp.residual_gp import masked_input_stats, standardized_params
 
-            shift, _ = masked_input_stats(ds)
+            shift, std = masked_input_stats(ds)
             return fit_residual_gp_masked(
-                ds, cfg.gp, params=standardized_params(ds, cfg.gp),
+                ds, cfg.gp,
+                params=standardized_params(ds, cfg.gp, std=std),
                 x_shift=shift,
             )
         return fit_residual_gp_masked(ds, cfg.gp)

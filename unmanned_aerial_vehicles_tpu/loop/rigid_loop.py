@@ -75,6 +75,14 @@ def sqp_multitick_rollout(
     """
     cfg = mpc.config
     N, nx, nu = cfg.horizon, mpc.nx, mpc.nu
+    if getattr(mpc, "num_obstacles", 0):
+        # this tier rebuilds the QP with box rows only — silently flying an
+        # obstacle-configured engine here would drop its avoidance
+        # constraints; use the per-tick SQPMPC.solve path instead
+        raise ValueError(
+            "sqp_multitick_rollout does not implement obstacle constraint "
+            f"rows (engine has num_obstacles={mpc.num_obstacles})"
+        )
     K = ticks_per_dispatch
     if num_steps % K:
         raise ValueError(f"num_steps={num_steps} not a multiple of K={K}")

@@ -332,8 +332,6 @@ class StructuredBatchData(NamedTuple):
     SuT: np.ndarray      # row form: X_tail = U @ SuT
     SuRow: np.ndarray    # row form: (G'v)_contribution = v_X @ SuRow
     MinvT: np.ndarray
-    ShiftU: np.ndarray   # (n_pad, n_pad) U-plane warm-start shift (row form)
-    ShiftX: np.ndarray   # (n_pad, n_pad) X-plane warm-start shift
     u_lo: np.ndarray     # (1, n_pad) lo = hi = 0 in padded lanes
     u_hi: np.ndarray
     x_lo: np.ndarray
@@ -344,24 +342,15 @@ def build_structured_batch_data(
     data: FusedControllerData, N: int, nu: int, nx: int,
     u_lo, u_hi, x_lo, x_hi,
 ) -> StructuredBatchData:
+    # (the warm-start shift runs as in-kernel lane rolls — no shift
+    # matrices in this layout)
     n_pad = data.SxT.shape[0]
-
-    def block_shift(width):
-        n = N * width
-        S = np.zeros((n_pad, n_pad), np.float32)
-        for i in range((N - 1) * width):
-            S[i + width, i] = 1.0      # row form: new = old @ S
-        for i in range((N - 1) * width, n):
-            S[i, i] = 1.0
-        return S
-
     row = lambda v: np.concatenate(
         [np.asarray(v, np.float32), np.zeros(n_pad - len(v), np.float32)]
     )[None, :]
     return StructuredBatchData(
         SxT=data.SxT, SwT=data.SwT, SuTqT=data.SuTqT, SuT=data.SuT,
         SuRow=np.ascontiguousarray(data.SuT.T), MinvT=data.MinvT,
-        ShiftU=block_shift(nu), ShiftX=block_shift(nx),
         u_lo=row(u_lo), u_hi=row(u_hi), x_lo=row(x_lo), x_hi=row(x_hi),
     )
 

@@ -242,9 +242,15 @@ def kkt_score(H, G, f, lower, upper, U, y):
     GU = mm(G, U)
     stat = jnp.max(jnp.abs(mm(H, U) + f + mm(G.T, y)))
     prim = jnp.max(jnp.maximum(jnp.maximum(GU - upper, lower - GU), 0.0))
+    # bounds beyond 1e8 encode "unbounded" placeholder rows (the obstacle
+    # 1e9 uppers of mpc_sqp._subproblem): cap their complementarity gap at 1
+    # so a tiny mid-convergence dual on an inactive placeholder row cannot
+    # dominate the score (same convention as nonlinear_kkt_score)
+    hi_gap = jnp.where(upper > 1e8, 1.0, upper - GU)
+    lo_gap = jnp.where(lower < -1e8, 1.0, GU - lower)
     comp = jnp.maximum(
-        jnp.max(jnp.abs(jnp.maximum(y, 0.0) * (upper - GU))),
-        jnp.max(jnp.abs(jnp.minimum(y, 0.0) * (GU - lower))),
+        jnp.max(jnp.abs(jnp.maximum(y, 0.0) * hi_gap)),
+        jnp.max(jnp.abs(jnp.minimum(y, 0.0) * lo_gap)),
     )
     return jnp.maximum(jnp.maximum(stat, prim), comp)
 

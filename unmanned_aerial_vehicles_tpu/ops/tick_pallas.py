@@ -160,7 +160,7 @@ def _make_tick_kernel(iterations, over_relax, rho,
                z0_ref, y0_ref, plant_ref,
                sxswt_ref, sutqt_ref, sut_ref,
                p1_ref, pm_ref, p0matt_ref,
-               ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
+               ulo_ref, uhi_ref, xlo_ref, xhi_ref,
                out_ref, z_ref, y_ref, u_ref, xtail_ref,
                *, Nnu, Nnx):
         m_pad = p1_ref.shape[0]
@@ -269,7 +269,7 @@ def _make_tick_kernel(iterations, over_relax, rho,
     static_argnames=(
         "iterations", "over_relax", "rho", "dt", "substeps",
         "accel_lo", "accel_hi", "yawrate_limit", "interpret",
-        "loop_precision", "nnu", "nnx", "fallback_error_m",
+        "loop_precision", "nnu", "nnx", "nu", "nx", "fallback_error_m",
         "fallback_thrust_ceiling", "fallback_accel_scale",
     ),
 )
@@ -294,6 +294,8 @@ def gpmpc_tick_fused(
     loop_precision: str = "highest",
     nnu: int = 0,   # N * nu — static lane offsets (pass data.Nnu)
     nnx: int = 0,   # N * nx
+    nu: int = 4,    # per-stage control width (warm-start lane-roll stride)
+    nx: int = 6,    # per-stage state width
     fallback_error_m: float = 0.0,
     fallback_thrust_ceiling: float = 1.5,
     fallback_accel_scale: float = 1.5,
@@ -320,7 +322,7 @@ def gpmpc_tick_fused(
         fallback_error_m=fallback_error_m,
         fallback_thrust_ceiling=fallback_thrust_ceiling,
         fallback_accel_scale=fallback_accel_scale,
-        interpret=interpret,
+        nu=nu, nx=nx, interpret=interpret,
     )
     kernel = functools.partial(base, Nnu=nnu, Nnx=nnx)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -337,7 +339,7 @@ def gpmpc_tick_fused(
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         ),
-        in_specs=[vmem] * 20,
+        in_specs=[vmem] * 19,
         out_specs=(vmem,) * 5,
         interpret=interpret,
     )(
@@ -346,7 +348,6 @@ def gpmpc_tick_fused(
         data.SxSwT, ctrl.SuTqT, ctrl.SuT,
         ctrl.P1, data.PM, ctrl.P0matT,
         ctrl.u_lo_row, ctrl.u_hi_row, ctrl.x_lo_row, ctrl.x_hi_row,
-        data.ShiftT,
     )
 
 
@@ -461,13 +462,13 @@ def _make_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             (kinv_ref, ystd_ref,
              sxswt_ref, sutqt_ref, sut_ref, swsqt_ref,
              p1_ref, pm_ref, p0matt_ref,
-             ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
+             ulo_ref, uhi_ref, xlo_ref, xhi_ref,
              out_ref, state_out_ref, aux_out_ref, xtail_out_ref,
              z_ref, y_ref) = rest
         else:
             (sxswt_ref, sutqt_ref, sut_ref,
              p1_ref, pm_ref, p0matt_ref,
-             ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
+             ulo_ref, uhi_ref, xlo_ref, xhi_ref,
              out_ref, state_out_ref, aux_out_ref, xtail_out_ref,
              z_ref, y_ref) = rest
         m_pad = p1_ref.shape[0]
@@ -759,7 +760,6 @@ def gpmpc_multitick_fused(
         data.SxSwT, ctrl.SuTqT, ctrl.SuT, *var_mats,
         ctrl.P1, data.PM, ctrl.P0matT,
         ctrl.u_lo_row, ctrl.u_hi_row, ctrl.x_lo_row, ctrl.x_hi_row,
-        data.ShiftT,
     )
     return pl.pallas_call(
         base,
@@ -830,7 +830,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                ztrT_ref, sq2_ref, alphas_ref, ymean_ref, invls_ref, scal_ref,
                sxswt_ref, sutqt_ref, sut_ref,
                p1_ref, pm_ref, p0matt_ref,
-               ulo_ref, uhi_ref, xlo_ref, xhi_ref, shiftt_ref,
+               ulo_ref, uhi_ref, xlo_ref, xhi_ref,
                out_ref, state_out_ref, est_out_ref, p_out_ref,
                aux_out_ref, xtail_out_ref, z_ref, y_ref):
         m_pad = p1_ref.shape[0]
@@ -1128,7 +1128,6 @@ def gpmpc_noisy_multitick_fused(
         data.SxSwT, ctrl.SuTqT, ctrl.SuT,
         ctrl.P1, data.PM, ctrl.P0matT,
         ctrl.u_lo_row, ctrl.u_hi_row, ctrl.x_lo_row, ctrl.x_hi_row,
-        data.ShiftT,
     )
     return pl.pallas_call(
         base,
