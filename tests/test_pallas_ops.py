@@ -585,3 +585,45 @@ def test_posterior_mean_pallas_large_train_fallback(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(predict_mean(post, Xt)), atol=1e-6
     )
+
+
+def test_warm_shift_rolls_equals_shift_matrix(rng):
+    """The lane-roll warm-start shift is exactly z @ ShiftT for every
+    (N, nu, nx) layout the tick kernels use."""
+    from unmanned_aerial_vehicles_tpu.ops.tick_pallas import (
+        _warm_shift_rolls,
+        build_shift_matrix,
+    )
+
+    for N, nu, nx, m_pad in ((20, 4, 6, 256), (10, 4, 6, 128), (5, 2, 3, 128)):
+        S = build_shift_matrix(N, nu, nx, m_pad)
+        z = jnp.asarray(rng.normal(size=(2, m_pad)), jnp.float32)
+        # padded lanes are zero in real use; zero them so both forms agree
+        z = z.at[:, N * (nu + nx):].set(0.0)
+        want = z @ jnp.asarray(S)
+        got = _warm_shift_rolls(z, N * nu, N * nx, nu, nx, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_split_limbs_reconstruction(rng):
+    """bf16 limb splits: 3 limbs reconstruct f32 exactly (24 mantissa bits);
+    the masked in-kernel variant too. Guards the compensation scheme the
+    fused GP kernel's accuracy tiers rest on."""
+    from unmanned_aerial_vehicles_tpu.ops.rbf_pallas import (
+        _split_limbs,
+        _split_limbs_masked,
+    )
+
+    x = jnp.asarray(
+        rng.normal(size=(64, 16)) * np.exp(rng.uniform(-8, 8, size=(64, 16))),
+        jnp.float32,
+    )
+    for split in (_split_limbs, _split_limbs_masked):
+        limbs = split(x, 3)
+        recon = sum(jnp.asarray(l, jnp.float32) for l in limbs)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x))
+        # 2-limb error is bounded by ~2^-16 relative
+        limbs2 = split(x, 2)
+        recon2 = sum(jnp.asarray(l, jnp.float32) for l in limbs2)
+        rel = np.abs(np.asarray(recon2 - x)) / np.maximum(np.abs(np.asarray(x)), 1e-30)
+        assert rel.max() < 2.0**-15, rel.max()
