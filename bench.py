@@ -108,6 +108,26 @@ def slope_time(make_run, args_for, reps=4):
     return per_tick_us, dispatch_ms
 
 
+def _roofline_summary():
+    """Key numbers from tools/roofline_throughput.py's artifact (the
+    quantified MFU-bound analysis — measured machine ceilings + per-stage
+    floors; regenerate with `python tools/roofline_throughput.py`)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "throughput_roofline.json")
+    try:
+        with open(path) as fh:
+            r = json.load(fh)
+        return {
+            "artifact": "artifacts/throughput_roofline.json",
+            "ceilings": r["ceilings"],
+            "stage_us_per_step": r["stage_us_per_step"],
+            "floors": r["floors"],
+            "bound": r["analysis"]["bound"],
+        }
+    except (OSError, KeyError, json.JSONDecodeError):
+        return {"artifact": "artifacts/throughput_roofline.json (not built)"}
+
+
 def main():
     X, Y = load_training_data()
     Xd = jnp.asarray(X, jnp.float32)
@@ -368,6 +388,7 @@ def main():
                 "batched_rms_shift_vs_staged_m": round(batched_rms_shift, 7),
                 "throughput_mfu_pct_est": round(mfu_pct, 2),
                 "throughput_mfu_pct_bf16_gp": round(mfu_pct_bf16, 2),
+                "throughput_roofline": _roofline_summary(),
                 "dispatch_overhead_ms_per_call": round(dispatch_ms, 1),
                 "full_corpus_fit_s": full_corpus_fit_s,
             }
