@@ -914,6 +914,13 @@ def batched_mpc_flight_sweep(
         out = jnp.zeros((B, size), dtype)
         return out.at[:, : mat.shape[1]].set(mat.astype(dtype))
 
+    def rows16(mat):
+        # skinny row layout for the kernel's X0 operand (16 lanes)
+        return jnp.concatenate(
+            [mat.astype(dtype),
+             jnp.zeros((B, 16 - mat.shape[1]), dtype)], axis=1
+        )
+
     def step(carry, i):
         states, ZU, ZX, YU, YX, X_prev, U_prev, att_int, W_held = carry
         t = i.astype(dtype) * cfg.control_dt
@@ -945,13 +952,12 @@ def batched_mpc_flight_sweep(
             else:
                 W = fresh_w((X_prev, U_prev))
         else:
-            W = jnp.zeros((B, n_pad), dtype)
+            W = jnp.zeros((1, n_pad), dtype)   # kernel-broadcast zero row
         ref_row = jnp.tile(jnp.concatenate([pos_ref, jnp.zeros(3, dtype)]), N)
-        REF = jnp.broadcast_to(
-            jnp.zeros(n_pad, dtype).at[: N * STATE_DIM].set(ref_row)[None, :],
-            (B, n_pad),
-        )
-        X0 = rows(states[:, 0:6], n_pad)
+        # single-row REF + skinny X0: the kernel broadcasts/contracts them
+        # directly — no (B, n_pad) materialisation per tick
+        REF = jnp.zeros(n_pad, dtype).at[: N * STATE_DIM].set(ref_row)[None, :]
+        X0 = rows16(states[:, 0:6])
 
         ZU, ZX, YU, YX, _, Xt = gpmpc_controller_structured_batched(
             sdata, X0, W, REF, ZU, ZX, YU, YX,
@@ -1014,7 +1020,13 @@ def batched_mpc_flight_sweep(
         jnp.tile(starts[:, None, 0:6], (1, N + 1, 1)),
         jnp.zeros((B, N, CONTROL_DIM), dtype),
         jnp.zeros((B, 3), dtype),
-        jnp.zeros((B, n_pad), dtype),
+        # W_held: per-flight when a GP drives the disturbances, a single
+        # kernel-broadcast zero row otherwise (carry shape must match step)
+        jnp.zeros(
+            (B if (residual_fn is not None or gp_posterior is not None)
+             else 1, n_pad),
+            dtype,
+        ),
     )
     _, outs = jax.lax.scan(step, init, jnp.arange(num_steps))
     outs["state"] = outs["state"][:, :B_in]

@@ -446,9 +446,9 @@ def _make_structured_kernel(iterations: int, over_relax: float, rho: float,
 )
 def gpmpc_controller_structured_batched(
     sdata: StructuredBatchData,
-    X0: jnp.ndarray,    # (B, n_pad)
-    W: jnp.ndarray,     # (B, n_pad)
-    REF: jnp.ndarray,   # (B, n_pad)
+    X0: jnp.ndarray,    # (B, n_pad) — or SKINNY (B, 16) with state in 0:nx
+    W: jnp.ndarray,     # (B, n_pad) — or (1, n_pad) broadcast (e.g. zeros)
+    REF: jnp.ndarray,   # (B, n_pad) — or (1, n_pad) broadcast (shared ref)
     ZU: jnp.ndarray, ZX: jnp.ndarray,   # (B, n_pad) split slacks (unshifted)
     YU: jnp.ndarray, YX: jnp.ndarray,   # (B, n_pad) split duals (unshifted)
     rho: float,
@@ -463,8 +463,15 @@ def gpmpc_controller_structured_batched(
     """Structured whole-controller tick for a flight batch. Returns
     ``(ZU, ZX, YU, YX, U, X_tail)``, each ``(B, n_pad)``. ``horizon/nu/nx``
     define the in-kernel warm-start lane rolls (must match the sdata
-    layout)."""
-    B = X0.shape[0]
+    layout).
+
+    Operand-glue trims (shapes are static, so each variant is its own
+    compile): a SKINNY ``X0 (B, 16)`` contracts against ``SxT[:16]`` —
+    1/8th the DMA and no (B, n_pad) scatter outside; a single-row ``REF``
+    or ``W`` broadcasts inside the kernel (the reference row is
+    flight-independent in lockstep sweeps), skipping a (B, n_pad)
+    materialisation per tick each."""
+    B = ZU.shape[0]
     block = min(block, B)
     if B % block:
         raise ValueError(f"batch {B} must be a multiple of {block}")
@@ -473,20 +480,29 @@ def gpmpc_controller_structured_batched(
                                      horizon, nu, nx, interpret)
     brow = pl.BlockSpec((block, n_pad), lambda b: (b, 0),
                         memory_space=pltpu.VMEM)
-    full = lambda rows: pl.BlockSpec((rows, n_pad), lambda b: (0, 0),
-                                     memory_space=pltpu.VMEM)
+    full = lambda rows, cols=n_pad: pl.BlockSpec(
+        (rows, cols), lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    x0_lanes = X0.shape[1]
+    sxt_op = sdata.SxT[:x0_lanes] if x0_lanes < n_pad else sdata.SxT
+    x0_spec = (pl.BlockSpec((block, x0_lanes), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+               if X0.shape[0] == B else full(1, x0_lanes))
+    w_spec = brow if W.shape[0] == B else full(1)
+    ref_spec = brow if REF.shape[0] == B else full(1)
     return pl.pallas_call(
         kernel,
         grid=(B // block,),
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, n_pad), jnp.float32) for _ in range(6)
         ),
-        in_specs=[brow] * 7 + [full(n_pad)] * 6 + [full(1)] * 4,
+        in_specs=[x0_spec, w_spec, ref_spec] + [brow] * 4
+        + [full(x0_lanes)] + [full(n_pad)] * 5 + [full(1)] * 4,
         out_specs=(brow,) * 6,
         interpret=interpret,
     )(
         X0, W, REF, ZU, ZX, YU, YX,
-        sdata.SxT, sdata.SwT, sdata.SuTqT, sdata.SuT, sdata.SuRow,
+        sxt_op, sdata.SwT, sdata.SuTqT, sdata.SuT, sdata.SuRow,
         sdata.MinvT,
         sdata.u_lo, sdata.u_hi, sdata.x_lo, sdata.x_hi,
     )
