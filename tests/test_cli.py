@@ -185,3 +185,16 @@ def test_fly_animate(tmp_path, capsys):
     assert "animation written" in out
     import os
     assert os.path.getsize(gif) > 10_000
+
+
+def test_analyze_animate(tmp_path, capsys):
+    log_path = str(tmp_path / "flight.npz")
+    assert main(["fly", "--controller", "pid", "--duration", "3",
+                 "--amplitude", "2", "--trajectory", "circle",
+                 "--save-log", log_path]) == 0
+    capsys.readouterr()
+    gif = str(tmp_path / "replay.gif")
+    assert main(["analyze", "--log", log_path, "--animate", gif]) == 0
+    assert "animation written" in capsys.readouterr().out
+    import os
+    assert os.path.getsize(gif) > 10_000

@@ -534,6 +534,12 @@ def _cmd_analyze(args) -> int:
         out = args.plot if isinstance(args.plot, str) else args.log + ".png"
         plot_flight_log(log, out, title=os.path.basename(args.log))
         print(f"plot written to {out}")
+    if getattr(args, "animate", None):
+        from .metrics.animate import animate_flight
+
+        path = animate_flight(log, args.animate,
+                              title=os.path.basename(args.log))
+        print(f"animation written to {path}")
     return 0
 
 
@@ -881,6 +887,9 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--log", required=True, help="npz flight log")
     an.add_argument("--plot", nargs="?", const=True, default=False,
                     help="write analysis figure (optional path)")
+    an.add_argument("--animate", default=None, metavar="OUT.gif",
+                    help="animated replay of the saved flight "
+                         "(metrics/animate; .gif headless, .mp4 with ffmpeg)")
     an.set_defaults(fn=_cmd_analyze)
 
     c = sub.add_parser("compare", help="standalone PID vs GP-MPC comparison")
