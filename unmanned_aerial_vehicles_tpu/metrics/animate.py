@@ -48,12 +48,15 @@ def animate_flight(
     state = np.asarray(log["state"], np.float64)
     pos_ref = np.asarray(log["pos_ref"], np.float64)
     T = state.shape[0]
+    if T < 2:
+        raise ValueError(f"need at least 2 ticks to animate, got {T}")
+    stride = min(max(1, int(stride)), T - 1)   # always >= 1 frame
     t = np.arange(T) * dt
     pos = state[:, 0:3]
     err = np.linalg.norm(pos - pos_ref, axis=1)
     thrust = np.asarray(log["thrust"], np.float64) if "thrust" in log else None
 
-    frames = range(1, T, max(1, int(stride)))
+    frames = range(1, T, stride)
 
     fig = plt.figure(figsize=(13, 8))
     fig.suptitle(f"Flight replay — {title}")
