@@ -100,10 +100,7 @@ def main():
         LinearMPC,
         LinearMPCConfig,
     )
-    from unmanned_aerial_vehicles_tpu.gp import (
-        build_horizon_residuals,
-        fit_residual_gp,
-    )
+    from unmanned_aerial_vehicles_tpu.gp import fit_residual_gp
     from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
     from unmanned_aerial_vehicles_tpu.io import load_gp_datasets
     from unmanned_aerial_vehicles_tpu.loop.closed_loop import (
