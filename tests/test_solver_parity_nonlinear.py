@@ -115,6 +115,7 @@ def _subproblem_parity(mpc, carry, state, cost, x_ref, residuals=None,
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_rigid_sqp_subproblem_parity():
     eng = RigidBodyMPC(config=SQPConfig(horizon=15, admm_rho=0.05, **VCFG),
                        dtype=jnp.float64)
@@ -133,6 +134,7 @@ def test_rigid_sqp_subproblem_parity():
     assert kkt_eng <= 1e-7, f"engine KKT {kkt_eng:.3e}"
 
 
+@pytest.mark.slow
 def test_rigid_sqp_full_nonlinear_parity():
     """The whole ``mpc_FULL.py:269-433`` nonlinear program, solved to
     tolerance by scipy trust-constr over controls (single shooting, exact
@@ -211,6 +213,7 @@ def test_rigid_sqp_full_nonlinear_parity():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_direct_rate_subproblem_parity(rng):
     eng = DirectRateMPC(config=SQPConfig(horizon=20, admm_rho=0.05, **VCFG),
                         dtype=jnp.float64)
@@ -241,6 +244,7 @@ def test_direct_rate_subproblem_parity(rng):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_attitude_subproblem_parity():
     eng = AttitudeMPC(config=SQPConfig(horizon=10, admm_rho=0.05, **VCFG),
                       dtype=jnp.float64)
@@ -267,6 +271,7 @@ def test_attitude_subproblem_parity():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ltv_subproblem_parity():
     eng = LTVTrackingMPC(
         config=SQPConfig(horizon=20, admm_rho=0.02, **VCFG),

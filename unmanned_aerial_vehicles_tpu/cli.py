@@ -237,7 +237,8 @@ def _cmd_fly(args) -> int:
         if args.save_log:
             from .io import save_flight_log
 
-            save_flight_log(args.save_log, outs)
+            save_flight_log(args.save_log, outs,
+                            control_dt=float(cfg.control_dt))
             print(f"flight log written to {args.save_log}")
         if getattr(args, "animate", None):
             from .metrics.animate import animate_flight
@@ -428,7 +429,8 @@ def _cmd_fly(args) -> int:
     if args.save_log:
         from .io import save_flight_log
 
-        save_flight_log(args.save_log, outs)
+        save_flight_log(args.save_log, outs,
+                        control_dt=float(cfg.control_dt))
         print(f"flight log written to {args.save_log}")
     if getattr(args, "animate", None):
         from .metrics.animate import animate_flight
@@ -537,7 +539,10 @@ def _cmd_analyze(args) -> int:
     if getattr(args, "animate", None):
         from .metrics.animate import animate_flight
 
-        path = animate_flight(log, args.animate,
+        # logs flown at a non-default control_dt carry it as metadata
+        # (save_flight_log control_dt=...); default to the 50 Hz tick
+        dt = float(log.get("meta_control_dt", 0.02))
+        path = animate_flight(log, args.animate, dt=dt,
                               title=os.path.basename(args.log))
         print(f"animation written to {path}")
     return 0

@@ -94,7 +94,7 @@ def load_resume_state(path: str, like):
     if saved_meta != like_meta:
         raise ValueError(
             f"checkpoint config mismatch: saved (horizon, K, gp_capacity, "
-            f"variance) = {saved_meta}, current = {like_meta}"
+            f"variance, scaled) = {saved_meta}, current = {like_meta}"
         )
     n = int(data["__n_leaves__"])
     treedef = jax.tree_util.tree_structure(like.carry)

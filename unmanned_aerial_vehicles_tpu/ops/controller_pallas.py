@@ -336,6 +336,12 @@ class StructuredBatchData(NamedTuple):
     u_hi: np.ndarray
     x_lo: np.ndarray
     x_hi: np.ndarray
+    # Layout metadata recorded at build time: the in-kernel warm-start lane
+    # rolls MUST agree with how the operand planes were packed, so the kernel
+    # derives them from here rather than trusting caller kwargs.
+    horizon: int = 20
+    nu: int = 4
+    nx: int = 6
 
 
 def build_structured_batch_data(
@@ -352,6 +358,7 @@ def build_structured_batch_data(
         SxT=data.SxT, SwT=data.SwT, SuTqT=data.SuTqT, SuT=data.SuT,
         SuRow=np.ascontiguousarray(data.SuT.T), MinvT=data.MinvT,
         u_lo=row(u_lo), u_hi=row(u_hi), x_lo=row(x_lo), x_hi=row(x_hi),
+        horizon=int(N), nu=int(nu), nx=int(nx),
     )
 
 
@@ -439,12 +446,53 @@ def _make_structured_kernel(iterations: int, over_relax: float, rho: float,
     return kernel
 
 
+def gpmpc_controller_structured_batched(
+    sdata: StructuredBatchData,
+    X0: jnp.ndarray,
+    W: jnp.ndarray,
+    REF: jnp.ndarray,
+    ZU: jnp.ndarray, ZX: jnp.ndarray,
+    YU: jnp.ndarray, YX: jnp.ndarray,
+    rho: float,
+    iterations: int,
+    over_relax: float = 1.6,
+    interpret: bool = False,
+    block: int = 1024,
+    horizon: int | None = None,
+    nu: int | None = None,
+    nx: int | None = None,
+):
+    """Structured whole-controller tick for a flight batch (public wrapper).
+
+    The in-kernel warm-start lane rolls are derived from the layout
+    ``sdata`` records at ``build_structured_batch_data`` time, so they can
+    never drift from how the operand planes were packed. Passing
+    ``horizon/nu/nx`` explicitly is allowed only as a cross-check — a
+    mismatch with the recorded layout raises instead of silently
+    corrupting warm starts."""
+    lay = (int(sdata.horizon), int(sdata.nu), int(sdata.nx))
+    asked = (lay[0] if horizon is None else int(horizon),
+             lay[1] if nu is None else int(nu),
+             lay[2] if nx is None else int(nx))
+    if asked != lay:
+        raise ValueError(
+            f"horizon/nu/nx {asked} disagree with the sdata layout {lay} "
+            "recorded by build_structured_batch_data"
+        )
+    return _structured_batched_impl(
+        sdata, X0, W, REF, ZU, ZX, YU, YX,
+        rho=rho, iterations=iterations, over_relax=over_relax,
+        interpret=interpret, block=block,
+        horizon=lay[0], nu=lay[1], nx=lay[2],
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "over_relax", "rho", "interpret", "block",
                      "horizon", "nu", "nx"),
 )
-def gpmpc_controller_structured_batched(
+def _structured_batched_impl(
     sdata: StructuredBatchData,
     X0: jnp.ndarray,    # (B, n_pad) — or SKINNY (B, 16) with state in 0:nx
     W: jnp.ndarray,     # (B, n_pad) — or (1, n_pad) broadcast (e.g. zeros)

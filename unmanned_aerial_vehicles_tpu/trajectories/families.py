@@ -1,6 +1,6 @@
 """Analytic reference-trajectory families (pure functions of time).
 
-The ten families, their default parameters and the sixteen named
+The ten families, their default parameters and the fifteen named
 configurations mirror ``/root/reference/src/px4/trajectory_definitions.py``
 (formulas at :48-470, configs at :472-560) — including its quirks (the
 circle's ``z = -center[2]`` flip at :103, the sine wave's ``z = -center[2]``
