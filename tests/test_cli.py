@@ -198,3 +198,32 @@ def test_analyze_animate(tmp_path, capsys):
     assert "animation written" in capsys.readouterr().out
     import os
     assert os.path.getsize(gif) > 10_000
+
+
+def test_fly_direct_rate12(capsys):
+    """direct-rate12 is a first-class --controller choice (the
+    mpc_direct_rates node, VERDICT round-4 #4)."""
+    assert main(["fly", "--controller", "direct-rate12", "--duration", "6",
+                 "--amplitude", "2"]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["rms_pos"] < 1.5
+
+
+def test_fly_12state_fast_multitick(capsys):
+    """--fast routes the 12-state family through the rigid_loop multitick
+    tiers (no longer ignored) and says so."""
+    for ctrl, bar in (("mpc12", 1.5), ("direct-rate12", 1.5),
+                      ("ilqr12", 3.0)):
+        assert main(["fly", "--controller", ctrl, "--fast",
+                     "--duration", "6", "--amplitude", "2"]) == 0
+        out = capsys.readouterr().out
+        assert "multitick tier" in out
+        payload = json.loads(out[out.index("{"):])
+        assert payload["rms_pos"] < bar, (ctrl, payload)
+
+
+def test_fly_mppi12_fast_rejected(capsys):
+    """mppi12 has no multitick tier; --fast is a clear error, not a silent
+    ignore."""
+    assert main(["fly", "--controller", "mppi12", "--fast",
+                 "--duration", "2"]) == 1

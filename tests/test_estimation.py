@@ -234,6 +234,26 @@ def test_noisy_multitick_matches_staged(K):
     assert np.isfinite(P).all()
     np.testing.assert_allclose(P, P.T, atol=1e-5)   # symmetric
 
+    # opt-in "dispatch" relinearisation cadence (EKFConfig.relinearize_every):
+    # F frozen at the dispatch-entry estimate — cheaper per tick, with a
+    # BOUNDED covariance-drift cost that must stay strictly above the exact
+    # per-tick mode's gap (both cadences bounded at K=8 AND K=20)
+    frozen = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc_f, _circle, steps, jax.random.PRNGKey(0),
+            ekf_cfg=EKFConfig(relinearize_every="dispatch"),
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=K),
+        )
+    )()
+    gap_frozen = np.abs(
+        np.asarray(staged["state"][:, 0:3])
+        - np.asarray(frozen["state"][:, 0:3])
+    ).max()
+    assert gap_frozen < 5e-3, gap_frozen     # small, bounded drift
+    assert gap < gap_frozen                  # exact mode is strictly tighter
+    Pf = np.asarray(frozen["final_covariance"])
+    assert np.isfinite(Pf).all()
+
 
 def test_noisy_multitick_rejects_residual_fn():
     """The multi-tick noisy path computes the GP in-kernel: a staged

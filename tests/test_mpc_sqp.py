@@ -14,7 +14,29 @@ from unmanned_aerial_vehicles_tpu.control.mpc_rigid import (
 from unmanned_aerial_vehicles_tpu.control.allocation import torque_to_px4_rates
 from unmanned_aerial_vehicles_tpu.models import X500_PARAMS
 from unmanned_aerial_vehicles_tpu.models.rigid_body import rigid_body_euler_step
-from unmanned_aerial_vehicles_tpu.ops.qp import condense_ltv
+from unmanned_aerial_vehicles_tpu.ops.qp import (
+    condense_ltv,
+    condense_ltv_doubling,
+)
+
+
+def test_condense_ltv_doubling_matches_serial(rng):
+    """The log-depth doubling condensation (multitick dispatch prep) agrees
+    with the serial scan to f32 rounding at every tested horizon, including
+    non-powers-of-two (zero-stage padding) and N=1 (no combine levels)."""
+    for N, nx, nu in ((20, 12, 4), (15, 12, 4), (25, 6, 4), (1, 4, 2)):
+        A = jnp.asarray(
+            np.eye(nx) * 0.9 + 0.1 * rng.normal(size=(N, nx, nx)),
+            jnp.float32,
+        )
+        B = jnp.asarray(0.1 * rng.normal(size=(N, nx, nu)), jnp.float32)
+        c = jnp.asarray(0.1 * rng.normal(size=(N, nx)), jnp.float32)
+        serial = condense_ltv(A, B, c)
+        doubled = condense_ltv_doubling(A, B, c)
+        for s, d in zip(serial, doubled):
+            np.testing.assert_allclose(
+                np.asarray(s), np.asarray(d), atol=2e-5
+            )
 
 
 def test_condense_ltv_matches_simulation(rng):

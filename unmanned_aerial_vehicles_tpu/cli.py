@@ -191,46 +191,150 @@ def _cmd_fly(args) -> int:
                 ref, num_steps, cfg=cfg, rate_loop=PID_CAMPAIGN_RATE_LOOP
             )
         )()
-    elif args.controller in ("mpc12", "ilqr12", "mppi12"):
-        # 12-state torque MPC flying the z-up rigid-body plant directly
-        # (the mpc_FULL node's role); ilqr12 runs the same task on the
+    elif args.controller in ("mpc12", "direct-rate12", "ilqr12", "mppi12"):
+        # 12-state controllers flying the z-up rigid-body plant directly
+        # (the mpc_FULL node's role, src/px4/mpc_FULL.py:613-1060);
+        # direct-rate12 is the body-rate-input engine
+        # (mpc_direct_rates.py:76-922); ilqr12 runs the same task on the
         # Riccati-based iLQR engine instead of SQP+ADMM; mppi12 on the
-        # sampling-based MPPI controller (512 vmapped rollouts per tick)
+        # sampling-based MPPI controller (512 vmapped rollouts per tick).
+        # --fast routes mpc12/direct-rate12 through the multitick tier
+        # (loop.rigid_loop.sqp_multitick_rollout: per-dispatch
+        # relinearisation, ~43-85 us/tick) and ilqr12 through the
+        # policy-reuse tier (ilqr_multitick_rollout, ~258 us/tick).
         import numpy as np
 
         from .control import ILQRRigidBodyMPC, RigidBodyMPC
         from .models import X500_PARAMS, rigid_body_rk4_step
         from .metrics import tracking_metrics
 
+        mg = X500_PARAMS.mass * X500_PARAMS.gravity
         if args.controller == "ilqr12":
             mpc12 = ILQRRigidBodyMPC()
+            thrust_of_u = lambda u: u[..., 0] / mg
         elif args.controller == "mppi12":
             from .control import MPPIController
 
+            if args.fast:
+                print("mppi12 has no multitick tier (every tick re-samples "
+                      "512 rollouts); drop --fast", file=sys.stderr)
+                return 1
             mpc12 = MPPIController()
+            thrust_of_u = lambda u: u[..., 0] / mg
+        elif args.controller == "direct-rate12":
+            from .control import DirectRateMPC
+            from .control.mpc_rigid import direct_rate_step
+
+            mpc12 = DirectRateMPC()
+            thrust_of_u = lambda u: u[..., 3]  # normalized thrust channel
         else:
             mpc12 = RigidBodyMPC()
+            thrust_of_u = lambda u: u[..., 0] / mg
 
-        @jax.jit
-        def fly12():
-            def step(c, i):
-                st, mc = c
-                t = i.astype(jnp.float32) * cfg.control_dt
-                pos_ref, yaw_ref = ref(t)
-                u, _, mc = mpc12.solve(mc, st, jnp.asarray(pos_ref, jnp.float32),
-                                       jnp.asarray(yaw_ref, jnp.float32))
-                st = rigid_body_rk4_step(st, u, X500_PARAMS, cfg.control_dt)
-                out = {"state": st, "pos_ref": jnp.asarray(pos_ref, jnp.float32),
-                       "thrust": u[0] / (X500_PARAMS.mass * X500_PARAMS.gravity)}
-                return (st, mc), out
-
-            x0 = jnp.zeros(12, jnp.float32).at[2].set(cfg.takeoff_height)
-            (_, _), outs = jax.lax.scan(
-                step, (x0, mpc12.init_carry(x0)), jnp.arange(num_steps)
+        x0 = jnp.zeros(12, jnp.float32).at[2].set(cfg.takeoff_height)
+        if args.fast:
+            # multitick tiers: per-dispatch relinearisation / policy reuse
+            # (the artifacts/controller_latency.json rows, reproducible
+            # from the CLI — VERDICT round-4 #4)
+            from .loop.rigid_loop import (
+                ilqr_multitick_rollout,
+                sqp_multitick_rollout,
             )
-            return outs
 
-        outs = fly12()
+            K = 8 if args.controller != "ilqr12" else 2
+            steps = max(K, num_steps - num_steps % K)
+            tier = "multitick"
+
+            def pos_at(ts):
+                pos, _ = jax.vmap(ref)(ts)
+                return jnp.asarray(pos, jnp.float32)
+
+            if args.controller == "ilqr12":
+                plant = lambda x, u: rigid_body_rk4_step(
+                    x, u, X500_PARAMS, cfg.control_dt)
+
+                def position_ref_fn(ticks):
+                    return pos_at(ticks.astype(jnp.float32) * cfg.control_dt)
+
+                outs12 = jax.jit(lambda x: ilqr_multitick_rollout(
+                    mpc12, position_ref_fn, plant, x, steps,
+                    ticks_per_dispatch=K,
+                ))(x0)
+            else:
+                N12 = mpc12.mpc.config.horizon
+
+                def reference_fn(ticks):
+                    pos = pos_at(ticks.astype(jnp.float32) * cfg.control_dt)
+                    stage = jnp.concatenate(
+                        [pos, jnp.zeros((pos.shape[0], 9), jnp.float32)],
+                        axis=1,
+                    )
+                    return jnp.tile(stage[:, None, :], (1, N12, 1))
+
+                if args.controller == "direct-rate12":
+                    # whole-tick Pallas tier (ops.rigid_tick_pallas):
+                    # shift + condensed ADMM + plant in one kernel,
+                    # relinearisation per dispatch in XLA (~14 us/tick
+                    # in-kernel on v5e; parity pinned in
+                    # tests/test_rigid_multitick.py)
+                    from .loop.rigid_loop import direct_rate_multitick_fused
+
+                    outs12 = jax.jit(lambda x: direct_rate_multitick_fused(
+                        mpc12.mpc, mpc12.cost, reference_fn, x, steps,
+                        ticks_per_dispatch=K, admm_iterations=30,
+                        u_init=mpc12.u_hover, dt=cfg.control_dt,
+                    ))(x0)
+                    tier = "fused multitick"
+                else:
+                    plant = lambda x, u: rigid_body_rk4_step(
+                        x, u, X500_PARAMS, cfg.control_dt)
+                    outs12 = jax.jit(lambda x: sqp_multitick_rollout(
+                        mpc12.mpc, mpc12.cost, reference_fn, plant, x, steps,
+                        ticks_per_dispatch=K, admm_iterations=30,
+                        u_init=mpc12.u_hover,
+                    ))(x0)
+            ts = jnp.arange(steps, dtype=jnp.float32) * cfg.control_dt
+            outs = {
+                "state": outs12["state"],
+                "pos_ref": pos_at(ts),
+                "thrust": thrust_of_u(outs12["u"]),
+            }
+            print(f"# {tier} tier: {args.controller}, "
+                  f"{K} ticks/dispatch, {steps} steps")
+        else:
+            @jax.jit
+            def fly12():
+                def step(c, i):
+                    st, mc = c
+                    t = i.astype(jnp.float32) * cfg.control_dt
+                    pos_ref, yaw_ref = ref(t)
+                    if args.controller == "direct-rate12":
+                        # DirectRateMPC has no yaw target channel
+                        # (mpc_direct_rates tracks position only)
+                        u, _, mc = mpc12.solve(
+                            mc, st, jnp.asarray(pos_ref, jnp.float32))
+                    else:
+                        u, _, mc = mpc12.solve(
+                            mc, st, jnp.asarray(pos_ref, jnp.float32),
+                            jnp.asarray(yaw_ref, jnp.float32))
+                    if args.controller == "direct-rate12":
+                        st = direct_rate_step(
+                            st, u, jnp.zeros(12, jnp.float32),
+                            dt=cfg.control_dt)
+                    else:
+                        st = rigid_body_rk4_step(
+                            st, u, X500_PARAMS, cfg.control_dt)
+                    out = {"state": st,
+                           "pos_ref": jnp.asarray(pos_ref, jnp.float32),
+                           "thrust": thrust_of_u(u)}
+                    return (st, mc), out
+
+                (_, _), outs = jax.lax.scan(
+                    step, (x0, mpc12.init_carry(x0)), jnp.arange(num_steps)
+                )
+                return outs
+
+            outs = fly12()
         m = tracking_metrics(outs["pos_ref"], outs["state"][:, 0:3],
                              thrust_normalized=outs["thrust"])
         print(json.dumps({k: round(float(v), 4) for k, v in m.items()}, indent=2))
@@ -830,8 +934,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     f = sub.add_parser("fly", help="closed-loop flight experiment")
     f.add_argument("--controller",
-                   choices=["pid", "mpc", "gp-mpc", "mpc12", "ilqr12",
-                            "mppi12"],
+                   choices=["pid", "mpc", "gp-mpc", "mpc12", "direct-rate12",
+                            "ilqr12", "mppi12"],
                    default="gp-mpc")
     f.add_argument("--trajectory", choices=["figure8", "circle"], default="figure8")
     f.add_argument("--duration", type=float, default=60.0)
@@ -851,10 +955,14 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--preview", action="store_true",
                    help="per-stage horizon references (removes tracking lag)")
     f.add_argument("--fast", action="store_true",
-                   help="latency mode: 8 ticks/Pallas dispatch, GP "
-                        "in-kernel (~5 us/tick on v5e; mpc and gp-mpc "
-                        "controllers only — pid/mpc12/ilqr12/mppi12 "
-                        "ignore this)")
+                   help="latency mode. mpc/gp-mpc: 8 whole ticks per "
+                        "Pallas dispatch, GP in-kernel (~5 us/tick on "
+                        "v5e). mpc12: the multitick per-dispatch-"
+                        "relinearisation tier (~85 us/tick); "
+                        "direct-rate12: the fused multitick Pallas tier "
+                        "(~30 us/tick at K=8, ~14 us at K=20); ilqr12: "
+                        "the policy-reuse tier (~258 us/tick). pid "
+                        "ignores this; mppi12 rejects it")
     f.add_argument("--online", action="store_true",
                    help="ONLINE in-flight GP learning on the fused path "
                         "(~8 us/tick; requires --controller gp-mpc --fast; "

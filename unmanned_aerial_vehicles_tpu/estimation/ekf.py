@@ -59,6 +59,15 @@ class EKFConfig:
     p0_vel: float = 0.1
     p0_att: float = 0.05
     p0_rate: float = 0.05
+    # Process-Jacobian relinearisation cadence of the FUSED multi-tick EKF
+    # (``ops.tick_pallas.gpmpc_noisy_multitick_fused``): "tick" rebuilds the
+    # analytic F at every tick's estimate (exact — matches the staged
+    # ``ekf_step`` to f32 rounding); "dispatch" linearises ONCE per K-tick
+    # dispatch at the entry estimate, dropping 4 Jacobian builds + 3
+    # (128,128) HIGHEST matmuls per tick when the small covariance-drift
+    # cost (~4e-4 m over 240 ticks at K=8, bounded in tests) is acceptable.
+    # The staged path always relinearises per tick.
+    relinearize_every: str = "tick"
 
     def q_diag(self) -> jnp.ndarray:
         g = lambda v: jnp.full(3, v, jnp.float32) ** 2

@@ -316,8 +316,12 @@ def _fused_noisy_multitick_rollout(
     PER TICK in-kernel from the hand-derived analytic Jacobian chained
     through the RK4 stages (``ops.plant_pallas._jac_padded``) — the same
     chain rule as the staged ``ekf_step``'s ``jacfwd``, so no frozen-F
-    approximation remains (parity pinned at K=20 in
+    approximation remains by default (parity pinned at K=20 in
     ``tests/test_estimation.py::test_noisy_multitick_matches_staged``).
+    ``EKFConfig.relinearize_every="dispatch"`` opts back into the cheaper
+    once-per-dispatch linearisation (state prediction stays per-tick
+    exact; only the covariance sees the frozen F) when its small bounded
+    drift is an acceptable price for dropping the per-tick Jacobian work.
     The measurement-noise stream reproduces the staged loop's PRNG scheme
     exactly (same keys, same draws), so trajectories are comparable
     draw-for-draw.
@@ -337,6 +341,13 @@ def _fused_noisy_multitick_rollout(
     if not mpc.config.use_fused_controller:
         raise ValueError("use_fused_tick requires LinearMPCConfig."
                          "use_fused_controller=True (padded kernel data)")
+    if ekf_cfg.relinearize_every not in ("tick", "dispatch"):
+        raise ValueError(
+            f"EKFConfig.relinearize_every={ekf_cfg.relinearize_every!r}: "
+            "expected 'tick' (exact, default) or 'dispatch' (frozen F "
+            "within each multi-tick dispatch)"
+        )
+    relin_per_tick = ekf_cfg.relinearize_every == "tick"
     K = cfg.ticks_per_dispatch
     if num_steps % K != 0:
         raise ValueError(f"num_steps={num_steps} not divisible by "
@@ -370,6 +381,7 @@ def _fused_noisy_multitick_rollout(
         loop_precision=cfg.fused_tick_loop_precision,
         n=N, nu=CONTROL_DIM, nx=STATE_DIM,
         interpret=jax.default_backend() == "cpu",
+        relinearize_per_tick=relin_per_tick,
     )
 
     # EKF constants in kernel layouts

@@ -3,6 +3,7 @@ from .qp import (
     admm_box_qp_chol,
     condense_dynamics,
     condense_ltv,
+    condense_ltv_doubling,
     kkt_residuals,
 )
 from .parallel_riccati import lqr_tracking_solve_parallel
@@ -14,6 +15,7 @@ __all__ = [
     "admm_box_qp_chol",
     "condense_dynamics",
     "condense_ltv",
+    "condense_ltv_doubling",
     "kkt_residuals",
     "LQRSolution",
     "lqr_tracking_solve",

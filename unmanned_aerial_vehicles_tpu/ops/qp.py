@@ -229,6 +229,66 @@ def condense_ltv(A: jnp.ndarray, B: jnp.ndarray, c: jnp.ndarray):
     )
 
 
+def condense_ltv_doubling(A: jnp.ndarray, B: jnp.ndarray, c: jnp.ndarray):
+    """``condense_ltv`` with log-depth block doubling instead of an N-step
+    serial scan.
+
+    The serial condensation is issue-latency-bound on TPU (N=20 dependent
+    (nx,nx) matmuls measure ~66 us of the multitick tiers' per-dispatch
+    prep). Doubling combines adjacent horizon blocks
+
+        Sx = [Sx_L; Sx_R PhiL],  Su = [[Su_L, 0], [Sx_R SuL_end, Su_R]],
+        Sc = [Sc_L; Sx_R ScL_end + Sc_R]
+
+    so depth is ``ceil(log2 N)`` levels of BATCHED small GEMMs. The horizon
+    pads to a power of two with zero stages (A=B=c=0); their rows/columns
+    are sliced off at the end. Same contraction precision (HIGHEST) as the
+    serial form; association order differs, so results agree to f32
+    rounding (~1e-6 relative — parity pinned in ``tests/test_mpc_sqp.py``),
+    which is why the per-tick engines with 1e-6 external-solver parity
+    bars keep the serial form and only the multitick dispatch preps use
+    this one.
+    """
+    N, nx, nu = B.shape
+    prec = jax.lax.Precision.HIGHEST
+    P = 1 << max(N - 1, 0).bit_length()
+    if P != N:
+        pad = P - N
+        A = jnp.concatenate([A, jnp.zeros((pad, nx, nx), A.dtype)])
+        B = jnp.concatenate([B, jnp.zeros((pad, nx, nu), B.dtype)])
+        c = jnp.concatenate([c, jnp.zeros((pad, nx), c.dtype)])
+    mmb = lambda a, b: jnp.einsum("bij,bjk->bik", a, b, precision=prec)
+    Sx, Su, Sc = A, B, c          # blocks of length L=1: (P, L*nx, .)
+    L = 1
+    while L < P:
+        m = Sx.shape[0] // 2
+        SxL, SxR = Sx[0::2], Sx[1::2]
+        SuL, SuR = Su[0::2], Su[1::2]
+        ScL, ScR = Sc[0::2], Sc[1::2]
+        PhiL = SxL[:, -nx:, :]                    # end-state map of left
+        SuLe = SuL[:, -nx:, :]
+        ScLe = ScL[:, -nx:]
+        Sx = jnp.concatenate([SxL, mmb(SxR, PhiL)], axis=1)
+        Su = jnp.concatenate(
+            [
+                jnp.concatenate([SuL, jnp.zeros_like(SuL)], axis=2),
+                jnp.concatenate([mmb(SxR, SuLe), SuR], axis=2),
+            ],
+            axis=1,
+        )
+        Sc = jnp.concatenate(
+            [ScL,
+             jnp.einsum("bij,bj->bi", SxR, ScLe, precision=prec) + ScR],
+            axis=1,
+        )
+        L *= 2
+    return (
+        Sx[0, : N * nx],
+        Su[0, : N * nx, : N * nu],
+        Sc[0, : N * nx],
+    )
+
+
 def kkt_score(H, G, f, lower, upper, U, y):
     """Scalar KKT optimality score (infinity norm over all conditions).
 

@@ -152,6 +152,52 @@ def _mean_block_kernel_t(precision, P_pad, out_pad):
     return kernel
 
 
+ROW_TILE = 2048
+
+
+def _mean_block_kernel_rows(precision, P_pad, out_pad, tile=ROW_TILE):
+    """Row-layout tier ("default" only): the distance dot carries ONLY the
+    cross products (C = d / 3d lanes instead of 3d / 6d), with the exact-f32
+    test/train norms added OUTSIDE the accumulator. Round-5 restructuring:
+    the padded K-depth of the packed dot was the measured bound of the fused
+    GP stage (the MXU at K=32/64 is 12-25% utilised over 18M outputs; the
+    VMEM-resident exp streams at ~1.4 Texp/s, i.e. exp is NOT the bound) —
+    halving C halves the stage. Accuracy is unchanged-or-better: the norm
+    terms were previously bf16-limb products of the same tier, now exact
+    f32 adds; the cross keeps the identical limb-term set."""
+    terms = _LIMB_TERMS[precision]
+    n_limbs = _NUM_LIMBS[precision]
+
+    def kernel(ztest_ref, sq1_ref, ztrain_ref, sq2_ref, a_ref, out_ref):
+        # ztest_ref: (tile, C) bf16 rows (natural layout — no HBM
+        # transpose); ztrain_ref: (P_pad, C) bf16; sq1_ref: (1, tile)
+        # f32; sq2_ref: (P_pad, 8) f32 (column 0 live)
+        cross2 = jax.lax.dot_general(
+            ztrain_ref[:], ztest_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )                                           # == -2 z_tr . z_te
+        dists = jnp.maximum(
+            sq2_ref[:, 0:1] + sq1_ref[:] + cross2, 0.0
+        )                                           # (P_pad, tile)
+        k_star = jnp.exp(-0.5 * dists)
+
+        k_limbs = _split_limbs_masked(k_star, n_limbs)
+        acc = jnp.zeros((out_pad, tile), jnp.float32)
+        for (la, lk) in terms:
+            a_limb = a_ref[la * out_pad:(la + 1) * out_pad, :]
+            acc = acc + jax.lax.dot_general(
+                a_limb, k_limbs[lk],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        out_ref[:] = acc
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def rbf_posterior_mean_pallas(
     posterior,
@@ -220,6 +266,75 @@ def rbf_posterior_mean_pallas(
     m = Z.shape[0]
     m_pad = ((m + MEAN_TILE - 1) // MEAN_TILE) * MEAN_TILE
 
+    sig = jnp.asarray(p.signal_variance, dtype)
+    a_scaled = jnp.zeros((P, out_pad), dtype).at[:, :out_dim].set(
+        sig * posterior.alpha.astype(dtype) * posterior.y_std.astype(dtype)
+    )
+    a_limbs = _split_limbs(a_scaled.T, n_limbs)     # each (out_pad, P)
+    a_stack = jnp.zeros((n_limbs * out_pad, P_pad), jnp.bfloat16)
+    for i, al in enumerate(a_limbs):
+        a_stack = a_stack.at[i * out_pad:(i + 1) * out_pad, :P].set(al)
+
+    if precision == "default":
+        # row-layout tier: cross-products-only dot (C = d lanes) + exact
+        # f32 norms outside the accumulator — see _mean_block_kernel_rows.
+        # Kills the packed dot's extra K-depth and the (d*S, m) HBM
+        # transpose of the packing; norms move from bf16 limb products to
+        # exact f32 adds (accuracy unchanged-or-better at this tier).
+        # "high"/"highest" stay on the packed per-dim-cancellation path:
+        # measured on real flight features, row-layout "high" trades 6x
+        # accuracy (dist err 2^-16*||z||^2 vs 2^-16*per-dim max) for <10%
+        # speed — not worth it where the ~2^-17 claim is the tier's point.
+        # ROW_TILE=2048: the measured per-block fixed cost was ~25% of the
+        # stage at 512.
+        # VMEM budget: k_star + its limb copies are (P_pad, tile) f32 each
+        vmem_cap = 26 * 1024 * 1024
+        tmax = vmem_cap // (P_pad * 4 * (n_limbs + 1))
+        tile = max(512, min(ROW_TILE, (tmax // 512) * 512))
+        tile = min(tile, ((m + 511) // 512) * 512)  # don't over-pad small m
+        m_pad_r = ((m + tile - 1) // tile) * tile
+        u_limbs = _split_limbs(-2.0 * Z, n_limbs)       # bf16 limbs, test
+        tr_limbs = _split_limbs(Zt, n_limbs)            # bf16 limbs, train
+        test_cols = jnp.concatenate(
+            [u_limbs[lt] for (_, lt) in terms], axis=1
+        )                                               # (m, d*T)
+        train_cols = jnp.concatenate(
+            [tr_limbs[ltr] for (ltr, _) in terms], axis=1
+        )                                               # (P, d*T)
+        C = ((test_cols.shape[1] + 7) // 8) * 8
+        ztest = jnp.zeros((m_pad_r, C), jnp.bfloat16).at[
+            :m, : test_cols.shape[1]].set(test_cols)
+        ztrain = jnp.zeros((P_pad, C), jnp.bfloat16).at[
+            :P, : train_cols.shape[1]].set(train_cols)
+        sq1 = jnp.zeros((1, m_pad_r), dtype).at[0, :m].set(
+            jnp.sum(Z * Z, axis=1)
+        )
+        sq2 = jnp.zeros((P_pad, 8), dtype).at[:P, 0].set(
+            jnp.sum(Zt * Zt, axis=1)
+        )
+        grid = (m_pad_r // tile,)
+        out = pl.pallas_call(
+            _mean_block_kernel_rows(precision, P_pad, out_pad, tile),
+            out_shape=jax.ShapeDtypeStruct((out_pad, m_pad_r), dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P_pad, C), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P_pad, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_limbs * out_pad, P_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((out_pad, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(ztest, sq1, ztrain, sq2, a_stack)
+        return out[:out_dim, :m].T + posterior.y_mean.astype(dtype)[None, :]
+
     # -- pack the WHOLE squared distance into one dot ---------------------
     # per input dim, in accumulation (= K lane) order:
     #   te^2 limbs     (train col = 1,            test col = limb(te_d^2))
@@ -260,15 +375,6 @@ def rbf_posterior_mean_pallas(
     ztrain = jnp.zeros((P_pad, C), jnp.bfloat16).at[:P, : d * S].set(
         ztrain_cols.T
     )
-
-    sig = jnp.asarray(p.signal_variance, dtype)
-    a_scaled = jnp.zeros((P, out_pad), dtype).at[:, :out_dim].set(
-        sig * posterior.alpha.astype(dtype) * posterior.y_std.astype(dtype)
-    )
-    a_limbs = _split_limbs(a_scaled.T, n_limbs)     # each (out_pad, P)
-    a_stack = jnp.zeros((n_limbs * out_pad, P_pad), jnp.bfloat16)
-    for i, al in enumerate(a_limbs):
-        a_stack = a_stack.at[i * out_pad:(i + 1) * out_pad, :P].set(al)
 
     grid = (m_pad // MEAN_TILE,)
     out = pl.pallas_call(

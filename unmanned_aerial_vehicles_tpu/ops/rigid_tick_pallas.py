@@ -1,0 +1,238 @@
+"""Fused multi-tick kernel for the 12-state direct-rate MPC family.
+
+VERDICT round-4 #5: the 6-state family showed in-kernel pays ~5x at this
+shape (fused tick 8.9 us vs staged 61.5 us), while the direct-rate
+multitick tier (``loop.rigid_loop.sqp_multitick_rollout``) was still
+XLA-staged glue around small matvecs at ~43 us/tick. This module moves the
+PER-TICK serial chain of that tier — warm-start shift, condensed
+gradient/bounds, the composite ADMM iteration, and the direct-rate plant
+step (``mpc_direct_rates.py:153-190`` model) — into one Pallas kernel that
+runs K whole ticks per dispatch. The per-dispatch relinearisation
+(``jacfwd`` + condensation + Ruiz equilibration + Cholesky + operator
+composition) stays in XLA where it belongs: it is batched-GEMM-shaped,
+runs once per K ticks, and produces the kernel's traced matrix operands.
+
+Algebra is IDENTICAL to ``sqp_multitick_rollout``'s tick loop (same shift,
+same scaled-space ADMM, same composite operator), with one representation
+change: the kernel keeps slack/dual in the dispatch's EQUILIBRATED space
+across ticks, so the blockwise warm-start shift picks up a per-lane
+correction ``e / blockroll(e)`` (exactly 1 on the duplicated-last-stage
+lanes) — applied as one VPU multiply after the lane rolls. Scaling in/out
+of that space happens once per dispatch in XLA.
+
+Reference engine being accelerated: the per-tick CasADi/Ipopt solve of
+``/root/reference/src/px4/mpc_direct_rates.py:76-922``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tick_pallas import _warm_shift_rolls
+
+
+def _pad_lane(v: int) -> int:
+    return ((v + 127) // 128) * 128
+
+
+def _make_direct_rate_multitick_kernel(
+    k_ticks, N, nu, nx, iterations, over_relax, rho,
+    dt, substeps, gravity, taus,
+    loop_precision=jax.lax.Precision.HIGHEST, interpret=False,
+):
+    def _dot(prec):
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        return dot
+
+    dot = _dot(jax.lax.Precision.HIGHEST)
+    dot_loop = _dot(loop_precision)
+    Nnu, Nnx = N * nu, N * nx
+    g = float(gravity)
+    h = float(dt) / substeps
+    tau0, tau1, tau2 = (float(t) for t in taus)
+
+    def _plant_sub(s, u):
+        # forward-Euler substep of the direct-rate model
+        # (control.mpc_rigid.direct_rate_step, zero residual): z-up,
+        # normalized thrust scaled by g, first-order rate loops
+        roll, pitch, yaw = s[6], s[7], s[8]
+        a = u[3] * g
+        sr, cr = jnp.sin(roll), jnp.cos(roll)
+        sp, cp = jnp.sin(pitch), jnp.cos(pitch)
+        sy, cy = jnp.sin(yaw), jnp.cos(yaw)
+        tp = sp / cp
+        deriv = (
+            s[3], s[4], s[5],
+            a * (sr * sy + cr * cy * sp),
+            a * (-sr * cy + cr * sy * sp),
+            a * cr * cp - g,
+            s[9] + s[10] * sr * tp + s[11] * cr * tp,
+            s[10] * cr - s[11] * sr,
+            s[10] * sr / cp + s[11] * cr / cp,
+            (u[0] - s[9]) / tau0,
+            (u[1] - s[10]) / tau1,
+            (u[2] - s[11]) / tau2,
+        )
+        return tuple(s[i] + h * deriv[i] for i in range(12))
+
+    def kernel(x_ref, z0_ref, y0_ref, refs_ref,
+               sxct_ref, sutqt_ref, f0_ref, gml_ref, p1_ref,
+               d_ref, e_ref, ie_ref, ce_ref, ice_ref, lo_ref, hi_ref,
+               out_ref, state_out_ref, z_out_ref, y_out_ref):
+        m_pad = p1_ref.shape[0]
+        nx_pad = sxct_ref.shape[1]
+        zero = jnp.float32(0.0)
+        P1 = p1_ref[:]
+        d_row, e_row, ie_row = d_ref[:], e_ref[:], ie_ref[:]
+        ce_row, ice_row = ce_ref[:], ice_ref[:]
+        lo_base, hi_base = lo_ref[:], hi_ref[:]
+        f0_row = f0_ref[:]
+
+        def one_tick(t, carry):
+            x_row, z_prev, y_prev = carry
+            ref_row = refs_ref[pl.ds(t, 1), :]              # (1, nx_pad)
+
+            # ---- warm-start shift (lane rolls) in equilibrated space ----
+            zy = _warm_shift_rolls(
+                jnp.concatenate([z_prev, y_prev], axis=0),
+                Nnu, Nnx, nu, nx, interpret,
+            )
+            z0 = zy[0:1] * ce_row
+            y0 = zy[1:2] * ice_row
+
+            # ---- condensed gradient / bounds (per-tick offset) ----------
+            offset = dot(x_row, sxct_ref[:])                # (1, nx_pad)
+            f = dot(offset - ref_row, sutqt_ref[:]) + f0_row
+            fs = f * d_row
+            p0 = -dot(fs, gml_ref[:])                       # (1, m_pad)
+            off_z = jnp.concatenate(
+                [
+                    jnp.zeros((1, Nnu), jnp.float32),
+                    offset[:, :Nnx],
+                    jnp.zeros((1, m_pad - Nnu - Nnx), jnp.float32),
+                ],
+                axis=1,
+            )
+            lower = (lo_base - off_z) * e_row
+            upper = (hi_base - off_z) * e_row
+
+            def body(_, zy_carry):
+                z, y = zy_carry
+                GU = p0 + dot_loop(rho * z - y, P1)
+                Gt = over_relax * GU + (1.0 - over_relax) * z
+                z_new = jnp.clip(Gt + y / rho, lower, upper)
+                y_new = y + rho * (Gt - z_new)
+                return (z_new, y_new)
+
+            z_fin, y_fin = jax.lax.fori_loop(
+                0, iterations, body, (z0, y0)
+            )
+
+            # ---- u0 (unequilibrated slack) + plant (scalar section) -----
+            u0 = tuple(z_fin[0, j] * ie_row[0, j] for j in range(nu))
+            s = tuple(x_row[0, i] for i in range(12))
+            s_new = s
+            for _ in range(substeps):
+                s_new = _plant_sub(s_new, u0)
+
+            nlanes = out_ref.shape[1]
+            out_ref[pl.ds(t, 1), :] = jnp.stack(
+                s + u0 + (zero,) * (nlanes - 12 - nu)
+            ).reshape(1, nlanes)
+            new_x = jnp.stack(
+                s_new + (jnp.float32(1.0),) + (zero,) * 3
+            ).reshape(1, 16)
+            return (new_x, z_fin, y_fin)
+
+        x_fin, z_fin, y_fin = jax.lax.fori_loop(
+            0, k_ticks, one_tick, (x_ref[:], z0_ref[:], y0_ref[:])
+        )
+        state_out_ref[:] = x_fin
+        z_out_ref[:] = z_fin
+        y_out_ref[:] = y_fin
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_ticks", "n", "nu", "nx", "iterations", "over_relax", "rho",
+        "dt", "substeps", "gravity", "taus", "loop_precision", "interpret",
+    ),
+)
+def direct_rate_multitick_kernel(
+    x_row: jnp.ndarray,        # (1, 16): 12-state in 0:12, lane 12 = 1.0
+    z0: jnp.ndarray,           # (1, m_pad) slack, EQUILIBRATED space
+    y0: jnp.ndarray,           # (1, m_pad) dual, EQUILIBRATED space
+    refs: jnp.ndarray,         # (k_ticks, nx_pad) flattened stage refs
+    sxct: jnp.ndarray,         # (16, nx_pad): rows 0:12 Sx^T, row 12 = Sc
+    sutqt: jnp.ndarray,        # (nx_pad, nu_pad): (Su^T diag(q))^T
+    f0_row: jnp.ndarray,       # (1, nu_pad): -rbar * u_ref_flat
+    gml: jnp.ndarray,          # (nu_pad, m_pad): M^{-1} G_s^T (padded)
+    p1: jnp.ndarray,           # (m_pad, m_pad): G_s M^{-1} G_s^T
+    d_row: jnp.ndarray,        # (1, nu_pad) Ruiz col scaling (0 on pads)
+    e_row: jnp.ndarray,        # (1, m_pad) Ruiz row scaling (0 on pads)
+    ie_row: jnp.ndarray,       # (1, m_pad) 1/e (0 on pads)
+    ce_row: jnp.ndarray,       # (1, m_pad) e / blockroll(e)
+    ice_row: jnp.ndarray,      # (1, m_pad) blockroll(e) / e
+    lo_row: jnp.ndarray,       # (1, m_pad) [u_lo | x_lo | 0] UNscaled
+    hi_row: jnp.ndarray,       # (1, m_pad)
+    k_ticks: int,
+    n: int,
+    nu: int,
+    nx: int,
+    iterations: int,
+    over_relax: float,
+    rho: float,
+    dt: float,
+    substeps: int,
+    gravity: float,
+    taus: tuple,
+    loop_precision: str = "highest",
+    interpret: bool = False,
+):
+    """K direct-rate MPC ticks (shift + condensed ADMM + plant) per dispatch.
+
+    All matrix operands are TRACED per-dispatch values (the relinearised
+    condensation — unlike the 6-state linear-MPC kernels whose matrices are
+    compile-time constants). Returns ``(out (k_ticks, 32), x_row, z, y)``
+    with per-tick lanes: pre-plant state 0:12, applied u 12:12+nu; z/y stay
+    in the dispatch's equilibrated space (unscale with ``ie_row`` outside).
+    """
+    m_pad = p1.shape[0]
+    base = _make_direct_rate_multitick_kernel(
+        k_ticks, n, nu, nx, iterations, over_relax, rho,
+        dt, substeps, gravity, taus,
+        loop_precision=(jax.lax.Precision.DEFAULT
+                        if loop_precision == "default"
+                        else jax.lax.Precision.HIGHEST),
+        interpret=interpret,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    operands = (
+        x_row, z0, y0, refs,
+        sxct, sutqt, f0_row, gml, p1,
+        d_row, e_row, ie_row, ce_row, ice_row, lo_row, hi_row,
+    )
+    return pl.pallas_call(
+        base,
+        out_shape=(
+            jax.ShapeDtypeStruct((k_ticks, 32), jnp.float32),
+            jax.ShapeDtypeStruct((1, 16), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+        ),
+        in_specs=[vmem] * len(operands),
+        out_specs=(vmem,) * 4,
+        interpret=interpret,
+    )(*operands)

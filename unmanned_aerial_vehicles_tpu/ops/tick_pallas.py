@@ -313,6 +313,17 @@ def gpmpc_tick_fused(
     ctrl = data.ctrl
     m_pad = ctrl.P1.shape[0]
     n_pad = ctrl.SxT.shape[0]
+    if n_pad > 128 and not interpret:
+        # the in-kernel scalar-lane packing (jnp.stack of per-lane scalars
+        # into (1, n_pad) rows) only lowers within ONE 128-lane tile on
+        # Mosaic ("Input offsets outside of the first tile" otherwise);
+        # every shipped fused-path configuration uses horizon=20 (N*nx+1 =
+        # 121 -> n_pad=128). Fail actionably instead of deep in Mosaic.
+        raise ValueError(
+            f"fused tick kernels support n_pad<=128 on TPU (got {n_pad}: "
+            "horizon too long — use horizon<=21 for the 6-state model, or "
+            "the staged path)"
+        )
     base = _make_tick_kernel(
         iterations, over_relax, rho, dt, substeps,
         accel_lo, accel_hi, yawrate_limit,
@@ -721,6 +732,17 @@ def gpmpc_multitick_fused(
     ctrl = data.ctrl
     m_pad = ctrl.P1.shape[0]
     n_pad = ctrl.SxT.shape[0]
+    if n_pad > 128 and not interpret:
+        # the in-kernel scalar-lane packing (jnp.stack of per-lane scalars
+        # into (1, n_pad) rows) only lowers within ONE 128-lane tile on
+        # Mosaic ("Input offsets outside of the first tile" otherwise);
+        # every shipped fused-path configuration uses horizon=20 (N*nx+1 =
+        # 121 -> n_pad=128). Fail actionably instead of deep in Mosaic.
+        raise ValueError(
+            f"fused tick kernels support n_pad<=128 on TPU (got {n_pad}: "
+            "horizon too long — use horizon<=21 for the 6-state model, or "
+            "the staged path)"
+        )
     use_tightening = use_gp and tighten_kappa > 0.0
     base = _make_multitick_kernel(
         k_ticks, n, nu, nx, use_gp,
@@ -811,7 +833,8 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                                  loop_precision=jax.lax.Precision.HIGHEST,
                                  fallback_error_m=0.0,
                                  fallback_thrust_ceiling=1.5,
-                                 fallback_accel_scale=1.5, interpret=False):
+                                 fallback_accel_scale=1.5, interpret=False,
+                                 relin_per_tick=True):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -839,6 +862,38 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         plant = _read_plant(plant_ref)
         gravity = plant[1]
         Qmat = qmat_ref[:]
+
+        def _fd_chain(ex, prev_c, x2, x3, x4):
+            # transition Jacobian F = I + Fd with
+            # Fd = h/6 (K1 + 2K2 + 2K3 + K4), K_{i+1} = J(x_i)(I + c_i h K_i)
+            # — the exact RK4 chain rule (px4_step_jacobian) from the
+            # hand-derived analytic J at the given stage states
+            K1 = _jac_padded(ex, prev_c, plant, PK)
+            J2 = _jac_padded(x2, prev_c, plant, PK)
+            J3 = _jac_padded(x3, prev_c, plant, PK)
+            J4 = _jac_padded(x4, prev_c, plant, PK)
+            K2 = J2 + 0.5 * dt * dot(J2, K1)
+            K3 = J3 + 0.5 * dt * dot(J3, K2)
+            K4 = J4 + dt * dot(J4, K3)
+            return (dt / 6.0) * (K1 + 2.0 * K2 + 2.0 * K3 + K4)
+
+        if not relin_per_tick:
+            # "dispatch" cadence: linearise ONCE at the dispatch-entry
+            # estimate/control and reuse Fd for all k_ticks ticks — drops
+            # 4 Jacobian builds + 3 (PK,PK) HIGHEST matmuls per tick; the
+            # state PREDICTION itself stays per-tick exact, only the
+            # covariance propagation sees the frozen F
+            ex0 = tuple(est_ref[0, i] for i in range(12))
+            c0 = tuple(aux_ref[0, 11 + i] for i in range(4))
+            k1_0 = _derivative(ex0, c0, plant)
+            x2_0 = _axpy(ex0, k1_0, 0.5 * dt)
+            k2_0 = _derivative(x2_0, c0, plant)
+            x3_0 = _axpy(ex0, k2_0, 0.5 * dt)
+            k3_0 = _derivative(x3_0, c0, plant)
+            x4_0 = _axpy(ex0, k3_0, dt)
+            fd_frozen = _fd_chain(ex0, c0, x2_0, x3_0, x4_0)
+        else:
+            fd_frozen = None
 
         def one_tick(t, carry):
             state_row, est_row, P, aux_row, xtail_row, z_prev, y_prev = carry
@@ -871,14 +926,8 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                 + (dt / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
                 for i in range(12)
             )
-            K1 = _jac_padded(ex, prev_c, plant, PK)
-            J2 = _jac_padded(x2, prev_c, plant, PK)
-            J3 = _jac_padded(x3, prev_c, plant, PK)
-            J4 = _jac_padded(x4, prev_c, plant, PK)
-            K2 = J2 + 0.5 * dt * dot(J2, K1)
-            K3 = J3 + 0.5 * dt * dot(J3, K2)
-            K4 = J4 + dt * dot(J4, K3)
-            Fd = (dt / 6.0) * (K1 + 2.0 * K2 + 2.0 * K3 + K4)  # F = I + Fd
+            Fd = (_fd_chain(ex, prev_c, x2, x3, x4)   # F = I + Fd
+                  if relin_per_tick else fd_frozen)
             # (I+Fd) P (I+Fd)' + Q with P symmetric: no materialised identity
             FdP = dot(Fd, P)
             P_pred = P + FdP + FdP.T + dot(FdP, Fd.T) + Qmat
@@ -1051,7 +1100,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         "dt", "substeps", "accel_lo", "accel_hi", "yawrate_limit",
         "interpret", "loop_precision", "n", "nu", "nx",
         "fallback_error_m", "fallback_thrust_ceiling",
-        "fallback_accel_scale",
+        "fallback_accel_scale", "relinearize_per_tick",
     ),
 )
 def gpmpc_noisy_multitick_fused(
@@ -1089,6 +1138,7 @@ def gpmpc_noisy_multitick_fused(
     fallback_error_m: float = 0.0,
     fallback_thrust_ceiling: float = 1.5,
     fallback_accel_scale: float = 1.5,
+    relinearize_per_tick: bool = True,
 ):
     """K whole noisy ticks (EKF + MPC + allocation + plant) per dispatch.
 
@@ -1098,6 +1148,17 @@ def gpmpc_noisy_multitick_fused(
     ctrl = data.ctrl
     m_pad = ctrl.P1.shape[0]
     n_pad = ctrl.SxT.shape[0]
+    if n_pad > 128 and not interpret:
+        # the in-kernel scalar-lane packing (jnp.stack of per-lane scalars
+        # into (1, n_pad) rows) only lowers within ONE 128-lane tile on
+        # Mosaic ("Input offsets outside of the first tile" otherwise);
+        # every shipped fused-path configuration uses horizon=20 (N*nx+1 =
+        # 121 -> n_pad=128). Fail actionably instead of deep in Mosaic.
+        raise ValueError(
+            f"fused tick kernels support n_pad<=128 on TPU (got {n_pad}: "
+            "horizon too long — use horizon<=21 for the 6-state model, or "
+            "the staged path)"
+        )
     base = _make_noisy_multitick_kernel(
         k_ticks, n, nu, nx, use_gp,
         iterations, over_relax, rho, dt, substeps,
@@ -1109,6 +1170,7 @@ def gpmpc_noisy_multitick_fused(
         fallback_thrust_ceiling=fallback_thrust_ceiling,
         fallback_accel_scale=fallback_accel_scale,
         interpret=interpret,
+        relin_per_tick=relinearize_per_tick,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if gp is None:  # placeholder rows keep the arg list static
