@@ -28,6 +28,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: CPU jit compiles dominate suite wall-time on
+# small boxes (this one has a single core — prefer plain `pytest` over
+# xdist here; -n N multiplies the compile work N-fold for no parallelism).
+# First run populates .jax_cache_cpu; warm reruns skip the compiles.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

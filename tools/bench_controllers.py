@@ -47,7 +47,11 @@ from unmanned_aerial_vehicles_tpu.loop import (
 )
 from unmanned_aerial_vehicles_tpu.models import (
     X500_PARAMS,
-    rigid_body_rk4_step,
+    rigid_body_rk4_step,  # noqa: F401 (kept for parity experiments)
+)
+from unmanned_aerial_vehicles_tpu.ops.rigid_plant_pallas import (
+    rigid_body_rk4_step_fast,
+    rigid_body_rollout_fused,
 )
 from unmanned_aerial_vehicles_tpu.trajectories import ramped_circle_reference
 
@@ -97,7 +101,11 @@ def rollout_12state(controller_factory):
                     mc, st, jnp.asarray(pos_ref, jnp.float32),
                     jnp.asarray(yaw_ref, jnp.float32),
                 )
-                st = rigid_body_rk4_step(st, u, X500_PARAMS, CFG.control_dt)
+                # fused plant kernel (ops.rigid_plant_pallas): same RK4 to
+                # 2e-8, 0.6 us vs 44 us staged — the XLA step dominated
+                # every 12-state row's tick before round 5
+                st = rigid_body_rk4_step_fast(st, u, X500_PARAMS,
+                                              CFG.control_dt)
                 return (st, mc), jnp.sum((st[0:3] - pos_ref) ** 2)
 
             x0 = (jnp.zeros(12, jnp.float32)
@@ -229,7 +237,8 @@ def main():
 
     record("sqp_mpc12_multitick", make_sqp_multitick(
         RigidBodyMPC,
-        lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS, CFG.control_dt),
+        lambda x, u: rigid_body_rk4_step_fast(x, u, X500_PARAMS,
+                                              CFG.control_dt),
     ))
     record("direct_rate_mpc12_multitick", make_sqp_multitick(
         DirectRateMPC,
@@ -286,8 +295,8 @@ def main():
 
     def make_ilqr_multitick(T, iters=3):
         ctrl = ILQRRigidBodyMPC(iterations=iters)
-        plant = lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS,
-                                                 CFG.control_dt)
+        plant = lambda x, u: rigid_body_rk4_step_fast(x, u, X500_PARAMS,
+                                                      CFG.control_dt)
 
         def position_ref_fn(ticks):
             ts = ticks.astype(jnp.float32) * CFG.control_dt
@@ -339,11 +348,8 @@ def main():
                 ts = (i + jnp.arange(N + 1)).astype(jnp.float32) * DT
                 window = jax.vmap(ref12)(ts)
                 u, _, mc = mpc.solve(mc, st, window)
-                st2 = st
-                for _ in range(2):
-                    st2 = rigid_body_rk4_step(
-                        st2, u, GZ_QUADROTOR_PARAMS, DT / 2
-                    )
+                st2 = rigid_body_rk4_step_fast(
+                    st, u, GZ_QUADROTOR_PARAMS, DT, substeps=2)
                 return (st2, mc), jnp.sum((st2[0:3] - window[0, 0:3]) ** 2)
 
             x0 = ref12(0.0).at[0].add(x_jitter)
@@ -355,6 +361,76 @@ def main():
         return run
 
     record("ltv_mpc12_10hz", make_ltv)
+
+    # obstacle-constrained flight on the multitick tier (VERDICT round-4
+    # #3 'done' bar: <100 us/tick with detour parity — the parity test is
+    # tests/test_rigid_multitick.py::test_multitick_obstacle_detour): the
+    # same LTV engine with one reserved spherical row, circle reference
+    # with the obstacle ON the path, so the rows stay ACTIVE every lap
+    def make_ltv_obstacle(T):
+        mpc = LTVTrackingMPC(num_obstacles=1, obstacle_margin=0.2)
+        N = mpc.mpc.config.horizon
+        DT = 0.1
+        # quarter-lap ahead of the start (1.5, 0, 1): ON the path so the
+        # rows go active every lap, but away from x0 (starting inside the
+        # sphere makes the linearised normal degenerate)
+        obstacle = jnp.asarray([[0.0, 1.5, 1.0, 0.3]], jnp.float32)
+
+        def ref12(t):
+            w = 2.0 * jnp.pi / 20.0
+            r = jnp.zeros(12, jnp.float32)
+            r = r.at[0].set(1.5 * jnp.cos(w * t))
+            r = r.at[1].set(1.5 * jnp.sin(w * t))
+            r = r.at[2].set(1.0)
+            r = r.at[3].set(-1.5 * w * jnp.sin(w * t))
+            r = r.at[4].set(1.5 * w * jnp.cos(w * t))
+            return r
+
+        def reference_fn(ticks):
+            def one(i):
+                ts = (i + 1 + jnp.arange(N)).astype(jnp.float32) * DT
+                return jax.vmap(ref12)(ts)
+            return jax.vmap(one)(ticks)
+
+        def plant(x, u):
+            return rigid_body_rk4_step_fast(
+                x, u, GZ_QUADROTOR_PARAMS, DT, substeps=2)
+
+        def plan_roll_fn(x_fin, U_fin, residuals):
+            # kernel-backed nonlinear re-anchor (= scan of the LTV
+            # step_fn at zero residual, 7e-7 parity, ~18 us vs ~0.9 ms)
+            return rigid_body_rollout_fused(
+                x_fin, U_fin, GZ_QUADROTOR_PARAMS, DT)
+
+        # K=2 / 100 iterations is the STABILITY-validated configuration
+        # (7 jitters x 10 laps on chip: rms_max 0.146, clear 0.500) — the
+        # dispatch-frozen obstacle normals flip the detour homotopy if
+        # re-anchored more rarely (K=4 excursions, K=8 inversion/NaN; see
+        # NOTES round-5 session 2). The attitude-recovery fallback is the
+        # reference's solver-failure emergency hover semantics.
+        from unmanned_aerial_vehicles_tpu.loop.rigid_loop import (
+            make_attitude_recovery_fallback,
+        )
+
+        @jax.jit
+        def run(x_jitter):
+            x0 = ref12(0.0).at[0].add(x_jitter)
+            outs = sqp_multitick_rollout(
+                mpc.mpc, mpc.cost, reference_fn, plant, x0, T,
+                ticks_per_dispatch=2, admm_iterations=100,
+                u_init=mpc.u_hover, obstacles=obstacle,
+                plan_roll_fn=plan_roll_fn,
+                fallback_fn=make_attitude_recovery_fallback(
+                    GZ_QUADROTOR_PARAMS),
+            )
+            ts = jnp.arange(T, dtype=jnp.float32) * DT
+            refs = jax.vmap(ref12)(ts)
+            e = outs["state"][:, 0:3] - refs[:, 0:3]
+            return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+        return run
+
+    record("ltv_obstacle_multitick", make_ltv_obstacle)
 
     # estimator-in-the-loop tick (sensors -> EKF -> MPC -> plant): the EKF
     # runs INSIDE the multi-tick kernel (padded-P Riccati dots + sequential

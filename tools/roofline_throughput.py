@@ -56,8 +56,12 @@ def slope(make_run, args_fn, reps=6, lengths=(I1, I2)):
     short/long pairs (median of per-pair slopes): tunnel latency drifts on
     multi-second scales, so batching all short runs before all long runs
     can swamp a <50 us/step stage — pairing cancels the drift. Retries with
-    4x-longer scans if jitter still wins (negative slope)."""
-    for attempt in range(3):
+    4x-longer scans while the measured long-minus-short delta is inside
+    the tunnel's +/- few-ms jitter (or negative): a ~5 us/step stage at
+    (20, 120) puts only ~0.5 ms on the clock, which one jittered dispatch
+    fakes entirely."""
+    MIN_DELTA_S = 8e-3
+    for attempt in range(4):
         ls = tuple(int(v * 4**attempt) for v in lengths)
         run_s, run_l = make_run(ls[0]), make_run(ls[1])
         float(np.ravel(run_s(*args_fn(0)))[0])   # compile + warm
@@ -72,7 +76,7 @@ def slope(make_run, args_fn, reps=6, lengths=(I1, I2)):
             t2 = time.perf_counter()
             slopes.append(((t2 - t1) - (t1 - t0)) / (ls[1] - ls[0]))
         s = float(np.median(slopes))
-        if s > 0:
+        if s > 0 and s * (ls[1] - ls[0]) >= MIN_DELTA_S:
             return s
     return s
 
@@ -128,9 +132,7 @@ def main():
 
     # ---------------- machine ceilings ----------------
     A = jnp.asarray(rng.normal(size=(B * N, P)), jnp.float32)
-    t = slope(chain(lambda A: jnp.sum(A, axis=1)), lambda r: (A + 0.01 * r,))
     gb = B * N * P * 4 / 1e9
-    hbm_gbs = gb / t
 
     # VPU exp throughput on VMEM-RESIDENT data (round-5: the round-4 probe
     # streamed exp over HBM, so it measured the HBM stream — a >=3x
@@ -176,11 +178,6 @@ def main():
 
     Xe = jnp.asarray(np.abs(rng.normal(size=(EROWS, ELANES))) + 0.1,
                      jnp.float32)
-    t_w = slope(make_exp_probe(True), lambda r: (Xe + 0.01 * r,),
-                lengths=(200, 1200))
-    t_wo = slope(make_exp_probe(False), lambda r: (Xe + 0.01 * r,),
-                 lengths=(200, 1200))
-    exp_rate = EROWS * ELANES / max(t_w - t_wo, 0.25 * t_w)
     M = jnp.asarray(rng.normal(size=(2048, 2048)), jnp.bfloat16)
 
     def make_mm(prec, dtype):
@@ -199,25 +196,8 @@ def main():
         return make, Mx
 
     fl = 2 * 2048**3
-    mk, Mx = make_mm(jax.lax.Precision.DEFAULT, jnp.bfloat16)
-    mxu_bf16 = fl / slope(mk, lambda r: (Mx + jnp.bfloat16(0.001 * r),),
-                          lengths=(40, 400))
-    mk, Mx = make_mm(jax.lax.Precision.HIGHEST, jnp.float32)
-    mxu_f32hi = fl / slope(mk, lambda r: (Mx + 0.001 * r,),
-                           lengths=(10, 100))
-    result["ceilings"] = {
-        "hbm_stream_GBps": round(hbm_gbs, 1),
-        "vpu_exp_Gexp_s_vmem": round(exp_rate / 1e9, 1),
-        "mxu_bf16_TFLOPs_dependent_chain_2048": round(mxu_bf16 / 1e12, 1),
-        "mxu_f32_highest_TFLOPs": round(mxu_f32hi / 1e12, 1),
-        "note": (
-            "exp rate is the isolated VPU exp cost on VMEM-resident data: "
-            "slope difference between a Pallas fori_loop of independent "
-            "exps and the identical loop without the exp (round-5; the "
-            "round-4 probe streamed over HBM and published ~167 Gexp/s, a "
-            "bound the fused kernel itself beat — not a ceiling)"
-        ),
-    }
+    mk_bf16, Mx_bf16 = make_mm(jax.lax.Precision.DEFAULT, jnp.bfloat16)
+    mk_f32, Mx_f32 = make_mm(jax.lax.Precision.HIGHEST, jnp.float32)
 
     # ---------------- per-stage measured times ----------------
     paths = __import__("glob").glob("/root/reference/gp_datasets/*.csv")
@@ -232,17 +212,6 @@ def main():
     Xt = jnp.asarray(rng.normal(size=(B * N, D_IN)), jnp.float32)
 
     from unmanned_aerial_vehicles_tpu.gp.exact_gp import predict_mean
-
-    stages = {}
-    stages["gp_staged_xla_us"] = slope(
-        chain(lambda X: predict_mean(post, X)), lambda r: (Xt + 0.01 * r,)
-    ) * 1e6
-    for prec in ("highest", "high", "default"):
-        stages[f"gp_fused_{prec}_us"] = slope(
-            chain(lambda X, p=prec: rbf_posterior_mean_pallas(
-                post, X, precision=p)),
-            lambda r: (Xt + 0.01 * r,),
-        ) * 1e6
 
     mpc = LinearMPC(LinearMPCConfig(horizon=N, admm_iterations=ADMM_ITERS,
                                     use_fused_controller=True))
@@ -269,9 +238,6 @@ def main():
             carry, _ = jax.lax.scan(body, (z, z, z, z), None, length=inner)
             return carry[0]
         return run
-
-    stages["controller_kernel_us"] = slope(
-        make_ctrl, lambda r: (X0 + 0.01 * r, REF)) * 1e6
 
     cfg = FlightLoopConfig()
     body_p, rate_p = RigidBodyParams(), RateLoopParams()
@@ -305,8 +271,6 @@ def main():
             return carry[0]
         return run
 
-    stages["alloc_plant_us"] = slope(make_ap, lambda r: (states0 + 0.01 * r,)) * 1e6
-
     # ---------------- whole sweep + measured glue ----------------
     # the end-to-end batched sweep at the bench configuration; glue =
     # whole-step minus the chained stages (scan-carry copies, X_prev/U_blk
@@ -336,16 +300,96 @@ def main():
             return jnp.sqrt(jnp.mean(jnp.sum(err**2, -1)))
         return run
 
-    stages["whole_sweep_us_per_step"] = slope(
-        make_sweep, lambda r: (starts.at[:, 1].set(0.01 * r),),
-        lengths=(60, 360),
-    ) * 1e6
-    stages["sweep_glue_us_per_step"] = (
-        stages["whole_sweep_us_per_step"]
-        - stages["gp_fused_high_us"]
-        - stages["controller_kernel_us"]
-        - stages["alloc_plant_us"]
-    )
+    # ---------------- multi-pass measurement ----------------
+    # The remote-pool chip's delivered throughput drifts run-to-run (up to
+    # ~2x on minute scales), so one pass cannot promise self-consistent
+    # floors. Every probe runs PASSES times, spaced over the whole session;
+    # ceilings reduce to the MAX observed rate and stages to the MIN
+    # observed time (both are the noise-free hardware direction — delays
+    # only ever add), and the per-field spread across passes is reported.
+    PASSES = 3
+
+    def one_pass():
+        p = {}
+        p["hbm_gbs"] = gb / slope(
+            chain(lambda A: jnp.sum(A, axis=1)), lambda r: (A + 0.01 * r,))
+        t_w = slope(make_exp_probe(True), lambda r: (Xe + 0.01 * r,),
+                    lengths=(200, 1200))
+        t_wo = slope(make_exp_probe(False), lambda r: (Xe + 0.01 * r,),
+                     lengths=(200, 1200))
+        p["exp_rate"] = EROWS * ELANES / max(t_w - t_wo, 0.25 * t_w)
+        p["mxu_bf16"] = fl / slope(
+            mk_bf16, lambda r: (Mx_bf16 + jnp.bfloat16(0.001 * r),),
+            lengths=(40, 400))
+        p["mxu_f32hi"] = fl / slope(
+            mk_f32, lambda r: (Mx_f32 + 0.001 * r,), lengths=(10, 100))
+        p["gp_staged_xla_us"] = slope(
+            chain(lambda X: predict_mean(post, X)),
+            lambda r: (Xt + 0.01 * r,)) * 1e6
+        for prec in ("highest", "high", "default"):
+            p[f"gp_fused_{prec}_us"] = slope(
+                chain(lambda X, pr=prec: rbf_posterior_mean_pallas(
+                    post, X, precision=pr)),
+                lambda r: (Xt + 0.01 * r,)) * 1e6
+        p["controller_kernel_us"] = slope(
+            make_ctrl, lambda r: (X0 + 0.01 * r, REF)) * 1e6
+        p["alloc_plant_us"] = slope(
+            make_ap, lambda r: (states0 + 0.01 * r,)) * 1e6
+        p["whole_sweep_us_per_step"] = slope(
+            make_sweep, lambda r: (starts.at[:, 1].set(0.01 * r),),
+            lengths=(60, 360)) * 1e6
+        p["sweep_glue_us_per_step"] = (
+            p["whole_sweep_us_per_step"] - p["gp_fused_high_us"]
+            - p["controller_kernel_us"] - p["alloc_plant_us"]
+        )
+        return p
+
+    runs = [one_pass() for _ in range(PASSES)]
+    rate_keys = {"hbm_gbs", "exp_rate", "mxu_bf16", "mxu_f32hi"}
+    best = {}
+    spread_pct = {}
+    for k in runs[0]:
+        vals = [r[k] for r in runs]
+        best[k] = max(vals) if k in rate_keys else min(vals)
+        ref_v = max(abs(best[k]), 1e-12)
+        spread_pct[k] = round(
+            100.0 * (max(vals) - min(vals)) / ref_v, 1)
+    # glue is a small difference of noisy stage sums: report the per-pass
+    # MEDIAN (same-pass stages are self-consistent), not min
+    best["sweep_glue_us_per_step"] = float(
+        np.median([r["sweep_glue_us_per_step"] for r in runs]))
+
+    hbm_gbs = best["hbm_gbs"]
+    exp_rate = best["exp_rate"]
+    mxu_bf16 = best["mxu_bf16"]
+    mxu_f32hi = best["mxu_f32hi"]
+    stages = {k: best[k] for k in best if k.endswith("_us")
+              or k.endswith("_us_per_step")}
+
+    result["ceilings"] = {
+        "hbm_stream_GBps": round(hbm_gbs, 1),
+        "vpu_exp_Gexp_s_vmem": round(exp_rate / 1e9, 1),
+        "mxu_bf16_TFLOPs_dependent_chain_2048": round(mxu_bf16 / 1e12, 1),
+        "mxu_f32_highest_TFLOPs": round(mxu_f32hi / 1e12, 1),
+        "note": (
+            "exp rate is the isolated VPU exp cost on VMEM-resident data: "
+            "slope difference between a Pallas fori_loop of independent "
+            "exps and the identical loop without the exp (round-5; the "
+            "round-4 probe streamed over HBM and published ~167 Gexp/s, a "
+            "bound the fused kernel itself beat — not a ceiling). All "
+            f"fields are best-of-{PASSES} passes; see measurement_noise."
+        ),
+    }
+    result["measurement_noise"] = {
+        "passes": PASSES,
+        "spread_pct_of_best": spread_pct,
+        "note": (
+            "spread = (max-min)/best across passes per field; the remote "
+            "tunnel pool's delivered throughput drifts on minute scales, "
+            "so ceilings take the max rate and stages the min time — the "
+            "direction noise cannot fake"
+        ),
+    }
     result["stage_us_per_step"] = {k: round(v, 1) for k, v in stages.items()}
 
     # ---------------- floors & analysis ----------------
@@ -385,6 +429,17 @@ def main():
         floors["gp_mxu_dist_floor_us_high"],
         floors["gp_hbm_floor_us_fused"],
     ), 1)
+    # self-check: every floor must sit at-or-below its measured stage
+    checks = {
+        "gp_floor_us_high <= gp_fused_high_us":
+            floors["gp_floor_us_high"] <= stages["gp_fused_high_us"],
+        "gp_exp_floor_us <= gp_fused_default_us":
+            floors["gp_exp_floor_us"] <= stages["gp_fused_default_us"],
+        "controller_mxu_floor_us_bf16 <= controller_kernel_us":
+            floors["controller_mxu_floor_us_bf16"]
+            <= stages["controller_kernel_us"],
+    }
+    floors["consistency"] = {k: bool(v) for k, v in checks.items()}
     result["floors"] = floors
 
     tick_us = (stages["gp_fused_high_us"] + stages["controller_kernel_us"]
@@ -420,6 +475,40 @@ def main():
             "Every floor is a PADDED-work count divided by a measured "
             "ceiling and sits strictly below its measured stage."
         ),
+    }
+    # ---------------- effective cap (the self-consistency proof) ----------
+    # The round-4 roofline's failure mode was a "cap" built from floors
+    # alone that sat 2x above the measured number. The effective cap adds
+    # the MEASURED accuracy-machinery costs to the floors — each machinery
+    # line is itself an ablation between two real kernels, not a model —
+    # and must land within the tunnel's noise band of the measured
+    # whole-sweep step. gp: floor + limb-cancellation machinery (the
+    # 'high'-vs-'default' kernel pair differs ONLY in the per-dim
+    # cancellation limb path vs row-layout cross-only dot). controller:
+    # measured (serial-ADMM issue-bound; composing the chain measured no
+    # gain, so the measured time IS the shape's cap). alloc/plant + glue:
+    # measured.
+    limb_machinery_us = max(
+        stages["gp_fused_high_us"] - stages["gp_fused_default_us"], 0.0)
+    cap_us = (floors["gp_floor_us_high"] + limb_machinery_us
+              + stages["controller_kernel_us"] + stages["alloc_plant_us"]
+              + stages["sweep_glue_us_per_step"])
+    gap_pct = 100.0 * abs(cap_us - stages["whole_sweep_us_per_step"]) \
+        / stages["whole_sweep_us_per_step"]
+    result["effective_cap"] = {
+        "gp_floor_us": floors["gp_floor_us_high"],
+        "gp_limb_machinery_us_measured_ablation": round(limb_machinery_us, 1),
+        "controller_us_measured_issue_bound": round(
+            stages["controller_kernel_us"], 1),
+        "alloc_plant_us_measured": round(stages["alloc_plant_us"], 1),
+        "glue_us_measured": round(stages["sweep_glue_us_per_step"], 1),
+        "cap_us_per_step": round(cap_us, 1),
+        "cap_mfu_pct": round(
+            100.0 * flops_tick / (cap_us * 1e-6) / PEAK_BF16, 2),
+        "measured_whole_sweep_us_per_step": round(
+            stages["whole_sweep_us_per_step"], 1),
+        "cap_vs_measured_gap_pct": round(gap_pct, 1),
+        "self_consistent_within_noise": bool(gap_pct <= 15.0),
     }
 
     out_path = os.path.join(REPO, "artifacts", "throughput_roofline.json")

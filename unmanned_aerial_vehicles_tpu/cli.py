@@ -249,13 +249,22 @@ def _cmd_fly(args) -> int:
                 pos, _ = jax.vmap(ref)(ts)
                 return jnp.asarray(pos, jnp.float32)
 
+            # backend-aware fused plant kernel (ops.rigid_plant_pallas):
+            # the XLA RK4 step was the dominant per-tick cost on TPU
+            from .ops.rigid_plant_pallas import rigid_body_rk4_step_fast
+
             if args.controller == "ilqr12":
-                plant = lambda x, u: rigid_body_rk4_step(
+                plant = lambda x, u: rigid_body_rk4_step_fast(
                     x, u, X500_PARAMS, cfg.control_dt)
 
                 def position_ref_fn(ticks):
                     return pos_at(ticks.astype(jnp.float32) * cfg.control_dt)
 
+                # the measured-safe fast engine: with the dispatch-carried
+                # warm start, closed-loop RMS is ITERATION-invariant
+                # (ilqr12_multitick_policy{,_1iter} rows: identical RMS at
+                # 258 vs 516 us/tick) — --fast opts into iterations=1
+                mpc12 = ILQRRigidBodyMPC(iterations=1)
                 outs12 = jax.jit(lambda x: ilqr_multitick_rollout(
                     mpc12, position_ref_fn, plant, x, steps,
                     ticks_per_dispatch=K,
@@ -286,7 +295,7 @@ def _cmd_fly(args) -> int:
                     ))(x0)
                     tier = "fused multitick"
                 else:
-                    plant = lambda x, u: rigid_body_rk4_step(
+                    plant = lambda x, u: rigid_body_rk4_step_fast(
                         x, u, X500_PARAMS, cfg.control_dt)
                     outs12 = jax.jit(lambda x: sqp_multitick_rollout(
                         mpc12.mpc, mpc12.cost, reference_fn, plant, x, steps,

@@ -49,6 +49,51 @@ from ..ops.qp import (
 )
 
 
+def make_attitude_recovery_fallback(
+    params,
+    tilt_limit: float = 0.9,
+    kp: float = 0.05,
+    kd: float = 0.02,
+    tau_max: float = 0.1,
+):
+    """In-graph emergency-recovery law for torque-input 12-state engines
+    (``u = [T, tau_x, tau_y, tau_z]``) — the reference's solver-failure /
+    emergency-hover semantics (``mpc_controller.py:296-316,363-368``,
+    ``src/px4/mpc.py:2276-2282``) as a branch-free per-tick guard.
+
+    The LTV/SQP subproblems clamp |roll|,|pitch| <= pi/4; once a transient
+    tips the vehicle past that, the stage-0 state rows are infeasible and
+    the QP cannot command a recovery (measured failure mode of the
+    obstacle-circle flights: tip -> inversion -> thrust pinned at the
+    lower bound -> free fall). This fallback detects the excursion BEFORE
+    inversion (``tilt_limit`` < pi/2) and flies a PD level-off (gravity-
+    compensating thrust, attitude PD with rate damping) until the MPC's
+    linearisation is trustworthy again. Returns ``fb(x, u0) ->
+    (u_applied, bad)``; the multitick loop also resets the ADMM duals on
+    fallback ticks (windup from the infeasible rows is what kept the
+    per-tick recovery from converging).
+    """
+    mg = params.mass * params.gravity
+
+    def fb(x, u0):
+        bad = (
+            ~jnp.all(jnp.isfinite(u0))
+            | ~jnp.all(jnp.isfinite(x))
+            | (jnp.abs(x[6]) > tilt_limit)
+            | (jnp.abs(x[7]) > tilt_limit)
+        )
+        cos_t = jnp.clip(jnp.cos(x[6]) * jnp.cos(x[7]), 0.3, 1.0)
+        thrust = mg / cos_t
+        tau_rp = -kp * x[6:8] - kd * x[9:11]
+        tau_y = -kd * x[11]
+        tau = jnp.clip(
+            jnp.concatenate([tau_rp, tau_y[None]]), -tau_max, tau_max)
+        u_safe = jnp.concatenate([thrust[None], tau]).astype(u0.dtype)
+        return jnp.where(bad, u_safe, u0), bad
+
+    return fb
+
+
 class MultiTickCarry(NamedTuple):
     state: jnp.ndarray     # (nx,) plant state (true nonlinear state)
     X_plan: jnp.ndarray    # (N+1, nx) warm-start plan (linearisation anchor)
@@ -69,6 +114,9 @@ def sqp_multitick_rollout(
     residuals: jnp.ndarray | None = None,
     u_init: jnp.ndarray | None = None,
     obstacles: jnp.ndarray | None = None,
+    plan_roll: str = "nonlinear",
+    plan_roll_fn: Callable | None = None,
+    fallback_fn: Callable | None = None,
 ):
     """Closed-loop rollout of an ``SQPMPC`` engine at dispatch granularity.
 
@@ -82,11 +130,38 @@ def sqp_multitick_rollout(
     the per-tick path (``SQPMPC._subproblem``,
     ``mpc_controller.py:223-316`` semantics) at this tier too. The row
     NORMALS anchor to the dispatch's warm-start plan (re-anchored every
-    K ticks, exactly like the dynamics linearisation); the row BOUNDS
-    track the per-tick offset, so avoidance stays active between
-    re-anchors. Detour parity vs the per-tick engine is pinned in
-    ``tests/test_rigid_multitick.py::test_multitick_obstacle_detour``.
+    K ticks), the row BOUNDS track the per-tick offset, so avoidance stays
+    active between re-anchors. Detour parity vs the per-tick engine is
+    pinned in ``tests/test_rigid_multitick.py::test_multitick_obstacle_detour``.
+
+    ``plan_roll`` picks how the warm plan (the next dispatch's
+    linearisation anchor) is re-anchored after the K ticks:
+
+    * ``"nonlinear"`` (default): ``lax.scan`` of ``mpc.step_fn`` from the
+      final state — the SQP semantics. NOTE measured cost: for an RK4
+      ``step_fn`` this sequential N-step scan is ~0.9 ms/dispatch on v5e
+      (it dwarfs the ~60 us of linalg prep); latency-sensitive callers
+      with the rigid-body plant should pass ``plan_roll_fn`` backed by
+      ``ops.rigid_plant_pallas.rigid_body_rollout_fused`` (~18 us, same
+      math to 7e-7).
+    * ``"linear"``: extrapolate with the dispatch's own LTV prediction
+      ``Sx x + Su U + Sc`` — two matvecs, bounded by construction.
+      Measured trade on the LTV obstacle-circle task: ~2x faster
+      dispatches but a visibly staler anchor (closed-loop RMS 0.30 vs
+      0.19 at K=4); right when the dispatch rate is high relative to the
+      dynamics.
+
+    ``plan_roll_fn(x_fin (nx,), U_fin (N, nu), residuals (N, nx)) ->
+    X_tail (N, nx)`` overrides both modes with a custom roll.
+
+    ``fallback_fn(x, u0) -> (u_applied, bad)``: optional per-tick
+    emergency guard (``make_attitude_recovery_fallback``) — reference
+    solver-failure semantics. On fallback ticks the ADMM slack/duals are
+    also reset (the infeasible rows' dual windup otherwise poisons the
+    recovery).
     """
+    if plan_roll not in ("nonlinear", "linear"):
+        raise ValueError(f"unknown plan_roll mode: {plan_roll!r}")
     cfg = mpc.config
     N, nx, nu = cfg.horizon, mpc.nx, mpc.nu
     n_obs = getattr(mpc, "num_obstacles", 0)
@@ -122,8 +197,8 @@ def sqp_multitick_rollout(
 
     def one_dispatch(carry: MultiTickCarry, tick0):
         # ---- per-dispatch: relinearise about the warm plan --------------
-        X_bar = carry.X_plan.at[0].set(carry.state)
-        U_bar = carry.U_plan
+        X_warm = carry.X_plan.at[0].set(carry.state)
+        X_bar, U_bar = X_warm, carry.U_plan
         A, B = step_jac(X_bar[:-1], U_bar, residuals)
         X_next = jax.vmap(mpc.step_fn)(X_bar[:-1], U_bar, residuals)
         c = X_next - jnp.einsum("kij,kj->ki", A, X_bar[:-1]) - jnp.einsum(
@@ -139,7 +214,7 @@ def sqp_multitick_rollout(
             # semantics): normals anchor to the warm-start plan, which
             # already detours — re-anchored per dispatch with the dynamics
             Su3 = Su.reshape(N, nx, N * nu)[:, 0:3, :]       # (N,3,NU)
-            p_bar = X_bar[1:, 0:3]                           # (N,3)
+            p_bar = X_warm[1:, 0:3]                          # (N,3) warm plan
             diff = p_bar[:, None, :] - obstacles[None, :, 0:3]  # (N,K_o,3)
             dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-9)
             n_vec = diff / dist[..., None]                   # (N,K_o,3)
@@ -160,7 +235,13 @@ def sqp_multitick_rollout(
         Gs = Gd * e[:, None]
         M = Hs + rho * mm(Gs.T, Gs)
         M_chol = jnp.linalg.cholesky(M)
-        GMinvT_s = jax.scipy.linalg.cho_solve((M_chol, True), Gs.T)
+        # explicit M^{-1} once per dispatch: XLA triangular solves are
+        # sequential/blocked (slow on TPU), so solve for the (NU, NU)
+        # inverse here and make every per-tick solve a plain matvec —
+        # the per-tick cho_solve was the dominant per-tick cost
+        Minv_s = jax.scipy.linalg.cho_solve(
+            (M_chol, True), jnp.eye(Hs.shape[0], dtype=dtype))
+        GMinvT_s = mm(Minv_s, Gs.T)
         P1 = mm(Gs, GMinvT_s)
 
         def one_tick(tcarry, k):
@@ -201,7 +282,7 @@ def sqp_multitick_rollout(
 
             fs = f * d
             p0 = -mm(GMinvT_s.T, fs)
-            minv_f = jax.scipy.linalg.cho_solve((M_chol, True), fs)
+            minv_f = mm(Minv_s, fs)
             sol = admm_box_qp_composite(
                 P1, p0, GMinvT_s, minv_f,
                 lower * e, upper * e, z * e, y / e,
@@ -211,22 +292,33 @@ def sqp_multitick_rollout(
             y_new = sol.dual * e
             U_new = z_new[: N * nu].reshape(N, nu)
             u0 = U_new[0]
+            if fallback_fn is not None:
+                u0, bad = fallback_fn(x, u0)
+                z_new = jnp.where(bad, jnp.zeros_like(z_new), z_new)
+                y_new = jnp.where(bad, jnp.zeros_like(y_new), y_new)
             x_new = plant_step(x, u0)
             out = {"state": x, "u": u0}
             return (x_new, U_new, z_new, y_new), out
 
         refs_all = reference_fn(tick0 + jnp.arange(K)).astype(dtype)
         (x_fin, U_fin, z_fin, y_fin), outs = jax.lax.scan(
-            one_tick, (carry.state, U_bar, carry.z, carry.y),
+            one_tick, (carry.state, carry.U_plan, carry.z, carry.y),
             jnp.arange(K),
         )
         # re-anchor the plan for the next dispatch's linearisation
-        def roll_plan(xc, inp):
-            u, dres = inp
-            xn = mpc.step_fn(xc, u, dres)
-            return xn, xn
+        if plan_roll_fn is not None:
+            X_tail = plan_roll_fn(x_fin, U_fin, residuals)
+        elif plan_roll == "linear":
+            X_tail = (
+                mm(Sx, x_fin) + mm(Su, U_fin.reshape(-1)) + Sc
+            ).reshape(N, nx)
+        else:
+            def roll_plan(xc, inp):
+                u, dres = inp
+                xn = mpc.step_fn(xc, u, dres)
+                return xn, xn
 
-        _, X_tail = jax.lax.scan(roll_plan, x_fin, (U_fin, residuals))
+            _, X_tail = jax.lax.scan(roll_plan, x_fin, (U_fin, residuals))
         X_plan = jnp.concatenate([x_fin[None, :], X_tail], axis=0)
         return MultiTickCarry(x_fin, X_plan, U_fin, z_fin, y_fin), outs
 
@@ -266,6 +358,7 @@ def direct_rate_multitick_fused(
     gravity: float = 9.81,
     taus: tuple = (0.05, 0.05, 0.08),
     interpret: bool | None = None,
+    plan_roll: str = "nonlinear",
 ):
     """``sqp_multitick_rollout`` for the direct-rate engine with the PER-TICK
     chain in one Pallas kernel (VERDICT round-4 #5).
@@ -304,6 +397,8 @@ def direct_rate_multitick_fused(
     if getattr(mpc, "num_obstacles", 0):
         raise ValueError("the fused direct-rate tier has no obstacle rows; "
                          "use sqp_multitick_rollout")
+    if plan_roll not in ("nonlinear", "linear"):
+        raise ValueError(f"unknown plan_roll mode: {plan_roll!r}")
     K = ticks_per_dispatch
     if num_steps % K:
         raise ValueError(f"num_steps={num_steps} not a multiple of K={K}")
@@ -363,7 +458,11 @@ def direct_rate_multitick_fused(
         Gs = Gd * e[:, None]
         M = Hs + rho * mm(Gs.T, Gs)
         M_chol = jnp.linalg.cholesky(M)
-        GMinvT_s = jax.scipy.linalg.cho_solve((M_chol, True), Gs.T)
+        # explicit inverse + GEMM: one (NU,)-rhs triangular solve per
+        # dispatch instead of an (m,)-rhs one (see the staged path)
+        Minv_s = jax.scipy.linalg.cho_solve(
+            (M_chol, True), jnp.eye(Hs.shape[0], dtype=dtype))
+        GMinvT_s = mm(Minv_s, Gs.T)
         P1 = mm(Gs, GMinvT_s)
 
         # kernel operand layouts (zero pads throughout)
@@ -405,12 +504,18 @@ def direct_rate_multitick_fused(
         x_fin = x_fin_row[0, 0:nx]
         U_fin = z_uneq[:Nnu].reshape(N, nu)
 
-        def roll_plan(xc, inp):
-            u, dres = inp
-            xn = mpc.step_fn(xc, u, dres)
-            return xn, xn
+        # re-anchor the plan (same modes as the staged path)
+        if plan_roll == "linear":
+            X_tail = (
+                mm(Sx, x_fin) + mm(Su, U_fin.reshape(-1)) + Sc
+            ).reshape(N, nx)
+        else:
+            def roll_plan(xc, inp):
+                u, dres = inp
+                xn = mpc.step_fn(xc, u, dres)
+                return xn, xn
 
-        _, X_tail = jax.lax.scan(roll_plan, x_fin, (U_fin, residuals))
+            _, X_tail = jax.lax.scan(roll_plan, x_fin, (U_fin, residuals))
         X_plan = jnp.concatenate([x_fin[None, :], X_tail], axis=0)
         outs = {"state": out[:, 0:nx], "u": out[:, 12:12 + nu]}
         return MultiTickCarry(x_fin, X_plan, U_fin, z_uneq, y_uneq), outs
