@@ -345,3 +345,79 @@ def test_direct_rate_fused_rejects_f64_and_obstacles():
             con.mpc, con.cost, lambda t: jnp.zeros((4, 15, 12)),
             jnp.zeros(12), 8, ticks_per_dispatch=4,
         )
+
+
+def test_attitude_recovery_fallback_levels_off():
+    """The in-graph emergency law (reference solver-failure hover,
+    mpc_controller.py:296-316): from a badly tipped state with garbage
+    controls, the fallback must engage, command gravity-compensating
+    thrust + restoring torque, and the closed loop must level off
+    instead of inverting."""
+    from unmanned_aerial_vehicles_tpu.loop.rigid_loop import (
+        make_attitude_recovery_fallback,
+    )
+    from unmanned_aerial_vehicles_tpu.models import GZ_QUADROTOR_PARAMS
+
+    fb = make_attitude_recovery_fallback(GZ_QUADROTOR_PARAMS)
+    x_bad = (jnp.zeros(12, jnp.float64)
+             .at[2].set(1.0).at[6].set(1.3).at[9].set(2.0))
+    u_junk = jnp.asarray([0.0, -0.1, 0.1, 0.1], jnp.float64)
+    u, bad = fb(x_bad, u_junk)
+    assert bool(bad)
+    assert float(u[0]) > GZ_QUADROTOR_PARAMS.mass * GZ_QUADROTOR_PARAMS.gravity
+    assert float(u[1]) < 0.0  # restoring roll torque
+
+    # a level state passes the MPC's command through untouched
+    x_ok = jnp.zeros(12, jnp.float64).at[2].set(1.0)
+    u_mpc = jnp.asarray([4.9, 0.01, -0.01, 0.0], jnp.float64)
+    u2, bad2 = fb(x_ok, u_mpc)
+    assert not bool(bad2)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u_mpc))
+
+    # closed loop from the tipped state with a plain hover passthrough
+    # below the threshold: the guard must prevent inversion and kill the
+    # tumble rate (full level-off is the MPC's job once it re-engages —
+    # pinned on-chip by the obstacle-circle stability runs)
+    mg = GZ_QUADROTOR_PARAMS.mass * GZ_QUADROTOR_PARAMS.gravity
+    u_hover = jnp.asarray([mg, 0.0, 0.0, 0.0], jnp.float64)
+
+    def step(x, _):
+        u, _bad = fb(x, u_hover)
+        return rigid_body_rk4_step(x, u, GZ_QUADROTOR_PARAMS, 0.02), x
+
+    x_fin, traj = jax.lax.scan(step, x_bad, None, length=200)
+    assert float(jnp.max(jnp.abs(traj[:, 6:8]))) < 1.5  # never inverts
+    assert abs(float(x_fin[9])) < 0.5 and abs(float(x_fin[10])) < 0.5
+    assert abs(float(x_fin[6])) < 1.0, x_fin[6]
+
+
+def test_plan_roll_linear_mode_tracks():
+    """plan_roll="linear" (LTV extrapolation re-anchor) must fly the same
+    task at comparable RMS to the default nonlinear roll — the modes
+    differ only in anchor quality, not in the per-tick solve."""
+    eng = RigidBodyMPC()
+    plant = lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS, DT)
+    N = eng.mpc.config.horizon
+
+    def reference_fn(ticks):
+        ts = ticks.astype(jnp.float64) * DT
+        pos = jax.vmap(lambda t: _ref(t)[0])(ts)
+        stage = jnp.concatenate([pos, jnp.zeros((ts.shape[0], 9))], axis=1)
+        return jnp.tile(stage[:, None, :], (1, N, 1))
+
+    def rms_of(mode):
+        x0 = jnp.zeros(12, jnp.float64).at[2].set(H)
+        outs = jax.jit(lambda x: sqp_multitick_rollout(
+            eng.mpc, eng.cost, reference_fn, plant, x, T,
+            ticks_per_dispatch=8, admm_iterations=30, u_init=eng.u_hover,
+            plan_roll=mode,
+        ))(x0)
+        ps = np.asarray(outs["state"])[:, 0:3]
+        rs = np.stack([np.asarray(_ref(t * DT)[0]) for t in range(T)])
+        return float(np.sqrt(np.mean(np.sum((ps - rs) ** 2, -1))))
+
+    r_nl, r_lin = rms_of("nonlinear"), rms_of("linear")
+    assert np.isfinite(r_lin) and np.isfinite(r_nl)
+    assert abs(r_lin - r_nl) < 0.05, (r_nl, r_lin)
+    with pytest.raises(ValueError, match="plan_roll"):
+        rms_of("quadratic")
