@@ -122,6 +122,7 @@ def _roofline_summary():
             "ceilings": r["ceilings"],
             "stage_us_per_step": r["stage_us_per_step"],
             "floors": r["floors"],
+            "effective_cap": r.get("effective_cap"),
             "bound": r["analysis"]["bound"],
         }
     except (OSError, KeyError, json.JSONDecodeError):

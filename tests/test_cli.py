@@ -227,3 +227,29 @@ def test_fly_mppi12_fast_rejected(capsys):
     ignore."""
     assert main(["fly", "--controller", "mppi12", "--fast",
                  "--duration", "2"]) == 1
+
+
+def test_fly_ltv12_obstacle(capsys):
+    """--controller ltv12 flies the 10 Hz LTV engine; --obstacle reserves
+    the spherical rows and reports the measured clearance; other
+    controllers reject --obstacle loudly."""
+    assert main(["fly", "--controller", "ltv12", "--fast",
+                 "--duration", "8", "--trajectory", "circle",
+                 "--amplitude", "1.5",
+                 "--obstacle", "0,1.5,3.0,0.3"]) == 0
+    out = capsys.readouterr().out
+    assert "multitick tier: ltv12" in out
+    payload = json.loads(out[out.index("{"):])
+    assert payload["rms_pos"] < 1.0, payload
+    assert "min_obstacle_clearance" in payload
+
+    assert main(["fly", "--controller", "ltv12",
+                 "--duration", "4", "--trajectory", "circle",
+                 "--amplitude", "1.5"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["rms_pos"] < 1.0, payload
+
+    assert main(["fly", "--controller", "mpc12", "--duration", "2",
+                 "--obstacle", "0,0,3,0.3"]) == 1
+    assert main(["fly", "--controller", "ltv12", "--duration", "2",
+                 "--obstacle", "bogus"]) == 1

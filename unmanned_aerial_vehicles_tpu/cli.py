@@ -181,6 +181,11 @@ def _cmd_fly(args) -> int:
         print("--noisy supports the mpc and gp-mpc controllers only",
               file=sys.stderr)
         return 1
+    if args.obstacle and args.controller != "ltv12":
+        print("--obstacle is the LTV engine's constraint class: use "
+              "--controller ltv12 (mpc_controller.py:223-316)",
+              file=sys.stderr)
+        return 1
     if args.controller == "pid":
         # campaign-calibrated plant: the PID bags hover at ~0.7 normalized
         # thrust (see models.px4_surrogate.PID_CAMPAIGN_RATE_LOOP)
@@ -191,6 +196,116 @@ def _cmd_fly(args) -> int:
                 ref, num_steps, cfg=cfg, rate_loop=PID_CAMPAIGN_RATE_LOOP
             )
         )()
+    elif args.controller == "ltv12":
+        # cvxpy-LTV-equivalent tracking MPC at its own 10 Hz cadence on
+        # the GZ quadrotor (mpc_controller.py:123-368), with optional
+        # spherical obstacles (--obstacle, repeatable). --fast flies the
+        # multitick tier at the stability-validated K=2 configuration
+        # (obstacle-constrained: 70.6 us/tick on v5e; see
+        # artifacts/controller_latency.json row ltv_obstacle_multitick)
+        from .control import LTVTrackingMPC
+        from .loop.rigid_loop import (
+            make_attitude_recovery_fallback,
+            sqp_multitick_rollout,
+        )
+        from .models import GZ_QUADROTOR_PARAMS
+        from .ops.rigid_plant_pallas import (
+            rigid_body_rk4_step_fast,
+            rigid_body_rollout_fused,
+        )
+
+        LDT = 0.1
+        obstacles = None
+        n_obs = 0
+        if args.obstacle:
+            try:
+                rows = [tuple(float(v) for v in s.split(",")) for s in args.obstacle]
+            except ValueError:
+                print("--obstacle expects X,Y,Z,R (numbers)", file=sys.stderr)
+                return 1
+            if any(len(r) != 4 for r in rows):
+                print("--obstacle expects exactly 4 values: X,Y,Z,R",
+                      file=sys.stderr)
+                return 1
+            obstacles = jnp.asarray(rows, jnp.float32)
+            n_obs = len(rows)
+        mpc_ltv = LTVTrackingMPC(num_obstacles=n_obs, obstacle_margin=0.2)
+        N_ltv = mpc_ltv.mpc.config.horizon
+        mg_gz = GZ_QUADROTOR_PARAMS.mass * GZ_QUADROTOR_PARAMS.gravity
+        K_ltv = 2
+        steps10 = max(K_ltv, int(args.duration / LDT)
+                      - int(args.duration / LDT) % K_ltv)
+
+        def ref12_at(ts):
+            pos, _ = jax.vmap(ref)(ts)
+            return jnp.concatenate(
+                [jnp.asarray(pos, jnp.float32),
+                 jnp.zeros((ts.shape[0], 9), jnp.float32)], axis=1)
+
+        def plant_ltv(x, u):
+            return rigid_body_rk4_step_fast(
+                x, u, GZ_QUADROTOR_PARAMS, LDT, substeps=2)
+
+        x0_ltv = ref12_at(jnp.zeros((1,), jnp.float32))[0]
+        if args.fast:
+            def reference_fn(ticks):
+                def one(i):
+                    ts = (i + 1 + jnp.arange(N_ltv)).astype(jnp.float32) * LDT
+                    return ref12_at(ts)
+                return jax.vmap(one)(ticks)
+
+            def plan_roll_fn(x_fin, U_fin, residuals):
+                return rigid_body_rollout_fused(
+                    x_fin, U_fin, GZ_QUADROTOR_PARAMS, LDT)
+
+            outs_ltv = jax.jit(lambda x: sqp_multitick_rollout(
+                mpc_ltv.mpc, mpc_ltv.cost, reference_fn, plant_ltv, x,
+                steps10, ticks_per_dispatch=K_ltv, admm_iterations=100,
+                u_init=mpc_ltv.u_hover, obstacles=obstacles,
+                plan_roll_fn=plan_roll_fn,
+                fallback_fn=make_attitude_recovery_fallback(
+                    GZ_QUADROTOR_PARAMS),
+            ))(x0_ltv)
+            print(f"# multitick tier: ltv12, {K_ltv} ticks/dispatch, "
+                  f"{steps10} steps, {n_obs} obstacle(s)")
+        else:
+            @jax.jit
+            def fly_ltv(x0):
+                def step(c, i):
+                    st, mc = c
+                    ts = (i + jnp.arange(N_ltv + 1)).astype(jnp.float32) * LDT
+                    window = ref12_at(ts)
+                    u, _, mc = mpc_ltv.solve(mc, st, window,
+                                             obstacles=obstacles)
+                    st2 = plant_ltv(st, u)
+                    return (st2, mc), {"state": st, "u": u}
+                (_, _), o = jax.lax.scan(
+                    step, (x0, mpc_ltv.init_carry(x0)),
+                    jnp.arange(steps10))
+                return o
+
+            outs_ltv = fly_ltv(x0_ltv)
+        ts10 = jnp.arange(steps10, dtype=jnp.float32) * LDT
+        outs = {
+            "state": outs_ltv["state"],
+            "pos_ref": ref12_at(ts10)[:, 0:3],
+            "thrust": outs_ltv["u"][:, 0] / (2.0 * mg_gz),
+        }
+        m = tracking_metrics(outs["pos_ref"], outs["state"][:, 0:3],
+                             thrust_normalized=outs["thrust"])
+        if obstacles is not None:
+            d = outs["state"][:, None, 0:3] - obstacles[None, :, 0:3]
+            clear = jnp.min(
+                jnp.sqrt(jnp.sum(d**2, -1)) - obstacles[None, :, 3])
+            m["min_obstacle_clearance"] = float(clear)
+        print(json.dumps({k: round(float(v), 4) for k, v in m.items()},
+                         indent=2))
+        if args.save_log:
+            from .io import save_flight_log
+
+            save_flight_log(args.save_log, outs, control_dt=LDT)
+            print(f"flight log written to {args.save_log}")
+        return 0
     elif args.controller in ("mpc12", "direct-rate12", "ilqr12", "mppi12"):
         # 12-state controllers flying the z-up rigid-body plant directly
         # (the mpc_FULL node's role, src/px4/mpc_FULL.py:613-1060);
@@ -944,8 +1059,14 @@ def build_parser() -> argparse.ArgumentParser:
     f = sub.add_parser("fly", help="closed-loop flight experiment")
     f.add_argument("--controller",
                    choices=["pid", "mpc", "gp-mpc", "mpc12", "direct-rate12",
-                            "ilqr12", "mppi12"],
+                            "ilqr12", "mppi12", "ltv12"],
                    default="gp-mpc")
+    f.add_argument("--obstacle", action="append", default=None,
+                   metavar="X,Y,Z,R",
+                   help="spherical obstacle for --controller ltv12 "
+                        "(repeatable): the LTV engine reserves linearised "
+                        "half-space rows per obstacle "
+                        "(mpc_controller.py:223-316 semantics)")
     f.add_argument("--trajectory", choices=["figure8", "circle"], default="figure8")
     f.add_argument("--duration", type=float, default=60.0)
     f.add_argument("--amplitude", type=float, default=6.0)
