@@ -335,3 +335,86 @@ def test_batched_sweep_fused_gp_on_chip():
         - np.asarray(o_staged["state"][:, :, 0:3])
     )))
     assert gap < 1e-3, gap
+
+
+def test_rigid_plant_kernel_on_chip():
+    """Mosaic-compiled rigid-body RK4 kernel vs the XLA step (round 5):
+    single step 2e-8-grade, 20-step sequential roll 1e-6-grade."""
+    from unmanned_aerial_vehicles_tpu.models import (
+        GZ_QUADROTOR_PARAMS,
+        rigid_body_rk4_step,
+    )
+    from unmanned_aerial_vehicles_tpu.ops.rigid_plant_pallas import (
+        rigid_body_rollout_fused,
+    )
+
+    u0 = jnp.asarray([4.9, 0.01, -0.01, 0.02], jnp.float32)
+    x0 = jnp.zeros(12, jnp.float32).at[2].set(1.0).at[6].set(0.1)
+    U = jnp.tile(u0[None, :], (20, 1))
+
+    got = np.asarray(jax.jit(lambda x: rigid_body_rollout_fused(
+        x, U, GZ_QUADROTOR_PARAMS, 0.1, interpret=False))(x0))
+
+    def scan_roll(x):
+        def body(c, u):
+            xn = rigid_body_rk4_step(c, u, GZ_QUADROTOR_PARAMS, 0.1)
+            return xn, xn
+        return jax.lax.scan(body, x, U)[1]
+
+    want = np.asarray(jax.jit(scan_roll)(x0))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_obstacle_multitick_flight_on_chip():
+    """Obstacle-constrained LTV multitick (K=2, kernel plan-roll, fused
+    plant, attitude fallback) on the chip: finite, clears the sphere,
+    tracks — the shipped bench-row configuration in miniature."""
+    from unmanned_aerial_vehicles_tpu.control.mpc_rigid import LTVTrackingMPC
+    from unmanned_aerial_vehicles_tpu.loop.rigid_loop import (
+        make_attitude_recovery_fallback,
+        sqp_multitick_rollout,
+    )
+    from unmanned_aerial_vehicles_tpu.models import GZ_QUADROTOR_PARAMS
+    from unmanned_aerial_vehicles_tpu.ops.rigid_plant_pallas import (
+        rigid_body_rk4_step_fast,
+        rigid_body_rollout_fused,
+    )
+
+    DT, T = 0.1, 240
+    obstacle = jnp.asarray([[0.0, 1.5, 1.0, 0.3]], jnp.float32)
+    mpc = LTVTrackingMPC(num_obstacles=1, obstacle_margin=0.2)
+    N = mpc.mpc.config.horizon
+
+    def ref12(t):
+        w = 2.0 * jnp.pi / 20.0
+        r = jnp.zeros(12, jnp.float32)
+        r = r.at[0].set(1.5 * jnp.cos(w * t)).at[1].set(1.5 * jnp.sin(w * t))
+        r = r.at[2].set(1.0)
+        return r.at[3].set(-1.5 * w * jnp.sin(w * t)).at[4].set(
+            1.5 * w * jnp.cos(w * t))
+
+    def reference_fn(ticks):
+        def one(i):
+            ts = (i + 1 + jnp.arange(N)).astype(jnp.float32) * DT
+            return jax.vmap(ref12)(ts)
+        return jax.vmap(one)(ticks)
+
+    outs = jax.jit(lambda x: sqp_multitick_rollout(
+        mpc.mpc, mpc.cost, reference_fn,
+        lambda xx, u: rigid_body_rk4_step_fast(
+            xx, u, GZ_QUADROTOR_PARAMS, DT, substeps=2),
+        x, T, ticks_per_dispatch=2, admm_iterations=100,
+        u_init=mpc.u_hover, obstacles=obstacle,
+        plan_roll_fn=lambda xf, Uf, res: rigid_body_rollout_fused(
+            xf, Uf, GZ_QUADROTOR_PARAMS, DT),
+        fallback_fn=make_attitude_recovery_fallback(GZ_QUADROTOR_PARAMS),
+    ))(ref12(0.0))
+    st = np.asarray(outs["state"])
+    assert np.isfinite(st).all()
+    d = np.linalg.norm(st[:, 0:3] - np.asarray(obstacle[0, 0:3]), axis=1)
+    assert d.min() > 0.3, d.min()          # clears the sphere
+    ts = np.arange(T) * DT
+    refs = np.stack([np.asarray(ref12(t)) for t in ts])
+    rms = float(np.sqrt(np.mean(
+        np.sum((st[:, 0:3] - refs[:, 0:3]) ** 2, -1))))
+    assert rms < 0.5, rms
