@@ -204,6 +204,12 @@ def main():
         sqp_multitick_rollout,
     )
 
+    # plan_roll="linear": re-anchor the warm plan with the dispatch's own
+    # LTV prediction instead of the sequential nonlinear roll — measured
+    # RMS-IDENTICAL on this task (0.5704/0.5704 sqp, 0.2470/0.2470
+    # direct-rate at 4 d.p.) at ~half the tick cost; the obstacle row
+    # below keeps the kernel-backed nonlinear roll (anchor quality governs
+    # the detour homotopy there — NOTES round-5 session 2)
     def make_sqp_multitick(ctrl_factory, plant, K=8, iters=30):
         def make_run(T):
             ctrl = ctrl_factory()
@@ -224,7 +230,7 @@ def main():
                 outs = sqp_multitick_rollout(
                     ctrl.mpc, ctrl.cost, reference_fn, plant, x0, T,
                     ticks_per_dispatch=K, admm_iterations=iters,
-                    u_init=ctrl.u_hover,
+                    u_init=ctrl.u_hover, plan_roll="linear",
                 )
                 ts = jnp.arange(T, dtype=jnp.float32) * CFG.control_dt
                 pos_refs = jax.vmap(lambda t: ref(t)[0])(ts)
@@ -274,6 +280,7 @@ def main():
                     ctrl.mpc, ctrl.cost, reference_fn, x0, T,
                     ticks_per_dispatch=K, admm_iterations=iters,
                     u_init=ctrl.u_hover, dt=CFG.control_dt,
+                    plan_roll="linear",
                 )
                 ts = jnp.arange(T, dtype=jnp.float32) * CFG.control_dt
                 pos_refs = jax.vmap(lambda t: ref(t)[0])(ts)

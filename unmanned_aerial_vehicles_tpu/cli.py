@@ -407,15 +407,20 @@ def _cmd_fly(args) -> int:
                         mpc12.mpc, mpc12.cost, reference_fn, x, steps,
                         ticks_per_dispatch=K, admm_iterations=30,
                         u_init=mpc12.u_hover, dt=cfg.control_dt,
+                        plan_roll="linear",
                     ))(x0)
                     tier = "fused multitick"
                 else:
                     plant = lambda x, u: rigid_body_rk4_step_fast(
                         x, u, X500_PARAMS, cfg.control_dt)
+                    # plan_roll="linear": RMS-identical on the tracking
+                    # tasks at ~half the tick (bench comment has the
+                    # measurements); obstacle flights (ltv12) keep the
+                    # nonlinear kernel roll
                     outs12 = jax.jit(lambda x: sqp_multitick_rollout(
                         mpc12.mpc, mpc12.cost, reference_fn, plant, x, steps,
                         ticks_per_dispatch=K, admm_iterations=30,
-                        u_init=mpc12.u_hover,
+                        u_init=mpc12.u_hover, plan_roll="linear",
                     ))(x0)
             ts = jnp.arange(steps, dtype=jnp.float32) * cfg.control_dt
             outs = {
@@ -1088,11 +1093,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="latency mode. mpc/gp-mpc: 8 whole ticks per "
                         "Pallas dispatch, GP in-kernel (~5 us/tick on "
                         "v5e). mpc12: the multitick per-dispatch-"
-                        "relinearisation tier (~85 us/tick); "
+                        "relinearisation tier (~18 us/tick); "
                         "direct-rate12: the fused multitick Pallas tier "
-                        "(~30 us/tick at K=8, ~14 us at K=20); ilqr12: "
-                        "the policy-reuse tier (~258 us/tick). pid "
-                        "ignores this; mppi12 rejects it")
+                        "(~19 us/tick at K=8, ~9 at K=20); ilqr12: "
+                        "the policy-reuse tier (~218 us/tick, "
+                        "iterations=1 — RMS-identical to 3); ltv12: the "
+                        "K=2 multitick tier (~70 us/tick with obstacle "
+                        "rows). pid ignores this; mppi12 rejects it")
     f.add_argument("--online", action="store_true",
                    help="ONLINE in-flight GP learning on the fused path "
                         "(~8 us/tick; requires --controller gp-mpc --fast; "
