@@ -81,3 +81,48 @@ def test_ilqr_flies_the_rigid_body():
     err_s = np.linalg.norm(st_s[-1, 0:3] - np.asarray(target))
     # the two engines land in the same neighbourhood
     assert abs(err_i - err_s) < 0.2
+
+
+def test_ilqr_rk4_integrator_matches_plant():
+    """integrator='rk4' makes the engine's internal model the TRUE plant
+    step (bit-equal to rigid_body_rk4_step), so the solve's predicted plan
+    X equals the plant rollout of its U — the property the policy-reuse
+    multitick tier relies on. The Euler engine must NOT have it."""
+    x = jnp.zeros(12, jnp.float32).at[2].set(1.2).at[3].set(0.4).at[6].set(0.1)
+
+    eng = ILQRRigidBodyMPC(integrator="rk4")
+    u = eng.u_hover + jnp.asarray([0.4, 0.03, -0.02, 0.01], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(eng.step_fn(x, u)),
+        np.asarray(rigid_body_rk4_step(x, u, X500_PARAMS, 0.02)),
+    )
+
+    # plan-vs-plant consistency: roll the engine's own solution through the
+    # true plant and compare to the solve's predicted states
+    target = jnp.asarray([0.5, -0.5, 1.5], jnp.float32)
+    x_ref = jnp.tile(
+        jnp.concatenate([target, jnp.zeros(9, jnp.float32)])[None],
+        (eng.N + 1, 1))
+    u_ref = jnp.tile(eng.u_hover[None], (eng.N, 1))
+    sol = ilqr_solve(eng.step_fn, x, u_ref, eng.q_diag, eng.r_diag,
+                     x_ref, u_ref, iterations=3, reg=eng.reg,
+                     u_lower=eng.u_lower, u_upper=eng.u_upper)
+    xc, gaps = x, []
+    for k in range(eng.N):
+        xc = rigid_body_rk4_step(xc, sol.U[k], X500_PARAMS, 0.02)
+        gaps.append(float(jnp.max(jnp.abs(xc - sol.X[k + 1]))))
+    assert max(gaps) < 1e-5, f"rk4 plan drifts from plant: {max(gaps)}"
+
+    eng_e = ILQRRigidBodyMPC()  # euler default
+    sol_e = ilqr_solve(eng_e.step_fn, x, u_ref, eng_e.q_diag, eng_e.r_diag,
+                       x_ref, u_ref, iterations=3, reg=eng_e.reg,
+                       u_lower=eng_e.u_lower, u_upper=eng_e.u_upper)
+    xc, gaps_e = x, []
+    for k in range(eng_e.N):
+        xc = rigid_body_rk4_step(xc, sol_e.U[k], X500_PARAMS, 0.02)
+        gaps_e.append(float(jnp.max(jnp.abs(xc - sol_e.X[k + 1]))))
+    assert max(gaps_e) > 1e-4, "euler plan unexpectedly matches the plant"
+
+    import pytest
+    with pytest.raises(ValueError):
+        ILQRRigidBodyMPC(integrator="heun")

@@ -418,3 +418,33 @@ def test_obstacle_multitick_flight_on_chip():
     rms = float(np.sqrt(np.mean(
         np.sum((st[:, 0:3] - refs[:, 0:3]) ** 2, -1))))
     assert rms < 0.5, rms
+
+
+def test_ilqr_kernel_rollout_parity_on_chip():
+    """The rk4 iLQR engine's kernel-backed forward rollouts (round 5) give
+    the same solve as the pure-XLA scan of its step_fn — the substitution
+    that takes the staged tick 947 -> ~354 us and the K=2 policy tier to
+    ~76 us/tick (artifacts/controller_latency.json ilqr12_*rk4* rows)."""
+    from unmanned_aerial_vehicles_tpu.control import ILQRRigidBodyMPC
+    from unmanned_aerial_vehicles_tpu.control.ilqr import ilqr_solve
+
+    eng = ILQRRigidBodyMPC(integrator="rk4")
+    assert eng.rollout_fn is not None
+    x = jnp.zeros(12, jnp.float32).at[2].set(1.0).at[0].set(0.8)
+    tgt = jnp.concatenate([jnp.asarray([0.0, 0.5, 1.5], jnp.float32),
+                           jnp.zeros(9, jnp.float32)])
+    x_ref = jnp.tile(tgt[None], (eng.N + 1, 1))
+    u_ref = jnp.tile(eng.u_hover[None], (eng.N, 1))
+
+    def solve(roll):
+        return jax.jit(lambda xx: ilqr_solve(
+            eng.step_fn, xx, u_ref, eng.q_diag, eng.r_diag, x_ref, u_ref,
+            iterations=3, reg=eng.reg, u_lower=eng.u_lower,
+            u_upper=eng.u_upper, rollout_fn=roll))(x)
+
+    sk = solve(eng.rollout_fn)   # Mosaic kernel rollouts
+    sx = solve(None)             # lax.scan of step_fn
+    np.testing.assert_allclose(np.asarray(sk.U), np.asarray(sx.U),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sk.X), np.asarray(sx.X),
+                               rtol=2e-4, atol=2e-4)

@@ -300,8 +300,8 @@ def main():
     record("direct_rate_mpc12_multitick_fused_k20_i10",
            make_dr_fused(20, 10))
 
-    def make_ilqr_multitick(T, iters=3):
-        ctrl = ILQRRigidBodyMPC(iterations=iters)
+    def make_ilqr_multitick(T, iters=3, integrator="euler", K=2):
+        ctrl = ILQRRigidBodyMPC(iterations=iters, integrator=integrator)
         plant = lambda x, u: rigid_body_rk4_step_fast(x, u, X500_PARAMS,
                                                       CFG.control_dt)
 
@@ -314,7 +314,7 @@ def main():
             x0 = (jnp.zeros(12, jnp.float32)
                   .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
             outs = ilqr_multitick_rollout(
-                ctrl, position_ref_fn, plant, x0, T, ticks_per_dispatch=2,
+                ctrl, position_ref_fn, plant, x0, T, ticks_per_dispatch=K,
             )
             ts = jnp.arange(T, dtype=jnp.float32) * CFG.control_dt
             pos_refs = jax.vmap(lambda t: ref(t)[0])(ts)
@@ -328,6 +328,18 @@ def main():
     # result repeats): RMS identical at 1 iteration, ~2x cheaper again
     record("ilqr12_multitick_policy_1iter",
            lambda T: make_ilqr_multitick(T, iters=1))
+
+    # rk4 engine (internal model == the true plant, kernel-backed rollouts):
+    # strictly dominates the Euler rows above — the staged per-tick engine
+    # goes 947 -> ~354 us at RMS 0.5668 -> 0.5081, and the K=2 policy tier
+    # flies at ~76 us/tick BELOW the staged Euler engine's RMS (the
+    # prediction drift that bounded the Euler policy tier at K=2 is gone)
+    record("ilqr12_rk4_staged",
+           rollout_12state(lambda: ILQRRigidBodyMPC(integrator="rk4")))
+    record("ilqr12_multitick_rk4_k2",
+           lambda T: make_ilqr_multitick(T, iters=1, integrator="rk4", K=2))
+    record("ilqr12_multitick_rk4_k8",
+           lambda T: make_ilqr_multitick(T, iters=1, integrator="rk4", K=8))
 
     # LTV tracking MPC: its own idiom — (N+1, 12) shifting stage references
     # at 10 Hz on the GZ plant (tests/test_ltv_flight.py)

@@ -315,8 +315,9 @@ def _cmd_fly(args) -> int:
         # sampling-based MPPI controller (512 vmapped rollouts per tick).
         # --fast routes mpc12/direct-rate12 through the multitick tier
         # (loop.rigid_loop.sqp_multitick_rollout: per-dispatch
-        # relinearisation, ~43-85 us/tick) and ilqr12 through the
-        # policy-reuse tier (ilqr_multitick_rollout, ~258 us/tick).
+        # relinearisation, ~17-23 us/tick) and ilqr12 through the
+        # policy-reuse tier (ilqr_multitick_rollout, ~76 us/tick with the
+        # rk4 engine).
         import numpy as np
 
         from .control import ILQRRigidBodyMPC, RigidBodyMPC
@@ -325,7 +326,11 @@ def _cmd_fly(args) -> int:
 
         mg = X500_PARAMS.mass * X500_PARAMS.gravity
         if args.controller == "ilqr12":
-            mpc12 = ILQRRigidBodyMPC()
+            # integrator="rk4": the engine's internal model IS the plant
+            # step (kernel-backed rollouts on TPU) — better tracking AND
+            # faster than the historical Euler engine (staged tick 947 ->
+            # ~354 us at RMS 0.5668 -> 0.5081 on the bench circle task)
+            mpc12 = ILQRRigidBodyMPC(integrator="rk4")
             thrust_of_u = lambda u: u[..., 0] / mg
         elif args.controller == "mppi12":
             from .control import MPPIController
@@ -377,9 +382,11 @@ def _cmd_fly(args) -> int:
 
                 # the measured-safe fast engine: with the dispatch-carried
                 # warm start, closed-loop RMS is ITERATION-invariant
-                # (ilqr12_multitick_policy{,_1iter} rows: identical RMS at
-                # 258 vs 516 us/tick) — --fast opts into iterations=1
-                mpc12 = ILQRRigidBodyMPC(iterations=1)
+                # (iterations=1), and the rk4 internal model + kernel
+                # rollouts make the K=2 policy tier ~76 us/tick at BETTER
+                # RMS than the old staged Euler engine
+                # (ilqr12_multitick_rk4_k2 row)
+                mpc12 = ILQRRigidBodyMPC(iterations=1, integrator="rk4")
                 outs12 = jax.jit(lambda x: ilqr_multitick_rollout(
                     mpc12, position_ref_fn, plant, x, steps,
                     ticks_per_dispatch=K,
@@ -1096,8 +1103,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "relinearisation tier (~18 us/tick); "
                         "direct-rate12: the fused multitick Pallas tier "
                         "(~19 us/tick at K=8, ~9 at K=20); ilqr12: "
-                        "the policy-reuse tier (~218 us/tick, "
-                        "iterations=1 — RMS-identical to 3); ltv12: the "
+                        "the rk4 policy-reuse tier (~76 us/tick at "
+                        "K=2, better RMS than the staged Euler "
+                        "engine); ltv12: the "
                         "K=2 multitick tier (~70 us/tick with obstacle "
                         "rows). pid ignores this; mppi12 rejects it")
     f.add_argument("--online", action="store_true",

@@ -55,12 +55,22 @@ def ilqr_solve(
     u_lower: jnp.ndarray | None = None,
     u_upper: jnp.ndarray | None = None,
     parallel: bool = False,
+    rollout_fn: Callable | None = None,
 ) -> ILQRSolution:
     """Fixed-iteration iLQR for quadratic tracking costs.
 
     ``parallel=True`` solves each LQR subproblem with the associative-scan
     Riccati (worth it for long horizons). Returns the best-cost iterate —
     a late iteration can never make the answer worse.
+
+    ``rollout_fn(x0, U) -> (N, nx)`` optionally replaces the serial
+    ``lax.scan`` of ``step_fn`` for the forward rollouts (the solve's
+    dominant cost when ``step_fn`` is an XLA RK4 chain: ~44 µs/step of
+    tiny-op dispatch vs 0.6 µs in the fused plant kernel —
+    ``ops.rigid_plant_pallas.rigid_body_rollout_fused``). It must match
+    ``step_fn`` semantics (kernel-vs-XLA parity 2e-8/step is pinned by
+    ``tests/test_rigid_plant_kernel.py``); linearisation stays a batched
+    ``jacfwd`` of ``step_fn``.
     """
     N, nu = U_init.shape
     nx = x0.shape[0]
@@ -68,11 +78,14 @@ def ilqr_solve(
     step_jac = jax.vmap(jax.jacfwd(step_fn, argnums=(0, 1)))
 
     def rollout(U):
-        def body(x, u):
-            xn = step_fn(x, u)
-            return xn, xn
+        if rollout_fn is not None:
+            X_tail = rollout_fn(x0, U)
+        else:
+            def body(x, u):
+                xn = step_fn(x, u)
+                return xn, xn
 
-        _, X_tail = jax.lax.scan(body, x0, U)
+            _, X_tail = jax.lax.scan(body, x0, U)
         return jnp.concatenate([x0[None, :], X_tail], axis=0)
 
     zeros_c = jnp.zeros((N, nx), U_init.dtype)
@@ -179,13 +192,22 @@ class ILQRRigidBodyMPC:
     start carries convergence across ticks — measured on v5e, circle-task
     closed-loop RMS is IDENTICAL (0.6049 m) at 6/3/2/1 iterations while
     the tick costs 2749/1479/1056/469 µs; 3 keeps a safety margin over
-    the single-iteration floor for cold transients."""
+    the single-iteration floor for cold transients.
+
+    ``integrator="rk4"`` is the recommended FLIGHT configuration: the
+    internal model becomes the true plant step and the solve's forward
+    rollouts run in the fused Pallas plant kernel on TPU
+    (``ops.rigid_plant_pallas``), which is simultaneously more accurate
+    AND faster than the Euler default (staged tick 947 → ~354 µs at RMS
+    0.5668 → 0.5081 on the bench circle task; the Euler default is kept
+    for construction-cost-sensitive uses and historical parity rows)."""
 
     def __init__(self, dt: float = 0.02, horizon: int = 15,
                  iterations: int = 3, reg: float = 1e-2,
-                 parallel: bool = False, dtype=jnp.float32):
+                 parallel: bool = False, dtype=jnp.float32,
+                 integrator: str = "euler"):
         from ..models.params import X500_PARAMS
-        from ..models.rigid_body import rigid_body_derivative
+        from ..models.rigid_body import rigid_body_derivative, rigid_body_rk4_step
 
         self.params = X500_PARAMS
         mg = self.params.mass * self.params.gravity
@@ -198,10 +220,46 @@ class ILQRRigidBodyMPC:
 
         p = self.params
 
-        def step(x, u):
-            return x + dt * rigid_body_derivative(x, u, p)
+        # integrator="euler" (default) keeps the historical engine: cheap
+        # per-stage jacfwd, but its plan drifts from the RK4 plant — the
+        # policy-reuse tier inherits that drift as closed-loop RMS once K>2.
+        # integrator="rk4" makes the internal model IDENTICAL to the plant
+        # (rigid_body_rk4_step), so the dispatch plan is exact and the
+        # per-tick feedback only has to absorb the moving reference.
+        if integrator == "euler":
+            def step(x, u):
+                return x + dt * rigid_body_derivative(x, u, p)
+        elif integrator == "rk4":
+            def step(x, u):
+                return rigid_body_rk4_step(x, u, p, dt)
+        else:
+            raise ValueError(f"unknown integrator {integrator!r}")
+        self.integrator = integrator
 
         self.step_fn = step
+
+        # kernel-backed forward rollouts for the RK4 engine: the solve is
+        # rollout-dominated in XLA (N serial RK4 steps at ~44 µs each of
+        # tiny-op dispatch); the fused plant kernel rolls the same chain at
+        # 0.6 µs/step (parity 2e-8, tests/test_rigid_plant_kernel.py).
+        # f64 engines (solver-parity tests) keep the pure-XLA scan.
+        self.rollout_fn = None
+        if integrator == "rk4" and dtype == jnp.float32:
+            from ..ops.rigid_plant_pallas import rigid_body_rollout_fused
+
+            def roll(x0, U):
+                if jax.default_backend() == "cpu":
+                    def body(x, u):
+                        xn = step(x, u)
+                        return xn, xn
+
+                    _, X_tail = jax.lax.scan(body, x0, U)
+                    return X_tail
+                return rigid_body_rollout_fused(x0, U, p, dt,
+                                                interpret=False)
+
+            self.rollout_fn = roll
+
         # costs: mpc_FULL.py:264-276 / :352-360 (same as RigidBodyMPC)
         q = jnp.asarray(
             [12.0, 12.0, 18.0, 3.0, 3.0, 4.0, 2.0, 2.0, 1.5, 0.3, 0.3, 0.3],
@@ -237,6 +295,6 @@ class ILQRRigidBodyMPC:
             self.step_fn, x, U0, self.q_diag, self.r_diag, x_ref, u_ref,
             iterations=self.iterations, reg=self.reg,
             u_lower=self.u_lower, u_upper=self.u_upper,
-            parallel=self.parallel,
+            parallel=self.parallel, rollout_fn=self.rollout_fn,
         )
         return sol.U[0], sol.X, ILQRCarry(U_prev=sol.U)

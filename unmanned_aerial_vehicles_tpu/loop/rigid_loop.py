@@ -568,6 +568,15 @@ def ilqr_multitick_rollout(
     gracefully but the Euler-prediction-vs-RK4-plant mismatch accumulates,
     so the default is K=2 (<1.1 cm gap, half the solve cost).
 
+    With ``ILQRRigidBodyMPC(integrator="rk4")`` that mismatch is GONE —
+    the engine's internal model is the true plant step and its forward
+    rollouts run in the fused plant kernel — so the plan is exact and the
+    per-tick feedback only absorbs the moving reference. Measured (v5e,
+    iterations=1): K=2 76 µs/tick at RMS 0.5204 (BELOW the staged Euler
+    engine's 0.5668), K=4 41 µs at 0.5395, K=8 23 µs at 0.5703
+    (``ilqr12_multitick_rk4_*`` rows in
+    ``artifacts/controller_latency.json``).
+
     The ADMM/SQP warm-start result repeats here at dispatch granularity:
     with the shifted ``U_prev`` carried across dispatches, closed-loop RMS
     is ITERATION-INVARIANT down to ``iterations=1`` (measured on v5e at
@@ -601,6 +610,7 @@ def ilqr_multitick_rollout(
             iterations=eng.iterations, reg=eng.reg,
             u_lower=eng.u_lower, u_upper=eng.u_upper,
             parallel=eng.parallel,
+            rollout_fn=getattr(eng, "rollout_fn", None),
         )
 
         def one_tick(xc, k):
