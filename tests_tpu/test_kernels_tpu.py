@@ -448,3 +448,51 @@ def test_ilqr_kernel_rollout_parity_on_chip():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(sk.X), np.asarray(sx.X),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mppi_fused_sampling_kernel_on_chip():
+    """The Mosaic-compiled MPPI sampling kernel (all K rollouts + stage
+    costs in one dispatch, ops.mppi_pallas) matches the vmapped-XLA
+    rollout costs and produces the same control update — the substitution
+    that takes the MPPI tick 153 -> ~36 us/tick
+    (artifacts/controller_latency.json mppi12_* rows)."""
+    from unmanned_aerial_vehicles_tpu.control import MPPIConfig, MPPIController
+    from unmanned_aerial_vehicles_tpu.ops.mppi_pallas import (
+        mppi_rollout_costs_fused,
+    )
+
+    cfg = MPPIConfig(horizon=10, num_samples=128)
+    ctrl = MPPIController(cfg)
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(
+        np.concatenate([[0.4, -0.2, 3.0], rng.normal(0, 0.3, 3),
+                        rng.normal(0, 0.15, 3), rng.normal(0, 0.1, 3)]),
+        jnp.float32)
+    U = jnp.clip(
+        ctrl.u_hover[None, None, :]
+        + jnp.asarray(rng.normal(0, 1.0, (128, 10, 4)) *
+                      np.array([3.0, 0.05, 0.05, 0.02]), jnp.float32),
+        ctrl.u_lo, ctrl.u_hi)
+    targets = jnp.asarray(rng.normal(0, 0.5, (10, 3)) + [0, 0, 3.0],
+                          jnp.float32)
+    yaw = jnp.float32(0.3)
+    weights = (cfg.q_pos, cfg.q_vel, cfg.q_att, cfg.q_yaw, cfg.q_rate,
+               *cfg.r_control, cfg.terminal_weight)
+
+    got = np.asarray(jax.jit(lambda xx, UU: mppi_rollout_costs_fused(
+        xx, UU, targets, yaw, ctrl.params, cfg.dt, ctrl.u_hover, weights,
+        interpret=False))(x0, U))
+    want = np.asarray(jax.jit(jax.vmap(
+        lambda Us: ctrl._rollout_cost(x0, Us, targets, yaw)))(U))
+    # costs are O(1e3-1e5) sums of ~40 squared terms; f32 + Mosaic
+    # transcendental rounding
+    np.testing.assert_allclose(got, want, rtol=5e-4)
+
+    # end-to-end: the fused and vmapped solves pick the same control
+    mc = ctrl.init_carry(x0)
+    u_f, _, _ = jax.jit(ctrl.solve)(mc, x0, targets[0], yaw)
+    ctrl_v = MPPIController(MPPIConfig(horizon=10, num_samples=128,
+                                       fused_rollouts=False))
+    u_v, _, _ = jax.jit(ctrl_v.solve)(mc, x0, targets[0], yaw)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_v),
+                               rtol=1e-3, atol=1e-3)

@@ -166,7 +166,15 @@ def main():
     # 12-state family
     record("sqp_mpc12", rollout_12state(lambda: RigidBodyMPC()))
     record("ilqr12", rollout_12state(lambda: ILQRRigidBodyMPC()))
+    # default MPPI flies the fused sampling kernel (ops.mppi_pallas: all
+    # 512 rollouts + stage costs in ONE dispatch); the _xla_vmap row keeps
+    # the vmapped-scan baseline it replaced (u0 parity 2e-5)
     record("mppi12_512rollouts", rollout_12state(lambda: MPPIController()))
+    from unmanned_aerial_vehicles_tpu.control import MPPIConfig
+
+    record("mppi12_512rollouts_xla_vmap",
+           rollout_12state(lambda: MPPIController(
+               MPPIConfig(fused_rollouts=False))))
 
     # direct-rate MPC flies ITS OWN plant model (rate-command inputs, not
     # torques — tests/test_mpc_sqp.py idiom)

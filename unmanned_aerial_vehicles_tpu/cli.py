@@ -312,7 +312,8 @@ def _cmd_fly(args) -> int:
         # direct-rate12 is the body-rate-input engine
         # (mpc_direct_rates.py:76-922); ilqr12 runs the same task on the
         # Riccati-based iLQR engine instead of SQP+ADMM; mppi12 on the
-        # sampling-based MPPI controller (512 vmapped rollouts per tick).
+        # sampling-based MPPI controller (512 rollouts per tick, fused
+        # into one Pallas dispatch on TPU — ops.mppi_pallas).
         # --fast routes mpc12/direct-rate12 through the multitick tier
         # (loop.rigid_loop.sqp_multitick_rollout: per-dispatch
         # relinearisation, ~17-23 us/tick) and ilqr12 through the
