@@ -242,23 +242,16 @@ class ILQRRigidBodyMPC:
         # rollout-dominated in XLA (N serial RK4 steps at ~44 µs each of
         # tiny-op dispatch); the fused plant kernel rolls the same chain at
         # 0.6 µs/step (parity 2e-8, tests/test_rigid_plant_kernel.py).
-        # f64 engines (solver-parity tests) keep the pure-XLA scan.
+        # Only where Mosaic compiles (TPU backend — fixed once jax
+        # initialises, so decided here); f64 engines (solver-parity tests)
+        # and CPU/GPU keep ilqr_solve's pure-XLA scan (rollout_fn=None).
         self.rollout_fn = None
-        if integrator == "rk4" and dtype == jnp.float32:
+        if (integrator == "rk4" and dtype == jnp.float32
+                and jax.default_backend() == "tpu"):
             from ..ops.rigid_plant_pallas import rigid_body_rollout_fused
 
-            def roll(x0, U):
-                if jax.default_backend() == "cpu":
-                    def body(x, u):
-                        xn = step(x, u)
-                        return xn, xn
-
-                    _, X_tail = jax.lax.scan(body, x0, U)
-                    return X_tail
-                return rigid_body_rollout_fused(x0, U, p, dt,
-                                                interpret=False)
-
-            self.rollout_fn = roll
+            self.rollout_fn = lambda x0, U: rigid_body_rollout_fused(
+                x0, U, p, dt, interpret=False)
 
         # costs: mpc_FULL.py:264-276 / :352-360 (same as RigidBodyMPC)
         q = jnp.asarray(

@@ -108,12 +108,18 @@ class MPPIController:
         cfg = self.config
         if (not cfg.fused_rollouts or cfg.num_samples % 128
                 or self.dtype != jnp.float32
-                or jax.default_backend() == "cpu"):
+                or jax.default_backend() != "tpu"):
             return False
         p = self.params
         try:
+            # plant params AND cost/config leaves must be concrete: the
+            # kernel bakes all of them in as compile-time constants, and a
+            # vmapped weight/dt sweep (MPPIConfig is a flax struct) must
+            # fall back to the vmapped scan, which handles tracers
             for v in (p.mass, p.gravity, p.k_drag_linear, p.k_drag_angular,
-                      p.inertia_xx, p.inertia_yy, p.inertia_zz, *p.wind):
+                      p.inertia_xx, p.inertia_yy, p.inertia_zz, *p.wind,
+                      cfg.dt, cfg.q_pos, cfg.q_vel, cfg.q_att, cfg.q_yaw,
+                      cfg.q_rate, *cfg.r_control, cfg.terminal_weight):
                 float(v)
         except Exception:
             return False

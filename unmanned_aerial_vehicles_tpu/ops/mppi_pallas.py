@@ -36,64 +36,14 @@ _PI = 3.141592653589793
 
 def _make_mppi_kernel(n_steps, sub, dt, mass, gravity, k_lin, k_ang,
                       inertia, wind, u_hover, weights):
-    g = float(gravity)
-    m_ = float(mass)
-    kl = float(k_lin)
-    ka = float(k_ang)
-    ix, iy, iz = (float(v) for v in inertia)
-    wx, wy, wz = (float(v) for v in wind)
-    h = float(dt)
+    # the SAME in-kernel plant math as the single-trajectory rollout
+    # kernel — each operand a (sub, 128) sample block instead of a scalar
+    from .rigid_plant_pallas import make_plant_math
+
+    _, rk4 = make_plant_math(dt, mass, gravity, k_lin, k_ang, inertia, wind)
     uh = tuple(float(v) for v in u_hover)
     (q_pos, q_vel, q_att, q_yaw, q_rate, r0, r1, r2, r3,
      terminal_weight) = (float(v) for v in weights)
-
-    def deriv(s, u):
-        # identical math to rigid_plant_pallas._make_rollout_kernel.deriv,
-        # each operand a (sub, 128) vector over samples instead of a scalar
-        vx, vy, vz = s[3], s[4], s[5]
-        phi, th = s[6], s[7]
-        psi = s[8]
-        p, q, r = s[9], s[10], s[11]
-        T = u[0]
-        sphi, cphi = jnp.sin(phi), jnp.cos(phi)
-        sth, cth = jnp.sin(th), jnp.cos(th)
-        spsi, cpsi = jnp.sin(psi), jnp.cos(psi)
-        r02 = cphi * sth * cpsi + sphi * spsi
-        r12 = cphi * sth * spsi - sphi * cpsi
-        r22 = cphi * cth
-        ax_, ay_, az_ = vx - wx, vy - wy, vz - wz
-        sq = ax_ * ax_ + ay_ * ay_ + az_ * az_
-        speed = jnp.where(
-            sq > 0.0, jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0)), 0.0)
-        accx = (T * r02 - kl * speed * ax_) / m_
-        accy = (T * r12 - kl * speed * ay_) / m_
-        accz = (T * r22 - kl * speed * az_) / m_ - g
-        cth_safe = jnp.where(
-            jnp.abs(cth) < 1e-6, jnp.where(cth < 0.0, -1e-6, 1e-6), cth)
-        tth = jnp.tan(th)
-        dphi = p + q * sphi * tth + r * cphi * tth
-        dth = q * cphi - r * sphi
-        dpsi = (q * sphi + r * cphi) / cth_safe
-        gyx = q * (iz * r) - r * (iy * q)
-        gyy = r * (ix * p) - p * (iz * r)
-        gyz = p * (iy * q) - q * (ix * p)
-        dp = (u[1] - gyx - ka * p) / ix
-        dq = (u[2] - gyy - ka * q) / iy
-        dr = (u[3] - gyz - ka * r) / iz
-        return (vx, vy, vz, accx, accy, accz, dphi, dth, dpsi, dp, dq, dr)
-
-    def axpy(s, k, a):
-        return tuple(s[i] + a * k[i] for i in range(12))
-
-    def rk4(s, u):
-        k1 = deriv(s, u)
-        k2 = deriv(axpy(s, k1, 0.5 * h), u)
-        k3 = deriv(axpy(s, k2, 0.5 * h), u)
-        k4 = deriv(axpy(s, k3, h), u)
-        return tuple(
-            s[i] + (h / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
-            for i in range(12)
-        )
 
     def stage_cost(s, u, tx, ty, tz, yaw):
         ex, ey, ez = s[0] - tx, s[1] - ty, s[2] - tz
@@ -184,7 +134,7 @@ def mppi_rollout_costs_fused(
     recompile.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     K, N, _ = U_cand.shape
     if K % 128:
         raise ValueError(f"num_samples={K} must be a multiple of 128")

@@ -33,17 +33,23 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.params import RigidBodyParams
 
 
-def _make_rollout_kernel(n_steps, dt, substeps, mass, gravity,
-                         k_lin, k_ang, inertia, wind, interpret=False):
+def make_plant_math(h, mass, gravity, k_lin, k_ang, inertia, wind):
+    """Shared in-kernel rigid-body math: ``deriv(s, u, res)`` and
+    ``rk4(s, u, res)`` over 12-tuples of same-shaped operands (scalars in
+    the single-trajectory rollout kernel, ``(sub, 128)`` sample blocks in
+    the MPPI sampling kernel — the expressions are shape-polymorphic).
+    ``res`` is an optional 12-tuple of derivative residuals (``None``
+    skips the adds). One definition so a plant-model change cannot
+    silently diverge between the kernels that must match it."""
     g = float(gravity)
     m_ = float(mass)
     kl = float(k_lin)
     ka = float(k_ang)
     ix, iy, iz = (float(v) for v in inertia)
     wx, wy, wz = (float(v) for v in wind)
-    h = float(dt) / substeps
+    h = float(h)
 
-    def deriv(s, u, res):
+    def deriv(s, u, res=None):
         vx, vy, vz = s[3], s[4], s[5]
         phi, th = s[6], s[7]
         psi = s[8]
@@ -80,12 +86,14 @@ def _make_rollout_kernel(n_steps, dt, substeps, mass, gravity,
         dq = (u[2] - gyy - ka * q) / iy
         dr = (u[3] - gyz - ka * r) / iz
         d = (vx, vy, vz, accx, accy, accz, dphi, dth, dpsi, dp, dq, dr)
+        if res is None:
+            return d
         return tuple(d[i] + res[i] for i in range(12))
 
     def axpy(s, k, a):
         return tuple(s[i] + a * k[i] for i in range(12))
 
-    def rk4(s, u, res):
+    def rk4(s, u, res=None):
         k1 = deriv(s, u, res)
         k2 = deriv(axpy(s, k1, 0.5 * h), u, res)
         k3 = deriv(axpy(s, k2, 0.5 * h), u, res)
@@ -94,6 +102,14 @@ def _make_rollout_kernel(n_steps, dt, substeps, mass, gravity,
             s[i] + (h / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
             for i in range(12)
         )
+
+    return deriv, rk4
+
+
+def _make_rollout_kernel(n_steps, dt, substeps, mass, gravity,
+                         k_lin, k_ang, inertia, wind, interpret=False):
+    _, rk4 = make_plant_math(float(dt) / substeps, mass, gravity,
+                             k_lin, k_ang, inertia, wind)
 
     def kernel(x_ref, u_ref, res_ref, x_out_ref):
         zero = jnp.float32(0.0)
@@ -138,8 +154,10 @@ def _rollout_call(x_row, u_rows, res_rows, n_steps, dt, substeps,
 
 
 def _resolve_interpret(interpret):
+    # interpret everywhere Mosaic can't compile (CPU, GPU) — only the TPU
+    # backend lowers these kernels natively
     if interpret is None:
-        return jax.default_backend() == "cpu"
+        return jax.default_backend() != "tpu"
     return interpret
 
 
@@ -205,9 +223,9 @@ def rigid_body_rk4_step_fast(
     residual: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Backend-aware plant step: the fused kernel on TPU (0.6 us vs 44 us
-    staged), the plain XLA step on CPU (where Pallas interpret mode would
+    staged), the plain XLA step elsewhere (CPU/GPU — interpret mode would
     be slower than XLA). Semantics identical either way."""
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() != "tpu":
         from ..models.rigid_body import rigid_body_rk4_step
 
         x = state
