@@ -47,6 +47,15 @@ B, N, P, D_IN, D_OUT = 1024, 20, 800, 10, 6
 ADMM_ITERS = 10
 I1, I2 = 20, 120
 PEAK_BF16 = 197e12  # v5e-1 spec
+# spec clamps for measured ceilings: the tunnel's timing jitter can FAKE a
+# rate above hardware peak (observed: a dependent-chain bf16 pass at 306
+# TFLOP/s on a 197-peak chip), and an inflated ceiling silently deflates
+# every floor built on it. A measured rate is only trusted up to spec.
+RATE_CLAMPS = {
+    "mxu_bf16": PEAK_BF16,
+    "mxu_f32hi": PEAK_BF16 / 6.0,   # HIGHEST = 6 bf16 passes
+    "hbm_gbs": 819.0,               # v5e HBM spec GB/s
+}
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -199,6 +208,70 @@ def main():
     mk_bf16, Mx_bf16 = make_mm(jax.lax.Precision.DEFAULT, jnp.bfloat16)
     mk_f32, Mx_f32 = make_mm(jax.lax.Precision.HIGHEST, jnp.float32)
 
+    # -- dist-tail in-situ ablation pair (see gp_elem_tail_us) --------------
+    # the row-layout fused kernel's exact shapes: (P_pad, TTILE) k_star
+    # blocks over an m = B*N grid; the two variants differ ONLY in the dist
+    # tail (broadcast norm adds + max + -0.5 scale), so the slope
+    # difference is that tail's real fused cost — fusion into the exp's
+    # register pass and all.
+    TTILE = 512
+    P_pad_probe = -(-P // 128) * 128
+    C_probe = 16
+    m_probe = B * N
+
+    def _tail_kernel(with_tail):
+        def kernel(zt_ref, sq1_ref, ztr_ref, sq2_ref, a_ref, out_ref):
+            cross = jax.lax.dot_general(
+                ztr_ref[:], zt_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )                                       # (P_pad, TTILE)
+            if with_tail:
+                d = jnp.maximum(sq2_ref[:, 0:1] + sq1_ref[:] + cross, 0.0)
+                k = jnp.exp(-0.5 * d)
+            else:
+                k = jnp.exp(cross)
+            out_ref[:] = jax.lax.dot_general(
+                a_ref[:], k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        return kernel
+
+    ztr_probe = jnp.asarray(
+        rng.normal(size=(P_pad_probe, C_probe)), jnp.bfloat16)
+    sq2_probe = jnp.asarray(
+        np.abs(rng.normal(size=(P_pad_probe, 8))), jnp.float32)
+    a_probe = jnp.asarray(rng.normal(size=(8, P_pad_probe)), jnp.float32)
+
+    def tail_probe(X, with_tail):
+        # X: (B*N, D_IN) — reuse the stage input so reps vary the operand
+        zt = jnp.zeros((m_probe, C_probe), jnp.bfloat16).at[
+            :, :D_IN].set(-X.astype(jnp.bfloat16))
+        sq1 = jnp.sum(X * X, axis=1).reshape(1, m_probe)
+        out = pl.pallas_call(
+            _tail_kernel(with_tail),
+            out_shape=jax.ShapeDtypeStruct((8, m_probe), jnp.float32),
+            grid=(m_probe // TTILE,),
+            in_specs=[
+                pl.BlockSpec((TTILE, C_probe), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TTILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P_pad_probe, C_probe), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P_pad_probe, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, P_pad_probe), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, TTILE), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+        )(zt, sq1, ztr_probe, sq2_probe, a_probe)
+        return out
+
     # ---------------- per-stage measured times ----------------
     paths = __import__("glob").glob("/root/reference/gp_datasets/*.csv")
     if paths:
@@ -318,6 +391,20 @@ def main():
         t_wo = slope(make_exp_probe(False), lambda r: (Xe + 0.01 * r,),
                      lengths=(200, 1200))
         p["exp_rate"] = EROWS * ELANES / max(t_w - t_wo, 0.25 * t_w)
+        # the kernels' non-exp elementwise work over k_star (the broadcast
+        # norm adds + max + -0.5 scale) has NO honest throughput ceiling to
+        # divide by — Mosaic fuses elementwise chains into the exp's own
+        # register pass, so a standalone vector-op loop UNDER-measures the
+        # fused rate and its "floor" lands above measured stages (observed:
+        # 43.9 us "floor" vs a 45.8 us whole stage). Instead the tail's
+        # real in-situ cost is measured as a kernel-pair ABLATION at the
+        # exact fused shapes: the row-layout dist+exp+alpha kernel vs the
+        # identical kernel with the dist tail removed (k = exp(cross)).
+        t_tail = slope(chain(lambda X: tail_probe(X, True)),
+                       lambda r: (Xt + 0.01 * r,))
+        t_notail = slope(chain(lambda X: tail_probe(X, False)),
+                         lambda r: (Xt + 0.01 * r,))
+        p["gp_elem_tail_us"] = max(t_tail - t_notail, 0.0) * 1e6
         p["mxu_bf16"] = fl / slope(
             mk_bf16, lambda r: (Mx_bf16 + jnp.bfloat16(0.001 * r),),
             lengths=(40, 400))
@@ -345,6 +432,9 @@ def main():
         return p
 
     runs = [one_pass() for _ in range(PASSES)]
+    for r in runs:   # spec clamp BEFORE any reduction (see RATE_CLAMPS)
+        for k, cap in RATE_CLAMPS.items():
+            r[k] = min(r[k], cap)
     rate_keys = {"hbm_gbs", "exp_rate", "mxu_bf16", "mxu_f32hi"}
     best = {}
     spread_pct = {}
@@ -413,22 +503,27 @@ def main():
         + nx * 6 + nx * nx + n_ctrl * nx + n_ctrl * nx + n_ctrl * n_ctrl
         + n_ctrl * nx
     )
-    floors = {
-        "gp_exp_floor_us": round(exps_padded / exp_rate * 1e6, 1),
-        "gp_mxu_dist_floor_us_high": round(
-            2 * (dist_macs_high + alpha_macs) / mxu_bf16 * 1e6, 1),
-        "gp_hbm_floor_us_fused": round(
-            (B * N * (D_IN + D_OUT) * 4 * 4) / (hbm_gbs * 1e9) * 1e6, 1),
-        "gp_hbm_floor_us_staged_kstar_roundtrip": round(
-            (2 * B * N * P * 4) / (hbm_gbs * 1e9) * 1e6, 1),
-        "controller_mxu_floor_us_bf16": round(2 * ctrl_macs / mxu_bf16 * 1e6, 1),
-        "gp_floor_us_high": None,  # filled below: max(component floors)
-    }
-    floors["gp_floor_us_high"] = round(max(
-        floors["gp_exp_floor_us"],
-        floors["gp_mxu_dist_floor_us_high"],
-        floors["gp_hbm_floor_us_fused"],
-    ), 1)
+
+    def floors_of(hbm, erate, mxu):
+        f = {
+            "gp_exp_floor_us": round(exps_padded / erate * 1e6, 1),
+            "gp_mxu_dist_floor_us_high": round(
+                2 * (dist_macs_high + alpha_macs) / mxu * 1e6, 1),
+            "gp_hbm_floor_us_fused": round(
+                (B * N * (D_IN + D_OUT) * 4 * 4) / (hbm * 1e9) * 1e6, 1),
+            "gp_hbm_floor_us_staged_kstar_roundtrip": round(
+                (2 * B * N * P * 4) / (hbm * 1e9) * 1e6, 1),
+            "controller_mxu_floor_us_bf16": round(
+                2 * ctrl_macs / mxu * 1e6, 1),
+        }
+        f["gp_floor_us_high"] = round(max(
+            f["gp_exp_floor_us"],
+            f["gp_mxu_dist_floor_us_high"],
+            f["gp_hbm_floor_us_fused"],
+        ), 1)
+        return f
+
+    floors = floors_of(hbm_gbs, exp_rate, mxu_bf16)
     # self-check: every floor must sit at-or-below its measured stage
     checks = {
         "gp_floor_us_high <= gp_fused_high_us":
@@ -458,11 +553,19 @@ def main():
             f"streams at {exp_rate / 1e12:.1f} Texp/s, so the "
             f"{exps_padded / 1e6:.0f}M padded exps floor at "
             f"{floors['gp_exp_floor_us']} us — not the 98 us the round-4 "
-            "HBM-masked bound implied. The fused GP stage's remaining "
+            "HBM-masked bound implied; the non-exp elementwise dist tail "
+            "over the same block (broadcast norm adds + max + scale) SUMS "
+            "with the exp on the VPU — its real fused cost is measured as "
+            "a kernel-pair ablation at the exact shapes (a standalone "
+            "vector-op loop is NOT a valid ceiling: Mosaic fuses the tail "
+            "into the exp's register pass). The fused GP stage's remaining "
             "cost above its component floors is the alpha-contraction "
             "limb machinery (k_star mantissa splits + limb dots, ~33 us "
             "by ablation at 'high') plus per-block fixed overhead; a "
-            "row-layout cross-only variant ships for the 'default' tier "
+            "row-layout cross-only variant ships for the 'default' tier, "
+            "and the 'highest' tier's alpha dot is the MXU's native "
+            "6-pass HIGHEST (same product set as the manual 3-limb "
+            "scheme, no VPU splits — measured 126 -> 91 us/step) "
             "(per-dim cancellation kept at 'high'/'highest' for the "
             "~2^-17 accuracy claim). The controller kernel is a "
             "10-iteration dependent-chain of (1024,128)x(128,128) "
@@ -488,25 +591,52 @@ def main():
     # measured (serial-ADMM issue-bound; composing the chain measured no
     # gain, so the measured time IS the shape's cap). alloc/plant + glue:
     # measured.
-    limb_machinery_us = max(
-        stages["gp_fused_high_us"] - stages["gp_fused_default_us"], 0.0)
-    cap_us = (floors["gp_floor_us_high"] + limb_machinery_us
-              + stages["controller_kernel_us"] + stages["alloc_plant_us"]
-              + stages["sweep_glue_us_per_step"])
-    gap_pct = 100.0 * abs(cap_us - stages["whole_sweep_us_per_step"]) \
-        / stages["whole_sweep_us_per_step"]
+    # Same-pass computation: the tunnel's delivered throughput drifts ~2x
+    # on minute scales, so a cap summed from different passes' best fields
+    # is incoherent (observed: a min-stage sum 20% below a min-whole-sweep
+    # from another pass). Each pass is internally consistent — compute the
+    # cap and its gap WITHIN each pass and publish the median-gap pass.
+    per_pass = []
+    for r in runs:
+        fl_p = floors_of(r["hbm_gbs"], r["exp_rate"], r["mxu_bf16"])
+        limb_us = max(r["gp_fused_high_us"] - r["gp_fused_default_us"], 0.0)
+        # GP component: the VPU is one unit — the exp floor and the
+        # measured in-situ dist-tail cost (kernel-pair ablation at the
+        # fused shapes) SUM; MXU dist dot and HBM can overlap it
+        gp_comp = max(fl_p["gp_exp_floor_us"] + r["gp_elem_tail_us"],
+                      fl_p["gp_mxu_dist_floor_us_high"],
+                      fl_p["gp_hbm_floor_us_fused"])
+        cap = (gp_comp + limb_us
+               + r["controller_kernel_us"] + r["alloc_plant_us"]
+               + max(r["sweep_glue_us_per_step"], 0.0))
+        gap = 100.0 * abs(cap - r["whole_sweep_us_per_step"]) \
+            / r["whole_sweep_us_per_step"]
+        per_pass.append((gap, cap, limb_us, gp_comp, fl_p, r))
+    per_pass.sort(key=lambda t: t[0])
+    gap_pct, cap_us, limb_machinery_us, gp_comp_med, fl_med, r_med = \
+        per_pass[len(per_pass) // 2]
     result["effective_cap"] = {
-        "gp_floor_us": floors["gp_floor_us_high"],
+        "note": (
+            "all fields from ONE internally-consistent measurement pass "
+            "(median cap-vs-measured gap across passes) — cross-pass "
+            "best-field sums drift apart under the tunnel's ~2x "
+            "throughput swings"
+        ),
+        "gp_component_us": round(gp_comp_med, 1),
+        "gp_exp_floor_us": fl_med["gp_exp_floor_us"],
+        "gp_elem_tail_us_measured_ablation": round(
+            r_med["gp_elem_tail_us"], 1),
+        "gp_floor_us": fl_med["gp_floor_us_high"],
         "gp_limb_machinery_us_measured_ablation": round(limb_machinery_us, 1),
         "controller_us_measured_issue_bound": round(
-            stages["controller_kernel_us"], 1),
-        "alloc_plant_us_measured": round(stages["alloc_plant_us"], 1),
-        "glue_us_measured": round(stages["sweep_glue_us_per_step"], 1),
+            r_med["controller_kernel_us"], 1),
+        "alloc_plant_us_measured": round(r_med["alloc_plant_us"], 1),
+        "glue_us_measured": round(r_med["sweep_glue_us_per_step"], 1),
         "cap_us_per_step": round(cap_us, 1),
         "cap_mfu_pct": round(
             100.0 * flops_tick / (cap_us * 1e-6) / PEAK_BF16, 2),
         "measured_whole_sweep_us_per_step": round(
-            stages["whole_sweep_us_per_step"], 1),
+            r_med["whole_sweep_us_per_step"], 1),
         "cap_vs_measured_gap_pct": round(gap_pct, 1),
         "self_consistent_within_noise": bool(gap_pct <= 15.0),
     }
