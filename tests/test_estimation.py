@@ -254,6 +254,33 @@ def test_noisy_multitick_matches_staged(K):
     Pf = np.asarray(frozen["final_covariance"])
     assert np.isfinite(Pf).all()
 
+    # opt-in bf16 covariance-propagation dots (EKFConfig.cov_precision):
+    # the rounding enters only the covariance (Kalman-gain quality), never
+    # the estimate arithmetic directly — P must stay finite/symmetric-ish
+    # and the truth trajectory must stay within a bounded drift of the
+    # staged filter at BOTH dispatch lengths
+    bf16 = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc_f, _circle, steps, jax.random.PRNGKey(0),
+            ekf_cfg=EKFConfig(cov_precision="bf16"),
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=K),
+        )
+    )()
+    gap_bf16 = np.abs(
+        np.asarray(staged["state"][:, 0:3])
+        - np.asarray(bf16["state"][:, 0:3])
+    ).max()
+    assert gap_bf16 < 2e-2, gap_bf16         # bounded drift (CPU interpret
+    # runs the dots in f32, so the real bf16 bound is pinned on-chip in
+    # tests_tpu::test_noisy_multitick_bf16_cov_on_chip)
+    est_err_b = np.linalg.norm(
+        np.asarray(bf16["state_est"][:, 0:3] - bf16["state"][:, 0:3]), axis=1
+    )
+    assert est_err_b[80:].mean() < 0.05      # filter still converges
+    Pb = np.asarray(bf16["final_covariance"])
+    assert np.isfinite(Pb).all()
+    np.testing.assert_allclose(Pb, Pb.T, atol=1e-4)
+
 
 def test_noisy_multitick_rejects_residual_fn():
     """The multi-tick noisy path computes the GP in-kernel: a staged
@@ -276,6 +303,24 @@ def test_noisy_multitick_rejects_residual_fn():
         assert "gp_posterior" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_noisy_multitick_rejects_bad_cov_precision():
+    """Unknown EKFConfig.cov_precision fails loudly with the choices named
+    (a typo must not silently fly the HIGHEST path)."""
+    from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
+
+    mpc = LinearMPC(
+        LinearMPCConfig(horizon=5, admm_iterations=10,
+                        use_fused_controller=True),
+        dtype=jnp.float32,
+    )
+    with pytest.raises(ValueError, match="cov_precision"):
+        noisy_mpc_flight_rollout(
+            mpc, _circle, 8, jax.random.PRNGKey(0),
+            ekf_cfg=EKFConfig(cov_precision="fp8"),
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+        )
 
 
 def test_noisy_loop_matches_ideal_with_clean_sensors():

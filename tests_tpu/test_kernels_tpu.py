@@ -227,6 +227,40 @@ def test_noisy_multitick_kernel_on_chip():
     assert _pos_gap(staged, fused) < 1e-3
 
 
+def test_noisy_multitick_bf16_cov_on_chip():
+    """EKFConfig.cov_precision='bf16': the covariance-propagation dots run
+    single-pass bf16 on the REAL MXU (CPU interpret executes them in f32,
+    so only this test sees the actual rounding). The drift vs the staged
+    f32 filter must stay bounded and the covariance finite + symmetric-ish
+    over whole dispatches."""
+    from unmanned_aerial_vehicles_tpu.estimation import (
+        EKFConfig,
+        noisy_mpc_flight_rollout,
+    )
+
+    mpc = fused_mpc()
+    key = jax.random.PRNGKey(0)
+    staged = jax.jit(
+        lambda: noisy_mpc_flight_rollout(mpc, circle_ref, 240, key)
+    )()
+    bf16 = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc, circle_ref, 240, key,
+            ekf_cfg=EKFConfig(cov_precision="bf16"),
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+        )
+    )()
+    gap = _pos_gap(staged, bf16)
+    assert gap < 2e-2, gap
+    P = np.asarray(bf16["final_covariance"])
+    assert np.isfinite(P).all()
+    np.testing.assert_allclose(P, P.T, atol=1e-3)
+    est_err = np.linalg.norm(
+        np.asarray(bf16["state_est"][:, 0:3] - bf16["state"][:, 0:3]), axis=1
+    )
+    assert est_err[80:].mean() < 0.05
+
+
 def test_batched_controller_kernel_on_chip():
     from unmanned_aerial_vehicles_tpu.loop.closed_loop import (
         batched_mpc_flight_sweep,

@@ -19,7 +19,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -511,6 +514,31 @@ def main():
         return run
 
     record("ekf_mpc_fused_multitick_relin_dispatch", make_noisy_dispatch)
+
+    # fastest EKF mode: dispatch cadence + bf16 covariance-propagation dots
+    # (EKFConfig.cov_precision="bf16" — the 5 (128,128) Riccati-chain dots
+    # run single-pass; drift bounded on chip in
+    # tests_tpu::test_noisy_multitick_bf16_cov_on_chip)
+    def make_noisy_bf16(T):
+        @jax.jit
+        def run(x_jitter):
+            x0 = (jnp.zeros(12, jnp.float32)
+                  .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+            outs = noisy_mpc_flight_rollout(
+                mpc_f, ref, T, jax.random.PRNGKey(0),
+                ekf_cfg=EKFConfig(relinearize_every="dispatch",
+                                  cov_precision="bf16"),
+                cfg=FlightLoopConfig(use_fused_tick=True,
+                                     ticks_per_dispatch=20,
+                                     fused_tick_loop_precision="default"),
+                initial_state=x0,
+            )
+            e = outs["pos_ref"] - outs["state"][:, 0:3]
+            return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+        return run
+
+    record("ekf_mpc_fused_multitick_bf16_cov", make_noisy_bf16)
 
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "artifacts",

@@ -640,13 +640,16 @@ def _cmd_fly(args) -> int:
                 print("--noisy supports the in-dynamics GP mode only "
                       "(--gp-mode dynamics)", file=sys.stderr)
                 return 1
-            from .estimation import noisy_mpc_flight_rollout
+            from .estimation import EKFConfig, noisy_mpc_flight_rollout
 
+            ekf_cfg = EKFConfig(relinearize_every=args.ekf_relin,
+                                cov_precision=args.ekf_cov)
             outs = jax.jit(
                 lambda: noisy_mpc_flight_rollout(
                     mpc, ref, num_steps, jax.random.PRNGKey(args.seed),
                     cfg=cfg, residual_fn=residual_fn, preview=args.preview,
                     gp_posterior=gp_posterior, gp_gain=gp_gain,
+                    ekf_cfg=ekf_cfg,
                 )
             )()
         else:
@@ -1126,6 +1129,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(estimation/; mpc and gp-mpc controllers)")
     f.add_argument("--seed", type=int, default=0,
                    help="sensor-noise PRNG seed (--noisy)")
+    f.add_argument("--ekf-relin", choices=("tick", "dispatch"),
+                   default="tick",
+                   help="EKF process-Jacobian cadence on the fused tier "
+                        "(--noisy --fast): per-tick exact (default) or "
+                        "frozen per dispatch (cheaper, bounded drift)")
+    f.add_argument("--ekf-cov", choices=("highest", "bf16"),
+                   default="highest",
+                   help="precision of the fused EKF's covariance-"
+                        "propagation dots (--noisy --fast): 6-pass HIGHEST "
+                        "(default) or single-pass bf16")
     f.set_defaults(fn=_cmd_fly)
 
     m = sub.add_parser("mission", help="full phase-machine mission")

@@ -68,6 +68,15 @@ class EKFConfig:
     # cost (~4e-4 m over 240 ticks at K=8, bounded in tests) is acceptable.
     # The staged path always relinearises per tick.
     relinearize_every: str = "tick"
+    # Precision of the fused kernel's covariance-propagation dots (the RK4
+    # Jacobian chain + F P F'): "highest" (6-pass, matches the staged filter
+    # to f32 rounding) or "bf16" (single-pass MXU). bf16 rounding enters only
+    # the covariance — the measurement fusion stays f32 scalar updates and Q
+    # re-regularises P every tick — so it degrades the Kalman gain slightly
+    # rather than the estimate directly; drift vs the staged filter is
+    # bounded at K=8 AND K=20 in tests/test_estimation.py. The staged path
+    # ignores this knob (XLA f32 covariance).
+    cov_precision: str = "highest"
 
     def q_diag(self) -> jnp.ndarray:
         g = lambda v: jnp.full(3, v, jnp.float32) ** 2

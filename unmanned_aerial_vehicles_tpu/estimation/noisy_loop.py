@@ -322,6 +322,11 @@ def _fused_noisy_multitick_rollout(
     once-per-dispatch linearisation (state prediction stays per-tick
     exact; only the covariance sees the frozen F) when its small bounded
     drift is an acceptable price for dropping the per-tick Jacobian work.
+    ``EKFConfig.cov_precision="bf16"`` additionally runs the covariance-
+    propagation dots (RK4 Jacobian chain + F P F') single-pass on the MXU
+    instead of 6-pass HIGHEST — the rounding enters the Kalman gain, not
+    the estimate arithmetic, and Q re-regularises P every tick (drift
+    bounded on chip in ``tests_tpu``).
     The measurement-noise stream reproduces the staged loop's PRNG scheme
     exactly (same keys, same draws), so trajectories are comparable
     draw-for-draw.
@@ -348,6 +353,12 @@ def _fused_noisy_multitick_rollout(
             "within each multi-tick dispatch)"
         )
     relin_per_tick = ekf_cfg.relinearize_every == "tick"
+    if ekf_cfg.cov_precision not in ("highest", "bf16"):
+        raise ValueError(
+            f"EKFConfig.cov_precision={ekf_cfg.cov_precision!r}: "
+            "expected 'highest' (6-pass, staged-parity) or 'bf16' "
+            "(single-pass covariance dots)"
+        )
     K = cfg.ticks_per_dispatch
     if num_steps % K != 0:
         raise ValueError(f"num_steps={num_steps} not divisible by "
@@ -382,6 +393,7 @@ def _fused_noisy_multitick_rollout(
         n=N, nu=CONTROL_DIM, nx=STATE_DIM,
         interpret=jax.default_backend() == "cpu",
         relinearize_per_tick=relin_per_tick,
+        cov_precision=ekf_cfg.cov_precision,
     )
 
     # EKF constants in kernel layouts

@@ -834,7 +834,8 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                                  fallback_error_m=0.0,
                                  fallback_thrust_ceiling=1.5,
                                  fallback_accel_scale=1.5, interpret=False,
-                                 relin_per_tick=True):
+                                 relin_per_tick=True,
+                                 cov_precision=jax.lax.Precision.HIGHEST):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -845,6 +846,12 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
 
     dot = _dot(jax.lax.Precision.HIGHEST)
     dot_loop = _dot(loop_precision)
+    # covariance-propagation dots (the RK4 Jacobian chain + F P F'):
+    # optionally bf16 single-pass — P's conditioning is regularised every
+    # tick by the Q addition and the scalar-fusion update stays f32, so the
+    # bf16 rounding shows up as bounded estimate noise, not PSD collapse
+    # (drift bounded at K=8 AND K=20 in tests/test_estimation.py)
+    dot_cov = _dot(cov_precision)
     Nnu, Nnx = N * nu, N * nx
     two_pi = 2.0 * jnp.pi
 
@@ -872,9 +879,9 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             J2 = _jac_padded(x2, prev_c, plant, PK)
             J3 = _jac_padded(x3, prev_c, plant, PK)
             J4 = _jac_padded(x4, prev_c, plant, PK)
-            K2 = J2 + 0.5 * dt * dot(J2, K1)
-            K3 = J3 + 0.5 * dt * dot(J3, K2)
-            K4 = J4 + dt * dot(J4, K3)
+            K2 = J2 + 0.5 * dt * dot_cov(J2, K1)
+            K3 = J3 + 0.5 * dt * dot_cov(J3, K2)
+            K4 = J4 + dt * dot_cov(J4, K3)
             return (dt / 6.0) * (K1 + 2.0 * K2 + 2.0 * K3 + K4)
 
         if not relin_per_tick:
@@ -929,8 +936,8 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             Fd = (_fd_chain(ex, prev_c, x2, x3, x4)   # F = I + Fd
                   if relin_per_tick else fd_frozen)
             # (I+Fd) P (I+Fd)' + Q with P symmetric: no materialised identity
-            FdP = dot(Fd, P)
-            P_pred = P + FdP + FdP.T + dot(FdP, Fd.T) + Qmat
+            FdP = dot_cov(Fd, P)
+            P_pred = P + FdP + FdP.T + dot_cov(FdP, Fd.T) + Qmat
 
             # ---- EKF update: 9 sequential scalar measurement fusions -----
             wrap = lambda a: (a + jnp.pi) % two_pi - jnp.pi
@@ -1100,7 +1107,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         "dt", "substeps", "accel_lo", "accel_hi", "yawrate_limit",
         "interpret", "loop_precision", "n", "nu", "nx",
         "fallback_error_m", "fallback_thrust_ceiling",
-        "fallback_accel_scale", "relinearize_per_tick",
+        "fallback_accel_scale", "relinearize_per_tick", "cov_precision",
     ),
 )
 def gpmpc_noisy_multitick_fused(
@@ -1139,6 +1146,7 @@ def gpmpc_noisy_multitick_fused(
     fallback_thrust_ceiling: float = 1.5,
     fallback_accel_scale: float = 1.5,
     relinearize_per_tick: bool = True,
+    cov_precision: str = "highest",
 ):
     """K whole noisy ticks (EKF + MPC + allocation + plant) per dispatch.
 
@@ -1171,6 +1179,9 @@ def gpmpc_noisy_multitick_fused(
         fallback_accel_scale=fallback_accel_scale,
         interpret=interpret,
         relin_per_tick=relinearize_per_tick,
+        cov_precision=(jax.lax.Precision.DEFAULT
+                       if cov_precision == "bf16"
+                       else jax.lax.Precision.HIGHEST),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if gp is None:  # placeholder rows keep the arg list static
