@@ -11,6 +11,7 @@ from .monte_carlo import (
     MonteCarloConfig,
     monte_carlo_flights,
     monte_carlo_mpc,
+    monte_carlo_mpc12,
     monte_carlo_pid,
     robustness_stats,
     sample_conditions,
@@ -34,6 +35,7 @@ __all__ = [
     "MonteCarloConfig",
     "monte_carlo_flights",
     "monte_carlo_mpc",
+    "monte_carlo_mpc12",
     "monte_carlo_pid",
     "robustness_stats",
     "sample_conditions",

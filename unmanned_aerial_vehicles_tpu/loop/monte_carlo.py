@@ -217,3 +217,103 @@ def monte_carlo_mpc(
     return monte_carlo_flights(
         flight, reference_fn, num_steps, mc, body, rate_loop, loop_cfg
     )
+
+
+def monte_carlo_mpc12(
+    engine,
+    reference_fn: Callable,
+    num_steps: int,
+    mc: MonteCarloConfig = MonteCarloConfig(),
+    body: RigidBodyParams | None = None,
+    ticks_per_dispatch: int = 8,
+    admm_iterations: int = 30,
+    dt: float = 0.02,
+    takeoff_height: float = 3.0,
+    use_fallback: bool = True,
+) -> dict:
+    """12-state-family population study: the multitick tier under a
+    dispersed TRUE plant.
+
+    ``engine`` is a nominal-model controller (``control.mpc_rigid
+    .RigidBodyMPC`` torque engine — the reference's ``mpc_FULL.py:86-549``
+    formulation); each sample's true plant is a jittered
+    ``RigidBodyParams`` (mass / drag / wind, log-normal per
+    ``MonteCarloConfig``) stepped by ``models.rigid_body_rk4_step`` while
+    the controller keeps flying its NOMINAL model — the controller-side
+    mismatch is the point of the study. The whole population is ONE
+    ``vmap`` of ``loop.rigid_loop.sqp_multitick_rollout`` (pure XLA at
+    this tier, so the batch axis adds no recompiles and shards over a
+    mesh like ``parallel.sweep``).
+
+    NOTE ``X500_PARAMS`` has zero drag, so wind (which enters through the
+    airspeed drag term) is inert there — pass a drag-carrying ``body``
+    (e.g. ``GZ_QUADROTOR_PARAMS``-class values at your mass) for the wind
+    axis to bite, or rely on the mass / initial-state axes.
+
+    ``use_fallback`` arms ``make_attitude_recovery_fallback`` (the
+    reference's emergency-hover semantics) per tick, clamped to the
+    vehicle's physical thrust ceiling. Measured finding (v5e, 64-member
+    mass dispersion): the nominal-model torque MPC has an ASYMMETRIC
+    robustness cliff — members whose hover demand reaches the engine's
+    1.2x-nominal thrust bound (``mpc_FULL.py`` parity constant; ~+17 %
+    mass) pin thrust at the bound, sag, wind up the bound's ADMM duals
+    across warm-started dispatches and eventually tip, while LIGHT members
+    only degrade gracefully (steady-state sag proportional to the mass
+    error — the engine has no integral action, also reference-faithful).
+    The guard keeps crashed members' states finite; it cannot save a
+    vehicle whose hover demand exceeds its actuators.
+
+    ``reference_fn(t) -> (pos (3,), yaw)``; returns ``robustness_stats``.
+    """
+    from ..models.rigid_body import rigid_body_rk4_step
+    from .rigid_loop import (
+        make_attitude_recovery_fallback,
+        sqp_multitick_rollout,
+    )
+
+    if body is None:
+        from ..models import X500_PARAMS
+
+        body = X500_PARAMS
+    N = engine.mpc.config.horizon
+    key = jax.random.PRNGKey(mc.seed)
+    bodies, _, x0 = sample_conditions(
+        key, mc, body, RateLoopParams(), takeoff_height
+    )
+
+    def ref_ticks(ticks):
+        ts = ticks.astype(jnp.float32) * dt
+        pos = jax.vmap(lambda t: jnp.asarray(reference_fn(t)[0],
+                                             jnp.float32))(ts)
+        stage = jnp.concatenate(
+            [pos, jnp.zeros((ts.shape[0], 9), jnp.float32)], axis=1
+        )
+        return jnp.tile(stage[:, None, :], (1, N, 1))
+
+    # the guard compensates gravity with the NOMINAL mass — the controller
+    # doesn't get to peek at the sampled plant — and its thrust is clamped
+    # to the same 1.2x-nominal actuator ceiling the engine's bounds model
+    fallback = (
+        make_attitude_recovery_fallback(
+            body, thrust_max=1.2 * body.mass * body.gravity)
+        if use_fallback else None
+    )
+
+    def flight(b, x0_i):
+        plant = lambda x, u: rigid_body_rk4_step(x, u, b, dt)
+        outs = sqp_multitick_rollout(
+            engine.mpc, engine.cost, ref_ticks, plant, x0_i, num_steps,
+            ticks_per_dispatch=ticks_per_dispatch,
+            admm_iterations=admm_iterations, u_init=engine.u_hover,
+            fallback_fn=fallback,
+        )
+        return outs["state"]
+
+    states = jax.vmap(flight)(bodies, x0)          # (B, T, 12)
+    ts = jnp.arange(num_steps, dtype=jnp.float32) * dt
+    pos_ref = jax.vmap(
+        lambda t: jnp.asarray(reference_fn(t)[0], jnp.float32)
+    )(ts)
+    return robustness_stats(
+        states[:, :, 0:3], pos_ref, mc.settle_steps, mc.crash_error_m
+    )

@@ -55,6 +55,7 @@ def make_attitude_recovery_fallback(
     kp: float = 0.05,
     kd: float = 0.02,
     tau_max: float = 0.1,
+    thrust_max: float | None = None,
 ):
     """In-graph emergency-recovery law for torque-input 12-state engines
     (``u = [T, tau_x, tau_y, tau_z]``) — the reference's solver-failure /
@@ -72,6 +73,15 @@ def make_attitude_recovery_fallback(
     (u_applied, bad)``; the multitick loop also resets the ADMM duals on
     fallback ticks (windup from the infeasible rows is what kept the
     per-tick recovery from converging).
+
+    ``thrust_max`` optionally clamps the recovery thrust to the vehicle's
+    actuator ceiling (the engines bound thrust at 1.2x nominal hover,
+    ``mpc_FULL.py`` parity): the gravity-compensating ``mg / cos(tilt)``
+    reaches 3.3x mg at the clip floor, which no real actuator delivers.
+    Default ``None`` keeps the historical unclamped law (the validated
+    obstacle-tier recovery depends on its authority); population
+    robustness studies (``loop.monte_carlo_mpc12``) pass the physical
+    ceiling so their statistics don't lean on impossible thrust.
     """
     mg = params.mass * params.gravity
 
@@ -84,6 +94,8 @@ def make_attitude_recovery_fallback(
         )
         cos_t = jnp.clip(jnp.cos(x[6]) * jnp.cos(x[7]), 0.3, 1.0)
         thrust = mg / cos_t
+        if thrust_max is not None:
+            thrust = jnp.minimum(thrust, thrust_max)
         tau_rp = -kp * x[6:8] - kd * x[9:11]
         tau_y = -kd * x[11]
         tau = jnp.clip(
