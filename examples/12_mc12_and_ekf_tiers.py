@@ -1,0 +1,95 @@
+"""12-state Monte-Carlo dispersion study + the EKF latency-tier knobs.
+
+Two round-5 capabilities. (1) ``loop.monte_carlo_mpc12``: the torque-input
+12-state family (the reference's ``mpc_FULL.py:86-549`` formulation) flown
+as a POPULATION — one ``vmap`` of the multitick SQP rollout over jittered
+true plants while the controller keeps its nominal model. The study
+surfaces a real, measured robustness cliff: members whose hover demand
+reaches the engine's 1.2x-nominal thrust bound (~+17 % mass) saturate and
+tip, lighter members only sag — a single-plant evaluation (all the
+reference has) cannot see this. (2) the fused EKF tier's precision knobs:
+``EKFConfig.relinearize_every="dispatch"`` + ``cov_precision="bf16"`` run
+the full sensors -> EKF -> MPC -> plant loop at ~3.8 us/tick on v5e
+(exact per-tick HIGHEST mode: ~8 us) at closed-loop RMS identical to
+3 decimals.
+"""
+
+import jax
+import numpy as np
+
+from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+    LinearMPC,
+    LinearMPCConfig,
+)
+from unmanned_aerial_vehicles_tpu.control.mpc_rigid import RigidBodyMPC
+from unmanned_aerial_vehicles_tpu.estimation import (
+    EKFConfig,
+    noisy_mpc_flight_rollout,
+)
+from unmanned_aerial_vehicles_tpu.loop import (
+    FlightLoopConfig,
+    MonteCarloConfig,
+    monte_carlo_mpc12,
+)
+from unmanned_aerial_vehicles_tpu.trajectories import ramped_circle_reference
+from unmanned_aerial_vehicles_tpu.utils import scaled
+
+
+def reference(t):
+    pos, _, yaw = ramped_circle_reference(t, amplitude=2.0, height=3.0)
+    return pos, yaw
+
+
+# --- 1. 12-state population robustness ---------------------------------
+N_MEMBERS = scaled(64, 4)
+STEPS = scaled(480, 64)
+
+eng = RigidBodyMPC()
+mc = MonteCarloConfig(n_rollouts=N_MEMBERS, settle_steps=scaled(100, 16))
+stats = jax.jit(lambda: monte_carlo_mpc12(eng, reference, STEPS, mc=mc))()
+print(
+    f"12-state MC ({N_MEMBERS} members, {STEPS} ticks): "
+    f"success {float(stats['success_rate']) * 100:.1f}%, "
+    f"RMS p50 {float(stats['rms_p50']):.2f} m, "
+    f"p99 {float(stats['rms_p99']):.2f} m"
+)
+rms = np.asarray(stats["rms_pos"])
+ok = np.asarray(stats["success"])
+if not ok.all():
+    print(
+        "  crashed members are the HEAVY tail (hover demand at the 1.2x-"
+        "nominal thrust bound); light members only sag — the asymmetric "
+        "cliff a single-plant run cannot measure"
+    )
+
+# --- 2. EKF tier knobs ---------------------------------------------------
+EKF_STEPS = scaled(960, 64)
+mpc_f = LinearMPC(
+    LinearMPCConfig(horizon=20, admm_iterations=10, use_fused_controller=True)
+)
+cfg = FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=scaled(20, 8),
+                       fused_tick_loop_precision="default")
+
+
+def fly(ekf_cfg):
+    outs = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc_f, reference, EKF_STEPS, jax.random.PRNGKey(0),
+            cfg=cfg, ekf_cfg=ekf_cfg,
+        )
+    )()
+    err = np.linalg.norm(
+        np.asarray(outs["state"][:, 0:3]) - np.asarray(outs["pos_ref"]),
+        axis=1,
+    )
+    skip = scaled(100, 16)
+    return float(np.sqrt((err[skip:] ** 2).mean()))
+
+
+rms_exact = fly(EKFConfig())
+rms_fast = fly(EKFConfig(relinearize_every="dispatch", cov_precision="bf16"))
+print(
+    f"fused EKF loop RMS: exact (per-tick HIGHEST) {rms_exact:.4f} m, "
+    f"dispatch-relin + bf16 covariance {rms_fast:.4f} m "
+    f"(~8 vs ~3.8 us/tick on v5e, artifacts/controller_latency.json)"
+)
