@@ -421,3 +421,73 @@ def test_plan_roll_linear_mode_tracks():
     assert abs(r_lin - r_nl) < 0.05, (r_nl, r_lin)
     with pytest.raises(ValueError, match="plan_roll"):
         rms_of("quadratic")
+
+
+def test_rigid_fused_matches_staged():
+    """The whole-tick-in-kernel tier for the TORQUE family
+    (``rigid_multitick_fused``): the in-kernel plant is RK4 of the rigid
+    body via the shared ``make_plant_math``, the controller algebra is the
+    direct-rate kernel's — per-tick control and state trajectories must
+    agree with the staged ``sqp_multitick_rollout`` flown on
+    ``rigid_body_rk4_step`` to f32 accumulation noise."""
+    from unmanned_aerial_vehicles_tpu.loop.rigid_loop import (
+        rigid_multitick_fused,
+    )
+
+    eng = RigidBodyMPC()
+    plant = lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS, DT)
+    N = eng.mpc.config.horizon
+    reference_fn = _dr_reference_fn(N)
+    x0 = jnp.zeros(12, jnp.float32).at[2].set(H)
+    T_par, K = 24, 4
+
+    staged = jax.jit(lambda x: sqp_multitick_rollout(
+        eng.mpc, eng.cost, reference_fn, plant, x, T_par,
+        ticks_per_dispatch=K, admm_iterations=30, u_init=eng.u_hover,
+    ))(x0)
+    fused = jax.jit(lambda x: rigid_multitick_fused(
+        eng.mpc, eng.cost, reference_fn, x, T_par,
+        ticks_per_dispatch=K, admm_iterations=30, u_init=eng.u_hover,
+        dt=DT,
+    ))(x0)
+
+    du = np.abs(np.asarray(staged["u"]) - np.asarray(fused["u"])).max()
+    dx = np.abs(
+        np.asarray(staged["state"]) - np.asarray(fused["state"])
+    ).max()
+    assert du < 2e-3, du
+    assert dx < 2e-3, dx
+    assert np.isfinite(np.asarray(fused["state"])).all()
+
+
+def test_rigid_fused_closed_loop_rms():
+    """The fused torque tier flies the circle task at the staged tier's RMS
+    (linear plan re-anchor on both, the tracking configuration)."""
+    from unmanned_aerial_vehicles_tpu.loop.rigid_loop import (
+        rigid_multitick_fused,
+    )
+
+    eng = RigidBodyMPC()
+    plant = lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS, DT)
+    N = eng.mpc.config.horizon
+    reference_fn = _dr_reference_fn(N)
+    x0 = jnp.zeros(12, jnp.float32).at[2].set(H)
+    T_rms, K = 240, 8
+
+    def rms_of(outs):
+        ps = np.asarray(outs["state"])[:, 0:3]
+        rs = np.stack([np.asarray(_ref(t * DT)[0]) for t in range(T_rms)])
+        return float(np.sqrt(np.mean(np.sum((ps - rs) ** 2, -1))))
+
+    staged = jax.jit(lambda x: sqp_multitick_rollout(
+        eng.mpc, eng.cost, reference_fn, plant, x, T_rms,
+        ticks_per_dispatch=K, admm_iterations=30, u_init=eng.u_hover,
+        plan_roll="linear",
+    ))(x0)
+    fused = jax.jit(lambda x: rigid_multitick_fused(
+        eng.mpc, eng.cost, reference_fn, x, T_rms,
+        ticks_per_dispatch=K, admm_iterations=30, u_init=eng.u_hover,
+        dt=DT, plan_roll="linear",
+    ))(x0)
+    r_staged, r_fused = rms_of(staged), rms_of(fused)
+    assert abs(r_staged - r_fused) < 5e-3, (r_staged, r_fused)

@@ -484,6 +484,55 @@ def test_ilqr_kernel_rollout_parity_on_chip():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_rigid_fused_multitick_on_chip():
+    """The whole-tick-in-kernel tier for the TORQUE-SQP family
+    (``rigid_multitick_fused`` — direct-rate kernel with the in-kernel
+    plant swapped for rigid-body RK4 via the shared ``make_plant_math``)
+    Mosaic-compiled matches the staged ``sqp_multitick_rollout`` flown on
+    ``rigid_body_rk4_step``: per-tick u/state to f32 accumulation noise."""
+    from unmanned_aerial_vehicles_tpu.control.mpc_rigid import RigidBodyMPC
+    from unmanned_aerial_vehicles_tpu.loop.rigid_loop import (
+        rigid_multitick_fused,
+        sqp_multitick_rollout,
+    )
+    from unmanned_aerial_vehicles_tpu.models import (
+        X500_PARAMS,
+        rigid_body_rk4_step,
+    )
+
+    DT = 0.02
+    eng = RigidBodyMPC()
+    N = eng.mpc.config.horizon
+
+    def reference_fn(ticks):
+        ts = ticks.astype(jnp.float32) * DT
+        pos = jnp.stack([0.5 * jnp.sin(0.3 * ts), 0.5 * jnp.cos(0.3 * ts),
+                         3.0 + 0.0 * ts], axis=1)
+        stage = jnp.concatenate([pos, jnp.zeros((ts.shape[0], 9))], axis=1)
+        return jnp.tile(stage[:, None, :], (1, N, 1))
+
+    plant = lambda x, u: rigid_body_rk4_step(x, u, X500_PARAMS, DT)
+    x0 = jnp.zeros(12, jnp.float32).at[2].set(3.0)
+    T, K = 24, 4
+
+    staged = jax.jit(lambda x: sqp_multitick_rollout(
+        eng.mpc, eng.cost, reference_fn, plant, x, T,
+        ticks_per_dispatch=K, admm_iterations=30, u_init=eng.u_hover,
+    ))(x0)
+    fused = jax.jit(lambda x: rigid_multitick_fused(
+        eng.mpc, eng.cost, reference_fn, x, T,
+        ticks_per_dispatch=K, admm_iterations=30, u_init=eng.u_hover,
+        dt=DT,
+    ))(x0)
+    du = float(np.max(np.abs(np.asarray(staged["u"]) -
+                             np.asarray(fused["u"]))))
+    dx = float(np.max(np.abs(np.asarray(staged["state"]) -
+                             np.asarray(fused["state"]))))
+    assert np.isfinite(np.asarray(fused["state"])).all()
+    assert du < 2e-3, du
+    assert dx < 2e-3, dx
+
+
 def test_mppi_fused_sampling_kernel_on_chip():
     """The Mosaic-compiled MPPI sampling kernel (all K rollouts + stage
     costs in one dispatch, ops.mppi_pallas) matches the vmapped-XLA

@@ -311,6 +311,47 @@ def main():
     record("direct_rate_mpc12_multitick_fused_k20_i10",
            make_dr_fused(20, 10))
 
+    # ---- fused TORQUE-SQP multitick: same kernel with the in-kernel plant
+    # swapped for RK4 of the rigid body (shared make_plant_math) ----
+    from unmanned_aerial_vehicles_tpu.loop.rigid_loop import (
+        rigid_multitick_fused,
+    )
+
+    def make_rigid_fused(K, iters):
+        def make_run(T):
+            ctrl = RigidBodyMPC()
+            N = ctrl.mpc.config.horizon
+
+            def reference_fn(ticks):
+                ts = ticks.astype(jnp.float32) * CFG.control_dt
+                pos = jax.vmap(lambda t: ref(t)[0])(ts)
+                stage = jnp.concatenate(
+                    [pos, jnp.zeros((ts.shape[0], 9))], axis=1
+                )
+                return jnp.tile(stage[:, None, :], (1, N, 1))
+
+            @jax.jit
+            def run(x_jitter):
+                x0 = (jnp.zeros(12, jnp.float32)
+                      .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+                outs = rigid_multitick_fused(
+                    ctrl.mpc, ctrl.cost, reference_fn, x0, T,
+                    ticks_per_dispatch=K, admm_iterations=iters,
+                    u_init=ctrl.u_hover, dt=CFG.control_dt,
+                    plan_roll="linear",
+                )
+                ts = jnp.arange(T, dtype=jnp.float32) * CFG.control_dt
+                pos_refs = jax.vmap(lambda t: ref(t)[0])(ts)
+                e = outs["state"][:, 0:3] - pos_refs
+                return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+            return run
+
+        return make_run
+
+    record("sqp_mpc12_multitick_fused", make_rigid_fused(8, 30))
+    record("sqp_mpc12_multitick_fused_k20_i10", make_rigid_fused(20, 10))
+
     def make_ilqr_multitick(T, iters=3, integrator="euler", K=2):
         ctrl = ILQRRigidBodyMPC(iterations=iters, integrator=integrator)
         plant = lambda x, u: rigid_body_rk4_step_fast(x, u, X500_PARAMS,

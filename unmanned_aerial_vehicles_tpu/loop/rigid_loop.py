@@ -371,6 +371,8 @@ def direct_rate_multitick_fused(
     taus: tuple = (0.05, 0.05, 0.08),
     interpret: bool | None = None,
     plan_roll: str = "nonlinear",
+    plant: str = "direct_rate",
+    body=None,
 ):
     """``sqp_multitick_rollout`` for the direct-rate engine with the PER-TICK
     chain in one Pallas kernel (VERDICT round-4 #5).
@@ -393,6 +395,13 @@ def direct_rate_multitick_fused(
     into the kernel; ``residuals`` only enters the controller's
     linearisation, exactly as in the staged tier flown on this plant.
 
+    ``plant="rigid"`` (see ``rigid_multitick_fused``) swaps the in-kernel
+    plant for RK4 substeps of the torque-input rigid body (``body``'s
+    ``RigidBodyParams``, shared scalar math
+    ``ops.rigid_plant_pallas.make_plant_math``) — the torque-SQP family
+    (``RigidBodyMPC``, reference ``mpc_FULL.py:86-549``) gets the same
+    whole-tick-in-kernel tier.
+
     Reference engine being accelerated: the per-tick CasADi/Ipopt solve of
     ``/root/reference/src/px4/mpc_direct_rates.py:76-922``.
     """
@@ -411,6 +420,21 @@ def direct_rate_multitick_fused(
                          "use sqp_multitick_rollout")
     if plan_roll not in ("nonlinear", "linear"):
         raise ValueError(f"unknown plan_roll mode: {plan_roll!r}")
+    if plant == "rigid":
+        if body is None:
+            raise ValueError('plant="rigid" requires body=RigidBodyParams')
+        rigid_consts = (
+            float(body.mass), float(body.k_drag_linear),
+            float(body.k_drag_angular),
+            float(body.inertia_xx), float(body.inertia_yy),
+            float(body.inertia_zz),
+            *(float(v) for v in body.wind),
+        )
+        gravity = float(body.gravity)
+    elif plant == "direct_rate":
+        rigid_consts = None
+    else:
+        raise ValueError(f"unknown in-kernel plant: {plant!r}")
     K = ticks_per_dispatch
     if num_steps % K:
         raise ValueError(f"num_steps={num_steps} not a multiple of K={K}")
@@ -510,6 +534,7 @@ def direct_rate_multitick_fused(
             over_relax=float(cfg.admm_over_relax), rho=float(rho),
             dt=dt, substeps=substeps, gravity=gravity, taus=taus,
             loop_precision=loop_precision, interpret=interpret,
+            plant=plant, rigid_consts=rigid_consts,
         )
         z_uneq = z_fin[0, :m] * ie_row[0, :m]
         y_uneq = y_fin[0, :m] * e
@@ -550,6 +575,35 @@ def direct_rate_multitick_fused(
     )
     outs["carry"] = carry_fin
     return outs
+
+
+def rigid_multitick_fused(
+    mpc: SQPMPC,
+    cost: QuadCost,
+    reference_fn: Callable,
+    x0: jnp.ndarray,
+    num_steps: int,
+    body=None,
+    **kwargs,
+):
+    """Whole-tick-in-kernel multitick tier for the TORQUE-input SQP family
+    (``control.mpc_rigid.RigidBodyMPC`` — reference ``mpc_FULL.py:86-549``):
+    ``direct_rate_multitick_fused`` with the in-kernel plant swapped for
+    RK4 substeps of the rigid body (``body``'s ``RigidBodyParams``, scalar
+    math shared with ``ops.rigid_plant_pallas``). Same dispatch split,
+    same equilibrated-space slack/dual carry; parity vs the staged
+    ``sqp_multitick_rollout`` is pinned in ``tests/test_rigid_multitick.py``.
+    """
+    if body is None:
+        from ..models import X500_PARAMS
+
+        body = X500_PARAMS
+    kwargs.pop("plant", None)
+    return direct_rate_multitick_fused(
+        mpc, cost, reference_fn, x0, num_steps,
+        plant="rigid", body=body, dt=kwargs.pop("dt", 0.02),
+        gravity=float(body.gravity), **kwargs,
+    )
 
 
 def ilqr_multitick_rollout(

@@ -44,6 +44,7 @@ def _make_direct_rate_multitick_kernel(
     k_ticks, N, nu, nx, iterations, over_relax, rho,
     dt, substeps, gravity, taus,
     loop_precision=jax.lax.Precision.HIGHEST, interpret=False,
+    plant="direct_rate", rigid_consts=None,
 ):
     def _dot(prec):
         def dot(a, b):
@@ -60,7 +61,21 @@ def _make_direct_rate_multitick_kernel(
     h = float(dt) / substeps
     tau0, tau1, tau2 = (float(t) for t in taus)
 
-    def _plant_sub(s, u):
+    if plant == "rigid":
+        # torque-input rigid-body plant (the SQP/RigidBodyMPC family's
+        # true plant): one RK4 step per substep via the SHARED in-kernel
+        # plant math (ops.rigid_plant_pallas.make_plant_math — one
+        # definition so a model change cannot diverge between kernels)
+        from .rigid_plant_pallas import make_plant_math
+
+        mass, k_lin, k_ang, ix, iy, iz, wx, wy, wz = rigid_consts
+        _, _plant_sub = make_plant_math(
+            h, mass, g, k_lin, k_ang, (ix, iy, iz), (wx, wy, wz)
+        )
+    elif plant != "direct_rate":
+        raise ValueError(f"unknown in-kernel plant: {plant!r}")
+
+    def _plant_sub_dr(s, u):
         # forward-Euler substep of the direct-rate model
         # (control.mpc_rigid.direct_rate_step, zero residual): z-up,
         # normalized thrust scaled by g, first-order rate loops
@@ -83,6 +98,9 @@ def _make_direct_rate_multitick_kernel(
             (u[2] - s[11]) / tau2,
         )
         return tuple(s[i] + h * deriv[i] for i in range(12))
+
+    if plant == "direct_rate":
+        _plant_sub = _plant_sub_dr
 
     def kernel(x_ref, z0_ref, y0_ref, refs_ref,
                sxct_ref, sutqt_ref, f0_ref, gml_ref, p1_ref,
@@ -168,6 +186,7 @@ def _make_direct_rate_multitick_kernel(
     static_argnames=(
         "k_ticks", "n", "nu", "nx", "iterations", "over_relax", "rho",
         "dt", "substeps", "gravity", "taus", "loop_precision", "interpret",
+        "plant", "rigid_consts",
     ),
 )
 def direct_rate_multitick_kernel(
@@ -200,14 +219,22 @@ def direct_rate_multitick_kernel(
     taus: tuple,
     loop_precision: str = "highest",
     interpret: bool = False,
+    plant: str = "direct_rate",
+    rigid_consts: tuple | None = None,
 ):
-    """K direct-rate MPC ticks (shift + condensed ADMM + plant) per dispatch.
+    """K MPC ticks (shift + condensed ADMM + plant) per dispatch.
 
     All matrix operands are TRACED per-dispatch values (the relinearised
     condensation — unlike the 6-state linear-MPC kernels whose matrices are
     compile-time constants). Returns ``(out (k_ticks, 32), x_row, z, y)``
     with per-tick lanes: pre-plant state 0:12, applied u 12:12+nu; z/y stay
     in the dispatch's equilibrated space (unscale with ``ie_row`` outside).
+
+    ``plant`` selects the in-kernel true plant: ``"direct_rate"`` (Euler
+    substeps of the rate-lag model, ``taus`` used) or ``"rigid"`` (RK4
+    substeps of the torque-input rigid body via the shared
+    ``rigid_plant_pallas.make_plant_math``; ``rigid_consts = (mass, k_lin,
+    k_ang, ixx, iyy, izz, wind_x, wind_y, wind_z)``).
     """
     m_pad = p1.shape[0]
     base = _make_direct_rate_multitick_kernel(
@@ -217,6 +244,7 @@ def direct_rate_multitick_kernel(
                         if loop_precision == "default"
                         else jax.lax.Precision.HIGHEST),
         interpret=interpret,
+        plant=plant, rigid_consts=rigid_consts,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     operands = (
