@@ -9,8 +9,9 @@ reaches the engine's 1.2x-nominal thrust bound (~+17 % mass) saturate and
 tip, lighter members only sag — a single-plant evaluation (all the
 reference has) cannot see this. (2) the fused EKF tier's precision knobs:
 ``EKFConfig.relinearize_every="dispatch"`` + ``cov_precision="bf16"`` run
-the full sensors -> EKF -> MPC -> plant loop at ~3.8 us/tick on v5e
-(exact per-tick HIGHEST mode: ~8 us) at closed-loop RMS identical to
+the full sensors -> EKF -> MPC -> plant loop at ~6 us/tick on v5e (exact
+per-tick HIGHEST mode: ~8 us; the bf16 knob's further gain is within the
+tunnel's ±2 us noise at this row's size) at closed-loop RMS identical to
 3 decimals.
 """
 
@@ -91,5 +92,5 @@ rms_fast = fly(EKFConfig(relinearize_every="dispatch", cov_precision="bf16"))
 print(
     f"fused EKF loop RMS: exact (per-tick HIGHEST) {rms_exact:.4f} m, "
     f"dispatch-relin + bf16 covariance {rms_fast:.4f} m "
-    f"(~8 vs ~3.8 us/tick on v5e, artifacts/controller_latency.json)"
+    f"(~8 vs ~6 us/tick on v5e, artifacts/controller_latency.json)"
 )
