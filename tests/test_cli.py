@@ -253,3 +253,23 @@ def test_fly_ltv12_obstacle(capsys):
                  "--obstacle", "0,0,3,0.3"]) == 1
     assert main(["fly", "--controller", "ltv12", "--duration", "2",
                  "--obstacle", "bogus"]) == 1
+
+
+def test_fly_mpc12_noisy(capsys):
+    """The 12-state family's estimator-in-the-loop surface (rigid-body
+    EKF, estimation.noisy_rigid_mpc_rollout): flies, tracks, and the
+    noisy-tier banner reports the estimate error."""
+    assert main(["fly", "--controller", "mpc12", "--duration", "4",
+                 "--amplitude", "2", "--trajectory", "circle",
+                 "--noisy"]) == 0
+    raw = capsys.readouterr().out
+    assert "# noisy tier: mpc12" in raw
+    out = json.loads(raw[raw.index("{"):])
+    assert out["rms_pos"] < 2.0
+
+
+def test_fly_noisy_rejects_unwired_controllers(capsys):
+    assert main(["fly", "--controller", "direct-rate12", "--duration", "2",
+                 "--noisy"]) == 1
+    assert main(["fly", "--controller", "mpc12", "--duration", "2",
+                 "--noisy", "--fast"]) == 1

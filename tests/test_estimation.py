@@ -388,3 +388,117 @@ def test_noisy_multitick_gp_preview_matches_staged():
         - np.asarray(multi["state"][:, 0:3])
     ).max()
     assert gap < 5e-3, gap
+
+
+# ---------------------------------------------------------------------------
+# 12-state family noisy loop (rigid-body EKF, noisy_rigid_mpc_rollout)
+# ---------------------------------------------------------------------------
+
+
+def _rigid_truth_flight(eng, steps, dt=0.02):
+    """Per-tick truth-state loop (the cli fly12 shape) for comparison."""
+    from unmanned_aerial_vehicles_tpu.models import (
+        X500_PARAMS,
+        rigid_body_rk4_step,
+    )
+
+    def step(c, i):
+        st, mc = c
+        t = i.astype(jnp.float32) * dt
+        pos_ref, yaw_ref = _circle(t)
+        u, _, mc = eng.solve(mc, st, jnp.asarray(pos_ref, jnp.float32),
+                             jnp.asarray(yaw_ref, jnp.float32))
+        st = rigid_body_rk4_step(st, u, X500_PARAMS, dt)
+        return (st, mc), {"state": st, "pos_ref": pos_ref}
+
+    x0 = jnp.zeros(12, jnp.float32).at[2].set(3.0)
+    (_, _), outs = jax.lax.scan(step, (x0, eng.init_carry(x0)),
+                                jnp.arange(steps))
+    return outs
+
+
+def test_noisy_rigid_clean_sensors_matches_truth_flight():
+    """With near-noiseless sensors the 12-state noisy loop must fly the
+    truth-state per-tick loop's trajectory (pins the loop structure: same
+    solve semantics, EKF collapses onto the measurement)."""
+    from unmanned_aerial_vehicles_tpu.control.mpc_rigid import RigidBodyMPC
+    from unmanned_aerial_vehicles_tpu.estimation.noisy_loop import (
+        noisy_rigid_mpc_rollout,
+    )
+
+    steps = 120
+    eng = RigidBodyMPC()
+    clean = EKFConfig(r_pos=1e-4, r_att=1e-4, r_rate=1e-4,
+                      p0_pos=1e-3, p0_vel=1e-3, p0_att=1e-3, p0_rate=1e-3)
+    truth = jax.jit(lambda: _rigid_truth_flight(eng, steps))()
+    noisy = jax.jit(lambda: noisy_rigid_mpc_rollout(
+        eng, _circle, steps, jax.random.PRNGKey(0), ekf_cfg=clean
+    ))()
+    gap = np.abs(np.asarray(truth["state"][:, 0:3])
+                 - np.asarray(noisy["state"][:, 0:3])).max()
+    assert gap < 0.03, gap
+
+
+def test_noisy_rigid_filter_beats_raw_sensors():
+    """At the default sensor noise the EKF's position estimate must be
+    closer to the truth than the raw measurements (the filter earns its
+    place), velocity (unmeasured) must be reconstructed to the same grade,
+    and the flight must still track."""
+    from unmanned_aerial_vehicles_tpu.control.mpc_rigid import RigidBodyMPC
+    from unmanned_aerial_vehicles_tpu.estimation.noisy_loop import (
+        noisy_rigid_mpc_rollout,
+    )
+
+    steps = 240
+    eng = RigidBodyMPC()
+    cfg = EKFConfig()
+    outs = jax.jit(lambda: noisy_rigid_mpc_rollout(
+        eng, _circle, steps, jax.random.PRNGKey(3), ekf_cfg=cfg
+    ))()
+    st = np.asarray(outs["state"])
+    est = np.asarray(outs["state_est"])
+    meas = np.asarray(outs["meas_pos"])
+    assert np.isfinite(st).all() and np.isfinite(est).all()
+
+    skip = 40  # transient: P converges from p0
+    est_err = np.sqrt(np.mean(np.sum(
+        (est[skip:, 0:3] - st[skip:, 0:3]) ** 2, -1)))
+    meas_err = np.sqrt(np.mean(np.sum(
+        (meas[skip:] - st[skip:, 0:3]) ** 2, -1)))
+    assert est_err < meas_err, (est_err, meas_err)
+
+    vel_err = np.sqrt(np.mean(np.sum(
+        (est[skip:, 3:6] - st[skip:, 3:6]) ** 2, -1)))
+    assert vel_err < 0.2, vel_err
+
+    refs = np.asarray(outs["pos_ref"])
+    rms = float(np.sqrt(np.mean(np.sum((st[:, 0:3] - refs) ** 2, -1))))
+    truth = jax.jit(lambda: _rigid_truth_flight(eng, steps))()
+    rms_truth = float(np.sqrt(np.mean(np.sum(
+        (np.asarray(truth["state"][:, 0:3])
+         - np.asarray(truth["pos_ref"])) ** 2, -1))))
+    # estimator-induced degradation is bounded
+    assert rms < rms_truth + 0.1, (rms, rms_truth)
+
+
+def test_noisy_rigid_family_surface():
+    """The same loop flies every yaw-channel 12-state engine (iLQR, MPPI)
+    — the shared solve(carry, x, pos, yaw) surface the CLI routes."""
+    from unmanned_aerial_vehicles_tpu.control import (
+        ILQRRigidBodyMPC,
+        MPPIConfig,
+        MPPIController,
+    )
+    from unmanned_aerial_vehicles_tpu.estimation.noisy_loop import (
+        noisy_rigid_mpc_rollout,
+    )
+
+    steps = 40
+    for eng in (ILQRRigidBodyMPC(iterations=1),
+                MPPIController(MPPIConfig(horizon=10, num_samples=128))):
+        outs = jax.jit(lambda e=eng: noisy_rigid_mpc_rollout(
+            e, _circle, steps, jax.random.PRNGKey(1)
+        ))()
+        st = np.asarray(outs["state"])
+        assert np.isfinite(st).all()
+        assert abs(st[-1, 2] - 3.0) < 1.5  # holds altitude

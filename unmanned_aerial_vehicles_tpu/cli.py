@@ -177,9 +177,12 @@ def _cmd_fly(args) -> int:
     num_steps = int(args.duration / cfg.control_dt)
     ref = _reference_fn(args.trajectory, args.amplitude, cfg.takeoff_height)
 
-    if args.noisy and args.controller not in ("mpc", "gp-mpc"):
-        print("--noisy supports the mpc and gp-mpc controllers only",
-              file=sys.stderr)
+    if args.noisy and args.controller not in (
+        "mpc", "gp-mpc", "mpc12", "ilqr12", "mppi12"
+    ):
+        print("--noisy supports mpc/gp-mpc (PX4-surrogate EKF) and "
+              "mpc12/ilqr12/mppi12 (rigid-body EKF); direct-rate12/ltv12 "
+              "have no estimator wiring", file=sys.stderr)
         return 1
     if args.obstacle and args.controller != "ltv12":
         print("--obstacle is the LTV engine's constraint class: use "
@@ -353,7 +356,37 @@ def _cmd_fly(args) -> int:
             thrust_of_u = lambda u: u[..., 0] / mg
 
         x0 = jnp.zeros(12, jnp.float32).at[2].set(cfg.takeoff_height)
-        if args.fast:
+        if args.noisy:
+            # estimator in the loop for the 12-state family: sensors ->
+            # rigid-body EKF -> controller (flying the ESTIMATE) -> true
+            # plant (estimation.noisy_rigid_mpc_rollout). Per-tick only —
+            # the EKF must see every measurement, same reason the 6-state
+            # multitick tier rejects --noisy.
+            if args.fast:
+                print("--noisy flies per-tick (the EKF must see every "
+                      "measurement); drop --fast", file=sys.stderr)
+                return 1
+            from .estimation import EKFConfig
+            from .estimation.noisy_loop import noisy_rigid_mpc_rollout
+
+            outs12 = jax.jit(lambda: noisy_rigid_mpc_rollout(
+                mpc12, ref, num_steps, jax.random.PRNGKey(args.seed),
+                ekf_cfg=EKFConfig(), body=X500_PARAMS,
+                dt=float(cfg.control_dt),
+                takeoff_height=float(cfg.takeoff_height),
+            ))()
+            outs = {
+                "state": outs12["state"],
+                "pos_ref": outs12["pos_ref"],
+                "thrust": thrust_of_u(outs12["u"]),
+            }
+            est_rms = jnp.sqrt(jnp.mean(jnp.sum(
+                (outs12["state_est"][:, 0:3]
+                 - outs12["state"][:, 0:3]) ** 2, -1)))
+            print(f"# noisy tier: {args.controller} on rigid-body EKF "
+                  f"estimate; estimate RMS vs truth "
+                  f"{float(est_rms):.4f} m")
+        elif args.fast:
             # multitick tiers: per-dispatch relinearisation / policy reuse
             # (the artifacts/controller_latency.json rows, reproducible
             # from the CLI — VERDICT round-4 #4)

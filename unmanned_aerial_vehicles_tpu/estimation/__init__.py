@@ -9,7 +9,7 @@ from .ekf import (
     ekf_step,
     measure,
 )
-from .noisy_loop import noisy_mpc_flight_rollout
+from .noisy_loop import noisy_mpc_flight_rollout, noisy_rigid_mpc_rollout
 
 __all__ = [
     "EKFConfig",
@@ -19,4 +19,5 @@ __all__ = [
     "ekf_step",
     "measure",
     "noisy_mpc_flight_rollout",
+    "noisy_rigid_mpc_rollout",
 ]

@@ -22,7 +22,7 @@ f32.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Callable, Tuple
 
 from flax import struct
 import jax
@@ -129,18 +129,28 @@ def ekf_step(
     rate_loop: RateLoopParams = RateLoopParams(),
     dt: float = 0.02,
     config: EKFConfig = EKFConfig(),
+    step_fn: Callable | None = None,
 ) -> Tuple[EKFState, jnp.ndarray]:
     """One predict + update cycle; returns ``(new_carry, x_est)``.
 
     Predict: RK4 surrogate step + ``jacfwd`` transition Jacobian (replacing
     EKF2's analytic/complementary filters with exact AD linearisation).
     Update: Joseph form, yaw innovation wrapped to (-pi, pi].
+
+    ``step_fn(x, u) -> x_next`` overrides the process model (default: the
+    PX4 rate-tracking surrogate). Any differentiable 12-state discrete
+    plant works — the torque-input rigid body serves the 12-state
+    controller family's noisy loop (``noisy_rigid_mpc_rollout``).
     """
     dtype = carry.x.dtype
     prec = jax.lax.Precision.HIGHEST
     mm = lambda a, b: jnp.matmul(a, b, precision=prec)
 
-    step = lambda x: px4_rate_tracking_step(x, control, body, rate_loop, dt)
+    if step_fn is None:
+        step = lambda x: px4_rate_tracking_step(x, control, body, rate_loop,
+                                                dt)
+    else:
+        step = lambda x: step_fn(x, control)
     x_pred = step(carry.x)
     F = jax.jacfwd(step)(carry.x)
     P_pred = mm(mm(F, carry.P), F.T) + jnp.diag(config.q_diag()).astype(dtype)

@@ -494,3 +494,88 @@ def _fused_noisy_multitick_rollout(
     outs["final_state"] = state_row[0, 0:12]
     outs["final_covariance"] = P[:12, :12]
     return outs
+
+
+def noisy_rigid_mpc_rollout(
+    controller,
+    reference_fn: Callable,
+    num_steps: int,
+    key: jax.Array,
+    ekf_cfg: EKFConfig = EKFConfig(),
+    body=None,
+    dt: float = 0.02,
+    initial_state: jnp.ndarray | None = None,
+    takeoff_height: float = 3.0,
+    dtype=jnp.float32,
+):
+    """Noisy-sensor loop for the 12-STATE controller family: sensors ->
+    EKF -> controller -> torque-input rigid body.
+
+    The 6-state loops above estimate over the PX4 surrogate; here the
+    process model is the true rigid body (``models.rigid_body``, the plant
+    the SQP/direct-rate/iLQR/MPPI engines fly — reference
+    ``src/px4/mpc_FULL.py:86-549``), linearised per tick with ``jacfwd``
+    through the RK4 step. ``controller`` is any of the family's engines —
+    the shared ``solve(carry, state12, target_pos, target_yaw)`` surface
+    (``cli fly`` / ``tools/bench_controllers.rollout_12state`` shape). The
+    controller flies the ESTIMATE; the plant integrates the truth through
+    the fused plant kernel (``ops.rigid_plant_pallas``) on TPU.
+
+    ``reference_fn(t) -> (pos_ref, yaw_ref)``. Returns the staged loop's
+    output dict plus ``state_est``/``meas_pos``.
+    """
+    from ..models import X500_PARAMS
+    from ..models.rigid_body import rigid_body_rk4_step
+    from ..ops.rigid_plant_pallas import rigid_body_rk4_step_fast
+
+    if body is None:
+        body = X500_PARAMS
+    if initial_state is None:
+        initial_state = jnp.zeros(12, dtype).at[2].set(takeoff_height)
+    initial_state = initial_state.astype(dtype)
+
+    # EKF process model: the XLA RK4 step (jacfwd-differentiable); the
+    # TRUTH integrates through the backend-aware fast step (Pallas kernel
+    # on TPU — 2e-8 parity with the XLA step, tests/test_rigid_plant_kernel)
+    ekf_step_fn = lambda x, u: rigid_body_rk4_step(x, u, body, dt)
+
+    keys = jax.random.split(key, num_steps)
+    u_hover = controller.u_hover
+
+    def step(carry, inputs):
+        state, ekf, mc, prev_u = carry
+        i, k = inputs
+        t = i.astype(dtype) * dt
+        pos_ref, yaw_ref = reference_fn(t)
+        pos_ref = jnp.asarray(pos_ref, dtype)
+        yaw_ref = jnp.asarray(yaw_ref, dtype)
+
+        z = measure(state, k, ekf_cfg)
+        ekf, x_est = ekf_step(
+            ekf, prev_u, z, dt=dt, config=ekf_cfg, step_fn=ekf_step_fn
+        )
+
+        u, _, mc = controller.solve(mc, x_est, pos_ref, yaw_ref)
+        new_state = rigid_body_rk4_step_fast(state, u, body, dt)
+
+        out = {
+            "state": state,
+            "state_est": x_est,
+            "meas_pos": z[0:3],
+            "pos_ref": pos_ref,
+            "u": u,
+        }
+        return (new_state, ekf, mc, u), out
+
+    init = (
+        initial_state,
+        ekf_init(initial_state, ekf_cfg, dtype),
+        controller.init_carry(initial_state),
+        u_hover.astype(dtype),
+    )
+    (final_state, ekf, _, _), outs = jax.lax.scan(
+        step, init, (jnp.arange(num_steps), keys)
+    )
+    outs["final_state"] = final_state
+    outs["final_covariance"] = ekf.P
+    return outs
