@@ -268,8 +268,20 @@ def test_fly_mpc12_noisy(capsys):
     assert out["rms_pos"] < 2.0
 
 
+def test_fly_direct_rate12_noisy(capsys):
+    """direct-rate12 --noisy estimates over the engine's own rate-lag
+    plant (no yaw channel)."""
+    assert main(["fly", "--controller", "direct-rate12", "--duration", "4",
+                 "--amplitude", "2", "--trajectory", "circle",
+                 "--noisy"]) == 0
+    raw = capsys.readouterr().out
+    assert "rate-lag EKF" in raw
+    out = json.loads(raw[raw.index("{"):])
+    assert out["rms_pos"] < 2.0
+
+
 def test_fly_noisy_rejects_unwired_controllers(capsys):
-    assert main(["fly", "--controller", "direct-rate12", "--duration", "2",
+    assert main(["fly", "--controller", "ltv12", "--duration", "2",
                  "--noisy"]) == 1
     assert main(["fly", "--controller", "mpc12", "--duration", "2",
                  "--noisy", "--fast"]) == 1

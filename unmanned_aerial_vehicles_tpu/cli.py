@@ -178,11 +178,12 @@ def _cmd_fly(args) -> int:
     ref = _reference_fn(args.trajectory, args.amplitude, cfg.takeoff_height)
 
     if args.noisy and args.controller not in (
-        "mpc", "gp-mpc", "mpc12", "ilqr12", "mppi12"
+        "mpc", "gp-mpc", "mpc12", "ilqr12", "mppi12", "direct-rate12"
     ):
-        print("--noisy supports mpc/gp-mpc (PX4-surrogate EKF) and "
-              "mpc12/ilqr12/mppi12 (rigid-body EKF); direct-rate12/ltv12 "
-              "have no estimator wiring", file=sys.stderr)
+        print("--noisy supports mpc/gp-mpc (PX4-surrogate EKF) and the "
+              "12-state family (rigid-body / rate-lag EKF); ltv12 has no "
+              "estimator wiring (it flies its own 10 Hz cadence)",
+              file=sys.stderr)
         return 1
     if args.obstacle and args.controller != "ltv12":
         print("--obstacle is the LTV engine's constraint class: use "
@@ -369,11 +370,25 @@ def _cmd_fly(args) -> int:
             from .estimation import EKFConfig
             from .estimation.noisy_loop import noisy_rigid_mpc_rollout
 
+            noisy_kw = {}
+            if args.controller == "direct-rate12":
+                # the direct-rate engine's true plant is its rate-lag
+                # model, and its solve has no yaw channel
+                # (mpc_direct_rates.py:153-190 tracks position only)
+                from .control.mpc_rigid import direct_rate_step
+
+                noisy_kw = dict(
+                    plant_step_fn=lambda x, u: direct_rate_step(
+                        x, u, jnp.zeros(12, jnp.float32),
+                        dt=float(cfg.control_dt)),
+                    yaw_channel=False,
+                )
             outs12 = jax.jit(lambda: noisy_rigid_mpc_rollout(
                 mpc12, ref, num_steps, jax.random.PRNGKey(args.seed),
                 ekf_cfg=EKFConfig(), body=X500_PARAMS,
                 dt=float(cfg.control_dt),
                 takeoff_height=float(cfg.takeoff_height),
+                **noisy_kw,
             ))()
             outs = {
                 "state": outs12["state"],
@@ -383,7 +398,9 @@ def _cmd_fly(args) -> int:
             est_rms = jnp.sqrt(jnp.mean(jnp.sum(
                 (outs12["state_est"][:, 0:3]
                  - outs12["state"][:, 0:3]) ** 2, -1)))
-            print(f"# noisy tier: {args.controller} on rigid-body EKF "
+            model = ("rate-lag" if args.controller == "direct-rate12"
+                     else "rigid-body")
+            print(f"# noisy tier: {args.controller} on {model} EKF "
                   f"estimate; estimate RMS vs truth "
                   f"{float(est_rms):.4f} m")
         elif args.fast:

@@ -506,6 +506,9 @@ def noisy_rigid_mpc_rollout(
     dt: float = 0.02,
     initial_state: jnp.ndarray | None = None,
     takeoff_height: float = 3.0,
+    plant_step_fn: Callable | None = None,
+    process_step_fn: Callable | None = None,
+    yaw_channel: bool = True,
     dtype=jnp.float32,
 ):
     """Noisy-sensor loop for the 12-STATE controller family: sensors ->
@@ -513,13 +516,19 @@ def noisy_rigid_mpc_rollout(
 
     The 6-state loops above estimate over the PX4 surrogate; here the
     process model is the true rigid body (``models.rigid_body``, the plant
-    the SQP/direct-rate/iLQR/MPPI engines fly — reference
+    the SQP/iLQR/MPPI engines fly — reference
     ``src/px4/mpc_FULL.py:86-549``), linearised per tick with ``jacfwd``
     through the RK4 step. ``controller`` is any of the family's engines —
     the shared ``solve(carry, state12, target_pos, target_yaw)`` surface
     (``cli fly`` / ``tools/bench_controllers.rollout_12state`` shape). The
     controller flies the ESTIMATE; the plant integrates the truth through
     the fused plant kernel (``ops.rigid_plant_pallas``) on TPU.
+
+    ``plant_step_fn(x, u) -> x_next`` overrides the TRUTH plant and
+    ``process_step_fn`` the EKF's model (default: same as the plant) —
+    the direct-rate engine flies its rate-lag model this way
+    (``mpc_direct_rates.py:153-190``); ``yaw_channel=False`` for engines
+    whose ``solve`` takes no yaw target (direct-rate tracks position only).
 
     ``reference_fn(t) -> (pos_ref, yaw_ref)``. Returns the staged loop's
     output dict plus ``state_est``/``meas_pos``.
@@ -534,10 +543,19 @@ def noisy_rigid_mpc_rollout(
         initial_state = jnp.zeros(12, dtype).at[2].set(takeoff_height)
     initial_state = initial_state.astype(dtype)
 
-    # EKF process model: the XLA RK4 step (jacfwd-differentiable); the
-    # TRUTH integrates through the backend-aware fast step (Pallas kernel
-    # on TPU — 2e-8 parity with the XLA step, tests/test_rigid_plant_kernel)
-    ekf_step_fn = lambda x, u: rigid_body_rk4_step(x, u, body, dt)
+    if plant_step_fn is None:
+        # TRUTH integrates through the backend-aware fast step (Pallas
+        # kernel on TPU — 2e-8 parity with the XLA step,
+        # tests/test_rigid_plant_kernel); the EKF process model defaults
+        # to the XLA RK4 step (jacfwd-differentiable)
+        plant_step_fn = lambda x, u: rigid_body_rk4_step_fast(x, u, body,
+                                                              dt)
+        if process_step_fn is None:
+            process_step_fn = lambda x, u: rigid_body_rk4_step(x, u, body,
+                                                               dt)
+    elif process_step_fn is None:
+        process_step_fn = plant_step_fn
+    ekf_step_fn = process_step_fn
 
     keys = jax.random.split(key, num_steps)
     u_hover = controller.u_hover
@@ -555,8 +573,11 @@ def noisy_rigid_mpc_rollout(
             ekf, prev_u, z, dt=dt, config=ekf_cfg, step_fn=ekf_step_fn
         )
 
-        u, _, mc = controller.solve(mc, x_est, pos_ref, yaw_ref)
-        new_state = rigid_body_rk4_step_fast(state, u, body, dt)
+        if yaw_channel:
+            u, _, mc = controller.solve(mc, x_est, pos_ref, yaw_ref)
+        else:
+            u, _, mc = controller.solve(mc, x_est, pos_ref)
+        new_state = plant_step_fn(state, u)
 
         out = {
             "state": state,
