@@ -547,6 +547,12 @@ def _structured_batched_impl(
         in_specs=[x0_spec, w_spec, ref_spec] + [brow] * 4
         + [full(x0_lanes)] + [full(n_pad)] * 5 + [full(1)] * 4,
         out_specs=(brow,) * 6,
+        # donate the iterate planes: ZU/ZX/YU/YX (operands 3-6) alias
+        # outputs 0-3 — in the sweep's scan the carries are dead after the
+        # call, so XLA reuses the 4x(B, n_pad) buffers instead of
+        # allocating fresh ones every tick (callers that DO reuse an old
+        # plane get a defensive copy from XLA, not corruption)
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
         interpret=interpret,
     )(
         X0, W, REF, ZU, ZX, YU, YX,
