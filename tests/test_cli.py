@@ -280,8 +280,23 @@ def test_fly_direct_rate12_noisy(capsys):
     assert out["rms_pos"] < 2.0
 
 
-def test_fly_noisy_rejects_unwired_controllers(capsys):
+def test_fly_ltv12_noisy(capsys):
+    """ltv12 --noisy runs the multi-rate estimation tier (100 Hz EKF
+    under the 10 Hz solve, estimation.noisy_ltv_rollout); --fast composes
+    with neither (the EKF must see every measurement)."""
+    assert main(["fly", "--controller", "ltv12", "--duration", "3",
+                 "--amplitude", "1.5", "--trajectory", "circle",
+                 "--noisy"]) == 0
+    raw = capsys.readouterr().out
+    assert "# noisy tier: ltv12" in raw
+    out = json.loads(raw[raw.index("{"):])
+    assert out["rms_pos"] < 1.0
     assert main(["fly", "--controller", "ltv12", "--duration", "2",
+                 "--noisy", "--fast"]) == 1
+
+
+def test_fly_noisy_rejects_unwired_controllers(capsys):
+    assert main(["fly", "--controller", "pid", "--duration", "2",
                  "--noisy"]) == 1
     assert main(["fly", "--controller", "mpc12", "--duration", "2",
                  "--noisy", "--fast"]) == 1

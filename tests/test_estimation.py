@@ -502,3 +502,52 @@ def test_noisy_rigid_family_surface():
         st = np.asarray(outs["state"])
         assert np.isfinite(st).all()
         assert abs(st[-1, 2] - 3.0) < 1.5  # holds altitude
+
+
+def test_noisy_ltv_multirate_estimator_in_the_loop():
+    """ltv12's estimation tier: plant + rigid-body EKF at 100 Hz, the LTV
+    solve every 5th plant tick flying the ESTIMATE (the reference's
+    100 Hz plant / 10 Hz cvxpy rate split, main.py:814-826, with the
+    PX4-EKF2 role in-graph). Pins: finite flight, the filter beats the
+    raw position sensor, and tracking stays close to the reference
+    circle."""
+    from unmanned_aerial_vehicles_tpu.control import LTVTrackingMPC
+    from unmanned_aerial_vehicles_tpu.estimation.noisy_loop import (
+        noisy_ltv_rollout,
+    )
+
+    ldt = 0.1
+    mpc_ltv = LTVTrackingMPC(horizon=10)
+    n = mpc_ltv.mpc.config.horizon
+
+    def window_at(i):
+        ts = (i + jnp.arange(n + 1)).astype(jnp.float32) * ldt
+
+        def ref12(t):
+            pos, _, _ = ramped_circle_reference(t, amplitude=1.5, height=3.0)
+            return jnp.concatenate(
+                [jnp.asarray(pos, jnp.float32), jnp.zeros(9, jnp.float32)]
+            )
+
+        return jax.vmap(ref12)(ts)
+
+    steps10 = 16
+    outs = jax.jit(lambda: noisy_ltv_rollout(
+        mpc_ltv, window_at, steps10, jax.random.PRNGKey(5)
+    ))()
+    st = np.asarray(outs["state"])
+    est = np.asarray(outs["state_est"])
+    meas = np.asarray(outs["meas_pos"])
+    assert np.isfinite(st).all() and np.isfinite(est).all()
+
+    # meas_pos[i] samples the END of tick i == start of tick i+1
+    skip = 4  # transient: P converges from p0
+    est_err = np.sqrt(np.mean(np.sum(
+        (est[skip + 1:, 0:3] - st[skip + 1:, 0:3]) ** 2, -1)))
+    meas_err = np.sqrt(np.mean(np.sum(
+        (meas[skip:-1] - st[skip + 1:, 0:3]) ** 2, -1)))
+    assert est_err < meas_err, (est_err, meas_err)
+
+    ref_pos = np.asarray(outs["pos_ref"])
+    rms = np.sqrt(np.mean(np.sum((st[:, 0:3] - ref_pos) ** 2, -1)))
+    assert rms < 0.3, rms

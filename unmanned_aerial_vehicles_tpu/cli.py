@@ -177,12 +177,10 @@ def _cmd_fly(args) -> int:
     num_steps = int(args.duration / cfg.control_dt)
     ref = _reference_fn(args.trajectory, args.amplitude, cfg.takeoff_height)
 
-    if args.noisy and args.controller not in (
-        "mpc", "gp-mpc", "mpc12", "ilqr12", "mppi12", "direct-rate12"
-    ):
-        print("--noisy supports mpc/gp-mpc (PX4-surrogate EKF) and the "
-              "12-state family (rigid-body / rate-lag EKF); ltv12 has no "
-              "estimator wiring (it flies its own 10 Hz cadence)",
+    if args.noisy and args.controller == "pid":
+        print("--noisy supports mpc/gp-mpc (PX4-surrogate EKF), the "
+              "12-state family (rigid-body / rate-lag EKF) and ltv12 "
+              "(multi-rate: 100 Hz EKF under the 10 Hz solve)",
               file=sys.stderr)
         return 1
     if args.obstacle and args.controller != "ltv12":
@@ -251,7 +249,34 @@ def _cmd_fly(args) -> int:
                 x, u, GZ_QUADROTOR_PARAMS, LDT, substeps=2)
 
         x0_ltv = ref12_at(jnp.zeros((1,), jnp.float32))[0]
-        if args.fast:
+        if args.noisy:
+            # multi-rate estimation tier: plant + rigid-body EKF at 100 Hz,
+            # the LTV solve every 5th plant tick flying the ESTIMATE — the
+            # reference's 100 Hz plant / 10 Hz cvxpy rate split
+            # (main.py:814-826) with the PX4-EKF2 role in-graph
+            # (estimation.noisy_ltv_rollout)
+            if args.fast:
+                print("--noisy flies per-tick (the EKF must see every "
+                      "measurement); drop --fast", file=sys.stderr)
+                return 1
+            from .estimation import EKFConfig
+            from .estimation.noisy_loop import noisy_ltv_rollout
+
+            def window_at(i):
+                ts = (i + jnp.arange(N_ltv + 1)).astype(jnp.float32) * LDT
+                return ref12_at(ts)
+
+            outs_ltv = jax.jit(lambda: noisy_ltv_rollout(
+                mpc_ltv, window_at, steps10, jax.random.PRNGKey(args.seed),
+                ekf_cfg=EKFConfig(), body=GZ_QUADROTOR_PARAMS,
+                obstacles=obstacles,
+            ))()
+            est_rms = jnp.sqrt(jnp.mean(jnp.sum(
+                (outs_ltv["state_est"][:, 0:3]
+                 - outs_ltv["state"][:, 0:3]) ** 2, -1)))
+            print(f"# noisy tier: ltv12, 100 Hz EKF under the 10 Hz "
+                  f"solve; estimate RMS vs truth {float(est_rms):.4f} m")
+        elif args.fast:
             def reference_fn(ticks):
                 def one(i):
                     ts = (i + 1 + jnp.arange(N_ltv)).astype(jnp.float32) * LDT
@@ -1176,7 +1201,8 @@ def build_parser() -> argparse.ArgumentParser:
                         ".gif always works headless, .mp4 needs ffmpeg)")
     f.add_argument("--noisy", action="store_true",
                    help="fly on EKF-estimated state from noisy sensors "
-                        "(estimation/; mpc and gp-mpc controllers)")
+                        "(estimation/; every controller but pid — ltv12 "
+                        "runs the multi-rate 100 Hz-EKF/10 Hz-solve split)")
     f.add_argument("--seed", type=int, default=0,
                    help="sensor-noise PRNG seed (--noisy)")
     f.add_argument("--ekf-relin", choices=("tick", "dispatch"),

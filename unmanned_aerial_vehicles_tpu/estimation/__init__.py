@@ -9,7 +9,11 @@ from .ekf import (
     ekf_step,
     measure,
 )
-from .noisy_loop import noisy_mpc_flight_rollout, noisy_rigid_mpc_rollout
+from .noisy_loop import (
+    noisy_ltv_rollout,
+    noisy_mpc_flight_rollout,
+    noisy_rigid_mpc_rollout,
+)
 
 __all__ = [
     "EKFConfig",
@@ -18,6 +22,7 @@ __all__ = [
     "ekf_init",
     "ekf_step",
     "measure",
+    "noisy_ltv_rollout",
     "noisy_mpc_flight_rollout",
     "noisy_rigid_mpc_rollout",
 ]

@@ -306,7 +306,7 @@ def _fused_noisy_rollout(
 def _fused_noisy_multitick_rollout(
     mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop, cfg,
     initial_state, preview=False, gp_posterior=None, gp_gain=0.1,
-    gp_dt=0.02,
+    gp_dt=0.02, online_gp=None, initial_dataset=None,
 ):
     """EKF INSIDE the multi-tick kernel: K whole noisy ticks per dispatch.
 
@@ -373,13 +373,65 @@ def _fused_noisy_multitick_rollout(
         (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
         body.gravity / rate_loop.hover_thrust_norm, body.wind,
     )
-    gp = (
-        build_gp_rows(gp_posterior, gp_gain, control_dt=cfg.control_dt,
-                      gp_dt=gp_dt)
-        if gp_posterior is not None else None
-    )
+    online = online_gp is not None
+    if online:
+        # ONLINE learning on the noisy tier: the GP's training data comes
+        # from the EKF ESTIMATE — the reference's ACTUAL data path (the
+        # flight node captures from its position_callback state, which IS
+        # PX4-EKF2 output: src/px4/mpc.py:1889-1907,2016-2021) — while the
+        # in-kernel plant integrates the truth. Capture/refit machinery
+        # mirrors loop.closed_loop._multitick_rollout's online block.
+        if gp_posterior is not None:
+            raise ValueError("online_gp builds its posterior in-flight; "
+                             "drop gp_posterior")
+        if online_gp.refit_every < K:
+            raise ValueError(
+                f"online_gp.refit_every={online_gp.refit_every} must be "
+                f">= ticks_per_dispatch={K} (refits happen at dispatch "
+                "boundaries)"
+            )
+        from ..gp.residual_gp import (
+            add_training_samples_batch,
+            empty_dataset,
+            fit_residual_gp_masked,
+        )
+
+        gcfg = online_gp.gp
+        dataset0 = (
+            initial_dataset if initial_dataset is not None
+            else empty_dataset(gcfg.max_data_points, dtype)
+        )
+
+        def fit_scaled(ds):
+            if online_gp.standardize_inputs:
+                from ..gp.residual_gp import (
+                    masked_input_stats,
+                    standardized_params,
+                )
+
+                shift, std = masked_input_stats(ds)
+                return fit_residual_gp_masked(
+                    ds, gcfg,
+                    params=standardized_params(ds, gcfg, std=std),
+                    x_shift=shift,
+                )
+            return fit_residual_gp_masked(ds, gcfg)
+
+        gain0 = jnp.where(
+            dataset0.count >= online_gp.min_samples, gp_gain, 0.0
+        )
+        gp0 = build_gp_rows(
+            fit_scaled(dataset0), gain0,
+            control_dt=cfg.control_dt, gp_dt=gcfg.dt,
+        )
+    else:
+        gp0 = (
+            build_gp_rows(gp_posterior, gp_gain, control_dt=cfg.control_dt,
+                          gp_dt=gp_dt)
+            if gp_posterior is not None else None
+        )
     statics = dict(
-        k_ticks=K, use_gp=gp_posterior is not None,
+        k_ticks=K, use_gp=online or gp_posterior is not None,
         rho=mpc.config.admm_rho,
         iterations=mpc.config.admm_iterations,
         over_relax=mpc.config.admm_over_relax,
@@ -596,6 +648,100 @@ def noisy_rigid_mpc_rollout(
     )
     (final_state, ekf, _, _), outs = jax.lax.scan(
         step, init, (jnp.arange(num_steps), keys)
+    )
+    outs["final_state"] = final_state
+    outs["final_covariance"] = ekf.P
+    return outs
+
+
+def noisy_ltv_rollout(
+    controller,
+    reference_window_fn: Callable,
+    num_steps: int,
+    key: jax.Array,
+    ekf_cfg: EKFConfig = EKFConfig(),
+    body=None,
+    dt_plant: float = 0.02,
+    substeps_per_tick: int = 5,
+    obstacles: jnp.ndarray | None = None,
+    initial_state: jnp.ndarray | None = None,
+    dtype=jnp.float32,
+):
+    """Multi-rate noisy loop for the LTV tracking MPC: plant + EKF at the
+    100 Hz sensor rate, the controller at its own 10 Hz cadence.
+
+    The reference's standalone system runs exactly this rate split — the
+    RK4 plant at 100 Hz against the cvxpy MPC's 10 Hz timer
+    (``quadrotor_gp_mpc/main.py:814-826``,
+    ``mpc_controller.py:116,370-392``) — with state estimation delegated to
+    Gazebo truth / PX4's EKF2. Here the estimation role is in-graph: each
+    plant tick draws one sensor sample, the rigid-body EKF fuses it, and
+    the LTV solve (every ``substeps_per_tick``-th plant tick) flies the
+    ESTIMATE while the true plant integrates the commanded wrench under
+    zero-order hold.
+
+    ``controller`` is an ``LTVTrackingMPC``; ``reference_window_fn(i) ->
+    (N+1, 12)`` stage references for control tick ``i`` (the node's
+    shifting reference window, ``mpc_controller.py:64-67``). Returns one
+    row per CONTROL tick: truth/estimate/measurement at the tick boundary
+    plus the applied control.
+    """
+    from ..models import GZ_QUADROTOR_PARAMS
+    from ..models.rigid_body import rigid_body_rk4_step
+    from ..ops.rigid_plant_pallas import rigid_body_rk4_step_fast
+
+    if body is None:
+        body = GZ_QUADROTOR_PARAMS
+    if initial_state is None:
+        initial_state = reference_window_fn(0)[0].astype(dtype)
+    initial_state = initial_state.astype(dtype)
+
+    plant_step_fn = lambda x, u: rigid_body_rk4_step_fast(
+        x, u, body, dt_plant
+    )
+    process_step_fn = lambda x, u: rigid_body_rk4_step(x, u, body, dt_plant)
+
+    keys = jax.random.split(key, num_steps * substeps_per_tick).reshape(
+        num_steps, substeps_per_tick, 2
+    )
+
+    def tick(carry, inputs):
+        state, ekf, mc = carry
+        i, tick_keys = inputs
+        window = reference_window_fn(i).astype(dtype)
+
+        # the 10 Hz solve flies the current ESTIMATE; obstacles ride the
+        # same linearised half-space rows as the noiseless path
+        u, _, mc = controller.solve(mc, ekf.x, window, obstacles=obstacles)
+
+        out = {
+            "state": state,
+            "state_est": ekf.x,
+            "pos_ref": window[0, 0:3],
+            "u": u,
+        }
+
+        def sub(c, k):
+            st, ek = c
+            st2 = plant_step_fn(st, u)           # truth under ZOH control
+            z = measure(st2, k, ekf_cfg)
+            ek, _ = ekf_step(
+                ek, u, z, dt=dt_plant, config=ekf_cfg,
+                step_fn=process_step_fn,
+            )
+            return (st2, ek), z[0:3]
+
+        (state, ekf), zs = jax.lax.scan(sub, (state, ekf), tick_keys)
+        out["meas_pos"] = zs[-1]
+        return (state, ekf, mc), out
+
+    init = (
+        initial_state,
+        ekf_init(initial_state, ekf_cfg, dtype),
+        controller.init_carry(initial_state),
+    )
+    (final_state, ekf, _), outs = jax.lax.scan(
+        tick, init, (jnp.arange(num_steps), keys)
     )
     outs["final_state"] = final_state
     outs["final_covariance"] = ekf.P
