@@ -212,6 +212,33 @@ def main():
     )
     rms_online = float(make_online(T_SHORT)(x0_base))
 
+    # ---- ONLINE + NOISY: learning from EKF estimates ----------------------
+    # the reference's actual data path (the flight node's captured "state"
+    # IS PX4-EKF2 output, src/px4/mpc.py:1889-1907,2016-2021): the fused
+    # noisy multitick kernel flies + estimates, the ring-buffer capture
+    # consumes estimates, refits rebuild the in-kernel GP
+    from unmanned_aerial_vehicles_tpu.estimation import (
+        EKFConfig,
+        noisy_mpc_flight_rollout,
+    )
+
+    def make_online_noisy(T):
+        @jax.jit
+        def run(seed):
+            outs = noisy_mpc_flight_rollout(
+                mpc, ref, T, jax.random.PRNGKey(seed),
+                ekf_cfg=EKFConfig(), cfg=online_cfg, online_gp=ogp,
+                gp_gain=gp_cfg.residual_gain,
+            )
+            return rms_of(outs)
+
+        return run
+
+    online_noisy_us, _ = slope_time(
+        make_online_noisy, lambda rep: (rep,)
+    )
+    rms_online_noisy = float(make_online_noisy(T_SHORT)(0))
+
     # ---- frozen-GP mode (round-2 headline) --------------------------------
     def make_frozen(T, preview=False, mpc_=mpc):
         @jax.jit
@@ -397,6 +424,8 @@ def main():
                     "refresh f32-HIGHEST)"
                 ),
                 "tick_us_online_gp": round(online_us, 2),
+                "tick_us_online_noisy": round(online_noisy_us, 2),
+                "fig8_rms_pos_m_online_noisy": round(rms_online_noisy, 4),
                 "tick_us_frozen_gp": round(frozen_us, 2),
                 "tick_us_with_tightening": round(tight_us, 2),
                 "fused_vs_staged_max_pos_gap_m": round(pos_gap, 6),

@@ -541,3 +541,96 @@ def test_online_standardized_inputs_fused_matches_staged_system():
     # and the scaled mode keeps tracking sane (its win is measured on TPU
     # in the windy-fig8 campaign row; CPU-sized runs only guard health)
     assert rms(runs["scaled"], tail=160) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# online learning composed with the estimator (online + noisy)
+# ---------------------------------------------------------------------------
+
+
+def test_online_noisy_clean_sensors_matches_online_truth():
+    """online_gp on the NOISY fused multi-tick path (the GP trains on EKF
+    estimates — the reference's EKF2-fed capture, mpc.py:1889-1907,
+    2016-2021): with near-noiseless sensors the estimate collapses onto
+    the truth, so the captured dataset, the refits and the flight must all
+    match the truth-capture online path."""
+    from unmanned_aerial_vehicles_tpu.estimation import (
+        EKFConfig,
+        noisy_mpc_flight_rollout,
+    )
+
+    steps = 400
+    mpc = fused_mpc(horizon=20, admm_iterations=40)
+    cfg = FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8)
+    ogp = OnlineFusedGPConfig(
+        gp=ResidualGPConfig(max_data_points=128), refit_every=200,
+        min_samples=30,
+    )
+    clean = EKFConfig(r_pos=1e-5, r_att=1e-5, r_rate=1e-5,
+                      p0_pos=1e-4, p0_vel=1e-4, p0_att=1e-4, p0_rate=1e-4)
+    truth = jax.jit(lambda: mpc_flight_rollout(
+        mpc, circle_ref, steps, cfg=cfg, online_gp=ogp
+    ))()
+    noisy = jax.jit(lambda: noisy_mpc_flight_rollout(
+        mpc, circle_ref, steps, jax.random.PRNGKey(0), ekf_cfg=clean,
+        cfg=cfg, online_gp=ogp
+    ))()
+    assert int(noisy["gp_count"][-1]) == int(truth["gp_count"][-1])
+    gap = np.abs(np.asarray(truth["state"][:, 0:3])
+                 - np.asarray(noisy["state"][:, 0:3])).max()
+    assert gap < 0.05, gap
+
+
+def test_online_noisy_learns_wind_from_estimates():
+    """The full composition: wind + noisy sensors + in-flight learning.
+    The GP trained on EKF ESTIMATES must still recover a substantial share
+    of the wind-induced tracking penalty (the plain noisy flight is the
+    baseline) — learning survives estimation noise."""
+    from unmanned_aerial_vehicles_tpu.estimation import (
+        EKFConfig,
+        noisy_mpc_flight_rollout,
+    )
+
+    windy = RigidBodyParams(wind=(1.5, 0.8, 0.0))
+    steps = 1600  # 32 s
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=6.0, frequency=0.02)
+        return pos + jnp.array([0.0, 0.0, 3.0]), yaw
+
+    mpc = fused_mpc(horizon=20, admm_iterations=60)
+    cfg = FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8)
+    ekf_cfg = EKFConfig()
+
+    plain = jax.jit(lambda: noisy_mpc_flight_rollout(
+        mpc, ref, steps, jax.random.PRNGKey(2), ekf_cfg=ekf_cfg,
+        body=windy, cfg=cfg, preview=True
+    ))()
+    ogp = OnlineFusedGPConfig(
+        gp=ResidualGPConfig(max_data_points=256, residual_gain=1.0),
+        refit_every=200,
+    )
+    online = jax.jit(lambda: noisy_mpc_flight_rollout(
+        mpc, ref, steps, jax.random.PRNGKey(2), ekf_cfg=ekf_cfg,
+        body=windy, cfg=cfg, preview=True, online_gp=ogp, gp_gain=1.0
+    ))()
+
+    r_plain = rms(plain, tail=800)
+    r_online = rms(online, tail=800)
+    assert int(online["gp_count"][-1]) > 100
+    assert r_online < 0.75 * r_plain, (r_online, r_plain)
+
+
+def test_online_noisy_requires_multitick():
+    from unmanned_aerial_vehicles_tpu.estimation import (
+        noisy_mpc_flight_rollout,
+    )
+
+    mpc = fused_mpc()
+    ogp = OnlineFusedGPConfig(gp=ResidualGPConfig(max_data_points=64))
+    with pytest.raises(ValueError, match="multi-tick"):
+        noisy_mpc_flight_rollout(
+            mpc, circle_ref, 8, jax.random.PRNGKey(0),
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=1),
+            online_gp=ogp,
+        )

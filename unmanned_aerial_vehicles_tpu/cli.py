@@ -596,8 +596,8 @@ def _cmd_fly(args) -> int:
                       "--controller gp-mpc --fast (the staged equivalent "
                       "is the 'online' subcommand)", file=sys.stderr)
                 return 1
-            if args.noisy or args.gp_model or args.gp_mode == "output":
-                print("--online learns in flight; drop --noisy/--gp-model/"
+            if args.gp_model or args.gp_mode == "output":
+                print("--online learns in flight; drop --gp-model/"
                       "--gp-mode output", file=sys.stderr)
                 return 1
             from .loop import OnlineFusedGPConfig
@@ -724,9 +724,13 @@ def _cmd_fly(args) -> int:
                     mpc, ref, num_steps, jax.random.PRNGKey(args.seed),
                     cfg=cfg, residual_fn=residual_fn, preview=args.preview,
                     gp_posterior=gp_posterior, gp_gain=gp_gain,
-                    ekf_cfg=ekf_cfg,
+                    ekf_cfg=ekf_cfg, online_gp=online_gp,
                 )
             )()
+            if online_gp is not None:
+                print(f"# online+noisy: GP trained on EKF estimates "
+                      f"(the reference's EKF2-fed capture path); "
+                      f"samples {int(outs['gp_count'][-1])}")
         else:
             outs = jax.jit(
                 lambda: mpc_flight_rollout(
@@ -1191,7 +1195,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ONLINE in-flight GP learning on the fused path "
                         "(~8 us/tick; requires --controller gp-mpc --fast; "
                         "no pretrained model needed — ring-buffer capture "
-                        "+ 5 s refits, the reference's retrain policy)")
+                        "+ 5 s refits, the reference's retrain policy; "
+                        "composes with --noisy: the GP then trains on EKF "
+                        "estimates, the reference's EKF2-fed capture path)")
     f.add_argument("--save-log", default=None,
                    help="write the flight log (.npz snapshot, or .uavlog "
                         "for the streaming binary format)")

@@ -39,6 +39,8 @@ def noisy_mpc_flight_rollout(
     gp_posterior=None,
     gp_gain: float = 0.1,
     gp_dt: float = 0.02,
+    online_gp=None,
+    initial_dataset=None,
     dtype=jnp.float32,
 ):
     """MPC flight on ESTIMATED state from noisy sensors.
@@ -52,9 +54,23 @@ def noisy_mpc_flight_rollout(
     pins the two paths against silent divergence.
     Adds ``state_est`` (the per-tick estimate) and ``meas_pos`` (the raw
     position sample) to the output dict.
+
+    ``online_gp`` (an ``OnlineFusedGPConfig``; fused multi-tick path only)
+    composes IN-FLIGHT LEARNING with the estimator: the ring-buffer
+    capture consumes EKF estimates — the reference's actual data path,
+    where the flight node's captured "state" is PX4-EKF2 output
+    (``src/px4/mpc.py:1889-1907,2016-2021``).
     """
     if initial_state is None:
         initial_state = jnp.zeros(12, dtype).at[2].set(cfg.takeoff_height)
+    if online_gp is not None and not (
+        cfg.use_fused_tick and cfg.ticks_per_dispatch > 1
+    ):
+        raise ValueError(
+            "online_gp= on the noisy loop requires the fused multi-tick "
+            "path (FlightLoopConfig.use_fused_tick=True, "
+            "ticks_per_dispatch > 1)"
+        )
     if cfg.use_fused_tick:
         # estimate-and-run-fast. Two fused forms:
         # * single-tick: the tick kernel takes a separate controller-state
@@ -76,6 +92,7 @@ def noisy_mpc_flight_rollout(
                 mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop,
                 cfg, initial_state, preview=preview,
                 gp_posterior=gp_posterior, gp_gain=gp_gain, gp_dt=gp_dt,
+                online_gp=online_gp, initial_dataset=initial_dataset,
             )
         return _fused_noisy_rollout(
             mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop,
@@ -496,7 +513,7 @@ def _fused_noisy_multitick_rollout(
         )
 
     def step(carry, inputs):
-        state_row, est_row, P, aux_row, xtail_row, z, y = carry
+        state_row, est_row, P, aux_row, xtail_row, z, y, dataset, gp = carry
         i, noise_k = inputs
         ts = (i * K + jnp.arange(K)).astype(dtype) * cfg.control_dt
         refs, pos_refs = jax.vmap(one_ref)(ts)
@@ -521,7 +538,48 @@ def _fused_noisy_multitick_rollout(
             "accel_cmd": packed[:, 22:25],
             "u_mpc": packed[:, 25:29],
         }
-        return (state_row, est_row, P, aux_row, xtail_row, z, y), out
+        if online:
+            # --- per-tick data capture from the ESTIMATE ------------------
+            # the reference's capture consumes EKF2 output, not truth
+            # (mpc.py:1889-1907,2016-2021): transitions est_k -> est_{k+1}
+            # under the applied (clipped) command
+            est_pre = packed[:, 32:44]
+            est_next = jnp.concatenate(
+                [packed[1:, 32:44], est_row[:, 0:12]], axis=0
+            )
+            yr = jnp.clip(
+                packed[:, 28], -cfg.yawrate_limit, cfg.yawrate_limit
+            )
+            if cfg.fallback_error_m > 0.0:
+                # the noisy kernel's divergence guard watches the
+                # controller-visible (estimated) state; mirror it so
+                # captured controls match applied ones on fallback ticks
+                err2 = jnp.sum(
+                    (refs[:, 0:3] - packed[:, 32:35]) ** 2, axis=1
+                )
+                yr = jnp.where(err2 > cfg.fallback_error_m**2, 0.0, yr)
+            controls = jnp.concatenate(
+                [packed[:, 22:25], yr[:, None]], axis=1
+            )
+            dataset = add_training_samples_batch(
+                dataset, est_pre, controls, est_next, gcfg
+            )
+            out["gp_count"] = jnp.broadcast_to(dataset.count, (K,))
+
+            refit = (((i + 1) * K) % online_gp.refit_every < K) & (
+                dataset.count >= online_gp.min_samples
+            )
+
+            def do_refit(ds):
+                return build_gp_rows(
+                    fit_scaled(ds), gp_gain,
+                    control_dt=cfg.control_dt, gp_dt=gcfg.dt,
+                )
+
+            gp = jax.lax.cond(refit, do_refit, lambda ds: gp, dataset)
+        return (
+            state_row, est_row, P, aux_row, xtail_row, z, y, dataset, gp
+        ), out
 
     x0 = initial_state.astype(dtype)
     # staged init: estimate starts at the true state, hover command applied
@@ -536,6 +594,8 @@ def _fused_noisy_multitick_rollout(
         row(jnp.tile(x0[0:6], N), n_pad),
         jnp.zeros((1, m_pad), dtype),
         jnp.zeros((1, m_pad), dtype),
+        dataset0 if online else jnp.zeros((), dtype),
+        gp0,
     )
     (state_row, est_row, P, *_), outs = jax.lax.scan(
         step, init, (jnp.arange(num_steps // K), noise_chunks)
