@@ -368,6 +368,48 @@ def main() -> int:
     print("mpc_oracle_residual_windy_figure8",
           json.dumps(summary["mpc_oracle_residual_windy_figure8"]))
 
+    # (d) round-5: learning FROM THE ESTIMATOR (online + noisy) — the
+    #     reference's actual capture path (the flight node's captured
+    #     "state" is PX4-EKF2 output, src/px4/mpc.py:1889-1907,2016-2021).
+    #     The GP trained on EKF ESTIMATES must still recover the wind
+    #     penalty vs the plain noisy flight (gated below).
+    from unmanned_aerial_vehicles_tpu.estimation import (
+        EKFConfig,
+        noisy_mpc_flight_rollout,
+    )
+
+    def noisy_windy_row(name, ogp):
+        o = jax.jit(
+            lambda: noisy_mpc_flight_rollout(
+                mpc_fused, fig8, num_steps, jax.random.PRNGKey(2),
+                ekf_cfg=EKFConfig(), body=windy, cfg=fused_cfg,
+                preview=True, online_gp=ogp, gp_gain=1.0,
+            )
+        )()
+        o = {k: np.asarray(v) for k, v in o.items()}
+        e = np.linalg.norm(o["pos_ref"] - o["state"][:, 0:3], axis=1)
+        half = len(e) // 2
+        summary[name] = {
+            "rms_pos": float(np.sqrt((e**2).mean())),
+            "rms_pos_tail": float(np.sqrt((e[half:] ** 2).mean())),
+            "max_pos": float(e.max()),
+            "est_rms_pos": float(np.sqrt(np.mean(np.sum(
+                (o["state_est"][:, 0:3] - o["state"][:, 0:3]) ** 2, -1)))),
+        }
+        if ogp is not None:
+            summary[name]["gp_samples_collected"] = int(o["gp_count"][-1])
+        _save(name, o)
+        print(name, json.dumps(summary[name]))
+
+    noisy_windy_row("mpc_noisy_windy_figure8", None)
+    noisy_windy_row(
+        "gpmpc_online_noisy_windy_figure8",
+        OnlineFusedGPConfig(
+            gp=ResidualGPConfig(max_data_points=128, residual_gain=1.0),
+            refit_every=64,
+        ),
+    )
+
     payload = {
         "ours": summary,
         "reference_baselines": REFERENCE_BASELINES,
@@ -402,6 +444,9 @@ def main() -> int:
         # oracle (the round-4 "no learning headroom left" evidence)
         ("gpmpc_online_fresh_windy_figure8",
          "mpc_oracle_residual_windy_figure8"),
+        # round-5: learning FROM EKF ESTIMATES must still recover the
+        # wind penalty (the reference's EKF2-fed capture path)
+        ("gpmpc_online_noisy_windy_figure8", "mpc_noisy_windy_figure8"),
     ):
         ga = summary[a]["rms_pos_tail"]
         gb = summary[b]["rms_pos_tail"]
