@@ -4,7 +4,7 @@ Round-5 capstones for the estimation row of the capability matrix.
 (1) ``noisy_ltv_rollout``: the LTV tracking MPC (the cvxpy engine's role,
 ``quadrotor_gp_mpc/mpc_controller.py:123-368``) gets a MULTI-RATE
 estimator tier — plant + rigid-body EKF at the 100 Hz sensor rate, the
-solve every 5th tick flying the ESTIMATE. That is exactly the reference's
+solve every 10th plant tick flying the ESTIMATE. That is exactly the reference's
 rate split (100 Hz plant under the 10 Hz cvxpy timer,
 ``main.py:814-826``) with the PX4-EKF2 role brought in-graph; obstacle
 rows compose. (2) online + noisy on the fused 6-state path: the in-flight
@@ -75,8 +75,8 @@ d = st[:, None, 0:3] - np.asarray(obstacles)[None, :, 0:3]
 clear = float(np.min(np.sqrt(np.sum(d ** 2, -1))
                      - np.asarray(obstacles)[None, :, 3]))
 print(
-    f"ltv12 multi-rate noisy tier ({STEPS10} solves @ 10 Hz, 5 EKF "
-    f"subticks each): tracking RMS {rms:.4f} m, estimate RMS "
+    f"ltv12 multi-rate noisy tier ({STEPS10} solves @ 10 Hz, 10 EKF "
+    f"subticks @ 100 Hz each): tracking RMS {rms:.4f} m, estimate RMS "
     f"{est_err * 100:.1f} cm, obstacle clearance {clear:.3f} m"
 )
 

@@ -506,7 +506,7 @@ def test_noisy_rigid_family_surface():
 
 def test_noisy_ltv_multirate_estimator_in_the_loop():
     """ltv12's estimation tier: plant + rigid-body EKF at 100 Hz, the LTV
-    solve every 5th plant tick flying the ESTIMATE (the reference's
+    solve every 10th plant tick flying the ESTIMATE (the reference's
     100 Hz plant / 10 Hz cvxpy rate split, main.py:814-826, with the
     PX4-EKF2 role in-graph). Pins: finite flight, the filter beats the
     raw position sensor, and tracking stays close to the reference

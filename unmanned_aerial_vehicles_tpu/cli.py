@@ -251,7 +251,7 @@ def _cmd_fly(args) -> int:
         x0_ltv = ref12_at(jnp.zeros((1,), jnp.float32))[0]
         if args.noisy:
             # multi-rate estimation tier: plant + rigid-body EKF at 100 Hz,
-            # the LTV solve every 5th plant tick flying the ESTIMATE — the
+            # the LTV solve every 10th plant tick flying the ESTIMATE — the
             # reference's 100 Hz plant / 10 Hz cvxpy rate split
             # (main.py:814-826) with the PX4-EKF2 role in-graph
             # (estimation.noisy_ltv_rollout)

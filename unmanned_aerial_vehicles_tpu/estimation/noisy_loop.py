@@ -71,6 +71,8 @@ def noisy_mpc_flight_rollout(
             "path (FlightLoopConfig.use_fused_tick=True, "
             "ticks_per_dispatch > 1)"
         )
+    if initial_dataset is not None and online_gp is None:
+        raise ValueError("initial_dataset= only makes sense with online_gp=")
     if cfg.use_fused_tick:
         # estimate-and-run-fast. Two fused forms:
         # * single-tick: the tick kernel takes a separate controller-state
@@ -513,7 +515,8 @@ def _fused_noisy_multitick_rollout(
         )
 
     def step(carry, inputs):
-        state_row, est_row, P, aux_row, xtail_row, z, y, dataset, gp = carry
+        (state_row, est_row, P, aux_row, xtail_row, z, y,
+         dataset, gp, pending) = carry
         i, noise_k = inputs
         ts = (i * K + jnp.arange(K)).astype(dtype) * cfg.control_dt
         refs, pos_refs = jax.vmap(one_ref)(ts)
@@ -542,11 +545,13 @@ def _fused_noisy_multitick_rollout(
             # --- per-tick data capture from the ESTIMATE ------------------
             # the reference's capture consumes EKF2 output, not truth
             # (mpc.py:1889-1907,2016-2021): transitions est_k -> est_{k+1}
-            # under the applied (clipped) command
-            est_pre = packed[:, 32:44]
-            est_next = jnp.concatenate(
-                [packed[1:, 32:44], est_row[:, 0:12]], axis=0
-            )
+            # under the applied (clipped) command. est_{k+1} for the LAST
+            # tick of a dispatch does not exist yet (the kernel's est
+            # carry-out equals packed[K-1, 32:44]: the next estimate is
+            # only formed by the NEXT dispatch's first predict+fuse), so
+            # that tick's sample is DEFERRED — carried as (est, u) and
+            # completed one dispatch later against packed[0, 32:44].
+            est_rows = packed[:, 32:44]
             yr = jnp.clip(
                 packed[:, 28], -cfg.yawrate_limit, cfg.yawrate_limit
             )
@@ -561,9 +566,23 @@ def _fused_noisy_multitick_rollout(
             controls = jnp.concatenate(
                 [packed[:, 22:25], yr[:, None]], axis=1
             )
-            dataset = add_training_samples_batch(
-                dataset, est_pre, controls, est_next, gcfg
+            pend_est, pend_u, pend_ok = pending
+            est_pre = jnp.concatenate(
+                [pend_est[None, :], est_rows[:-1]], axis=0
             )
+            ctl_pre = jnp.concatenate(
+                [pend_u[None, :], controls[:-1]], axis=0
+            )
+            # row j=0 completes the deferred sample (next = this
+            # dispatch's first estimate); rows 1..K-1 are the in-dispatch
+            # transitions t -> t+1; chronological order is preserved
+            valid = jnp.concatenate(
+                [pend_ok[None], jnp.ones((K - 1,), bool)]
+            )
+            dataset = add_training_samples_batch(
+                dataset, est_pre, ctl_pre, est_rows, gcfg, valid=valid
+            )
+            pending = (est_rows[-1], controls[-1], jnp.array(True))
             out["gp_count"] = jnp.broadcast_to(dataset.count, (K,))
 
             refit = (((i + 1) * K) % online_gp.refit_every < K) & (
@@ -578,7 +597,8 @@ def _fused_noisy_multitick_rollout(
 
             gp = jax.lax.cond(refit, do_refit, lambda ds: gp, dataset)
         return (
-            state_row, est_row, P, aux_row, xtail_row, z, y, dataset, gp
+            state_row, est_row, P, aux_row, xtail_row, z, y,
+            dataset, gp, pending,
         ), out
 
     x0 = initial_state.astype(dtype)
@@ -596,6 +616,9 @@ def _fused_noisy_multitick_rollout(
         jnp.zeros((1, m_pad), dtype),
         dataset0 if online else jnp.zeros((), dtype),
         gp0,
+        # deferred last-tick capture: (est, u, valid) — invalid until the
+        # first dispatch completes
+        (jnp.zeros(12, dtype), jnp.zeros(4, dtype), jnp.array(False)),
     )
     (state_row, est_row, P, *_), outs = jax.lax.scan(
         step, init, (jnp.arange(num_steps // K), noise_chunks)
@@ -721,8 +744,8 @@ def noisy_ltv_rollout(
     key: jax.Array,
     ekf_cfg: EKFConfig = EKFConfig(),
     body=None,
-    dt_plant: float = 0.02,
-    substeps_per_tick: int = 5,
+    dt_plant: float = 0.01,
+    substeps_per_tick: int = 10,
     obstacles: jnp.ndarray | None = None,
     initial_state: jnp.ndarray | None = None,
     dtype=jnp.float32,

@@ -115,6 +115,7 @@ def add_training_samples_batch(
     controls: jnp.ndarray,      # (K, >=4)
     states_next: jnp.ndarray,   # (K, >=6)
     config: ResidualGPConfig = ResidualGPConfig(),
+    valid: jnp.ndarray | None = None,
 ) -> ResidualDataset:
     """K ring-buffer inserts as ONE masked scatter (exactly equal to K
     sequential ``add_training_sample`` calls — pinned by
@@ -126,6 +127,11 @@ def add_training_samples_batch(
     dropped by the scatter; accepted samples take consecutive ring slots
     via a prefix count, so intra-batch ordering matches the sequential
     semantics (including wrap-around).
+
+    ``valid``: optional (K,) bool mask — rows marked False are dropped
+    before the quality filters (used by the estimate-fed online capture,
+    whose first slot carries the previous dispatch's deferred transition
+    and is invalid on the very first dispatch).
     """
     K = states.shape[0]
     capacity = dataset.X.shape[0]
@@ -151,6 +157,8 @@ def add_training_samples_batch(
         & (control_norm <= config.max_control_norm)
         & (residual_norm <= config.max_residual_norm)
     )
+    if valid is not None:
+        accept = accept & valid
 
     acc_i = accept.astype(jnp.int32)
     # dtype=int32 throughout: jnp reductions promote to int64 under x64,
