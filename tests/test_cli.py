@@ -300,3 +300,23 @@ def test_fly_noisy_rejects_unwired_controllers(capsys):
                  "--noisy"]) == 1
     assert main(["fly", "--controller", "mpc12", "--duration", "2",
                  "--noisy", "--fast"]) == 1
+
+
+def test_fly_wind_disturbance_observer(capsys):
+    """--wind + --disturbance-observer: the augmented-EKF observer flies
+    the campaign's windy plant and reports its accel-disturbance estimate
+    (estimation/disturbance.py)."""
+    assert main(["fly", "--controller", "mpc", "--duration", "8",
+                 "--noisy", "--wind", "1.5", "0.8", "0",
+                 "--disturbance-observer", "--preview"]) == 0
+    out = capsys.readouterr().out
+    assert "disturbance observer" in out
+    m = json.loads(out[out.index("{"):])
+    assert np.isfinite(m["rms_pos"])
+    # guard rails: fused path and non-mpc controllers reject the flag
+    assert main(["fly", "--controller", "mpc", "--duration", "2",
+                 "--noisy", "--fast", "--disturbance-observer"]) == 1
+    assert main(["fly", "--controller", "mpc12", "--duration", "2",
+                 "--noisy", "--disturbance-observer"]) == 1
+    assert main(["fly", "--controller", "ltv12", "--duration", "2",
+                 "--wind", "1", "0", "0"]) == 1

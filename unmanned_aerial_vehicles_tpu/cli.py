@@ -183,6 +183,28 @@ def _cmd_fly(args) -> int:
               "(multi-rate: 100 Hz EKF under the 10 Hz solve)",
               file=sys.stderr)
         return 1
+    if args.wind is not None and args.controller not in ("mpc", "gp-mpc"):
+        print("--wind (steady world-frame wind on the true plant) is "
+              "wired for the mpc/gp-mpc family; the campaign tool "
+              "(tools/run_campaign.py) drives the other scenarios",
+              file=sys.stderr)
+        return 1
+    if args.disturbance_observer:
+        if not args.noisy or args.controller not in ("mpc", "gp-mpc"):
+            print("--disturbance-observer is the augmented-EKF wind/"
+                  "mismatch observer: requires --noisy and --controller "
+                  "mpc/gp-mpc (estimation.disturbance)", file=sys.stderr)
+            return 1
+        if args.fast:
+            print("--disturbance-observer runs on the staged path (the "
+                  "fused kernels carry the 12-state filter); drop --fast",
+                  file=sys.stderr)
+            return 1
+    body6 = None
+    if args.wind is not None:
+        from .models import RigidBodyParams
+
+        body6 = RigidBodyParams(wind=tuple(args.wind))
     if args.obstacle and args.controller != "ltv12":
         print("--obstacle is the LTV engine's constraint class: use "
               "--controller ltv12 (mpc_controller.py:223-316)",
@@ -719,19 +741,34 @@ def _cmd_fly(args) -> int:
 
             ekf_cfg = EKFConfig(relinearize_every=args.ekf_relin,
                                 cov_precision=args.ekf_cov)
+            body_kw = {"body": body6} if body6 is not None else {}
             outs = jax.jit(
                 lambda: noisy_mpc_flight_rollout(
                     mpc, ref, num_steps, jax.random.PRNGKey(args.seed),
                     cfg=cfg, residual_fn=residual_fn, preview=args.preview,
                     gp_posterior=gp_posterior, gp_gain=gp_gain,
                     ekf_cfg=ekf_cfg, online_gp=online_gp,
+                    disturbance_observer=(
+                        True if args.disturbance_observer else None
+                    ),
+                    **body_kw,
                 )
             )()
+            if args.disturbance_observer:
+                import numpy as _np
+
+                d_tail = _np.asarray(outs["disturbance_est"])
+                d_tail = d_tail[len(d_tail) // 2:].mean(axis=0)
+                print(f"# disturbance observer: mean estimated accel "
+                      f"disturbance (tail) = "
+                      f"[{d_tail[0]:+.3f} {d_tail[1]:+.3f} "
+                      f"{d_tail[2]:+.3f}] m/s^2")
             if online_gp is not None:
                 print(f"# online+noisy: GP trained on EKF estimates "
                       f"(the reference's EKF2-fed capture path); "
                       f"samples {int(outs['gp_count'][-1])}")
         else:
+            body_kw = {"body": body6} if body6 is not None else {}
             outs = jax.jit(
                 lambda: mpc_flight_rollout(
                     mpc, ref, num_steps, cfg=cfg, residual_fn=residual_fn,
@@ -739,6 +776,7 @@ def _cmd_fly(args) -> int:
                     preview=args.preview,
                     gp_posterior=gp_posterior, gp_gain=gp_gain,
                     online_gp=online_gp,
+                    **body_kw,
                 )
             )()
 
@@ -1221,6 +1259,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="precision of the fused EKF's covariance-"
                         "propagation dots (--noisy --fast): 6-pass HIGHEST "
                         "(default) or single-pass bf16")
+    f.add_argument("--wind", nargs=3, type=float, default=None,
+                   metavar=("WX", "WY", "WZ"),
+                   help="steady world-frame wind (m/s) on the TRUE plant "
+                        "(mpc/gp-mpc family; drag acts on airspeed)")
+    f.add_argument("--disturbance-observer", action="store_true",
+                   help="augmented-EKF disturbance observer (--noisy, "
+                        "staged path): estimates the accel disturbance "
+                        "in flight and feeds it to the MPC — wind "
+                        "rejection without learning "
+                        "(estimation/disturbance.py)")
     f.set_defaults(fn=_cmd_fly)
 
     m = sub.add_parser("mission", help="full phase-machine mission")

@@ -121,6 +121,51 @@ def measure(
     return clean + noise
 
 
+def joseph_update(
+    x_pred: jnp.ndarray,
+    F: jnp.ndarray,
+    P: jnp.ndarray,
+    q_diag: jnp.ndarray,
+    measurement: jnp.ndarray,
+    r_diag: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Covariance propagation + Joseph-form measurement fusion.
+
+    Dimension-generic core shared by the 12-state filter (``ekf_step``) and
+    the 15-state disturbance observer (``estimation.disturbance``): state
+    dim comes from ``x_pred.shape``, the measurement model stays the
+    position/attitude/rate selection of ``MEASURED_IDX`` (all inside the
+    first 12 states), yaw innovation wrapped. Returns ``(x_new, P_new)``.
+    """
+    dtype = x_pred.dtype
+    n = x_pred.shape[0]
+    prec = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+
+    P_pred = mm(mm(F, P), F.T) + jnp.diag(q_diag).astype(dtype)
+
+    idx = jnp.asarray(MEASURED_IDX)
+    H = jnp.zeros((MEAS_DIM, n), dtype).at[
+        jnp.arange(MEAS_DIM), idx
+    ].set(1.0)
+
+    innov = measurement - x_pred[idx]
+    innov = innov.at[_YAW_ROW].set(wrap_angle(innov[_YAW_ROW]))
+
+    S = mm(mm(H, P_pred), H.T) + jnp.diag(r_diag).astype(dtype)
+    # gain via solve (no explicit inverse): K = P H' S^-1
+    K = jnp.linalg.solve(S.T, mm(H, P_pred.T)).T
+    x_new = x_pred + mm(K, innov[:, None])[:, 0]
+    x_new = x_new.at[6:9].set(wrap_angle(x_new[6:9]))
+
+    IKH = jnp.eye(n, dtype=dtype) - mm(K, H)
+    P_new = mm(mm(IKH, P_pred), IKH.T) + mm(
+        K * r_diag.astype(dtype)[None, :], K.T
+    )
+    P_new = 0.5 * (P_new + P_new.T)  # exact symmetry against f32 drift
+    return x_new, P_new
+
+
 def ekf_step(
     carry: EKFState,
     control: jnp.ndarray,
@@ -142,10 +187,6 @@ def ekf_step(
     plant works — the torque-input rigid body serves the 12-state
     controller family's noisy loop (``noisy_rigid_mpc_rollout``).
     """
-    dtype = carry.x.dtype
-    prec = jax.lax.Precision.HIGHEST
-    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
-
     if step_fn is None:
         step = lambda x: px4_rate_tracking_step(x, control, body, rate_loop,
                                                 dt)
@@ -153,25 +194,7 @@ def ekf_step(
         step = lambda x: step_fn(x, control)
     x_pred = step(carry.x)
     F = jax.jacfwd(step)(carry.x)
-    P_pred = mm(mm(F, carry.P), F.T) + jnp.diag(config.q_diag()).astype(dtype)
-
-    idx = jnp.asarray(MEASURED_IDX)
-    H = jnp.zeros((MEAS_DIM, STATE_DIM), dtype).at[
-        jnp.arange(MEAS_DIM), idx
-    ].set(1.0)
-
-    innov = measurement - x_pred[idx]
-    innov = innov.at[_YAW_ROW].set(wrap_angle(innov[_YAW_ROW]))
-
-    S = mm(mm(H, P_pred), H.T) + jnp.diag(config.r_diag()).astype(dtype)
-    # gain via solve (no explicit inverse): K = P H' S^-1
-    K = jnp.linalg.solve(S.T, mm(H, P_pred.T)).T
-    x_new = x_pred + mm(K, innov[:, None])[:, 0]
-    x_new = x_new.at[6:9].set(wrap_angle(x_new[6:9]))
-
-    IKH = jnp.eye(STATE_DIM, dtype=dtype) - mm(K, H)
-    P_new = mm(mm(IKH, P_pred), IKH.T) + mm(
-        K * config.r_diag().astype(dtype)[None, :], K.T
+    x_new, P_new = joseph_update(
+        x_pred, F, carry.P, config.q_diag(), measurement, config.r_diag()
     )
-    P_new = 0.5 * (P_new + P_new.T)  # exact symmetry against f32 drift
     return EKFState(x=x_new, P=P_new), x_new

@@ -41,6 +41,8 @@ def noisy_mpc_flight_rollout(
     gp_dt: float = 0.02,
     online_gp=None,
     initial_dataset=None,
+    disturbance_observer=None,
+    nominal_body: RigidBodyParams | None = None,
     dtype=jnp.float32,
 ):
     """MPC flight on ESTIMATED state from noisy sensors.
@@ -60,6 +62,21 @@ def noisy_mpc_flight_rollout(
     capture consumes EKF estimates — the reference's actual data path,
     where the flight node's captured "state" is PX4-EKF2 output
     (``src/px4/mpc.py:1889-1907,2016-2021``).
+
+    ``disturbance_observer`` (a ``DisturbanceEKFConfig``, or ``True`` for
+    defaults; staged path only) swaps the 12-state filter for the
+    15-state augmented observer (``estimation.disturbance``): the EKF
+    additionally estimates a slowly-varying acceleration disturbance and
+    the MPC receives it as stage-wise residual feedforward — wind
+    rejection WITHOUT learning (summed with ``residual_fn`` rows when both
+    are given, so the GP corrects what the observer's constant-accel model
+    cannot). Adds ``disturbance_est`` to the output dict.
+
+    ``nominal_body`` is the observer's process model (default: ``body``
+    with the wind zeroed — the controller-side model that does NOT know
+    the disturbance; passing the true plant parameters would drive
+    ``d_est`` to zero and the feedforward with it). The TRUE plant always
+    integrates ``body``.
     """
     if initial_state is None:
         initial_state = jnp.zeros(12, dtype).at[2].set(cfg.takeoff_height)
@@ -73,6 +90,23 @@ def noisy_mpc_flight_rollout(
         )
     if initial_dataset is not None and online_gp is None:
         raise ValueError("initial_dataset= only makes sense with online_gp=")
+    if disturbance_observer is not None and disturbance_observer is not False:
+        if cfg.use_fused_tick:
+            raise ValueError(
+                "disturbance_observer= runs on the staged path only "
+                "(FlightLoopConfig.use_fused_tick=False): the fused "
+                "kernels carry the 12-state filter"
+            )
+        from .disturbance import DisturbanceEKFConfig
+
+        dob_cfg = (
+            DisturbanceEKFConfig(base=ekf_cfg)
+            if disturbance_observer is True else disturbance_observer
+        )
+        if nominal_body is None:
+            nominal_body = body.replace(wind=(0.0, 0.0, 0.0))
+    else:
+        dob_cfg = None
     if cfg.use_fused_tick:
         # estimate-and-run-fast. Two fused forms:
         # * single-tick: the tick kernel takes a separate controller-state
@@ -104,6 +138,15 @@ def noisy_mpc_flight_rollout(
     accel_lo = jnp.asarray(cfg.accel_lower, dtype)
     accel_hi = jnp.asarray(cfg.accel_upper, dtype)
     keys = jax.random.split(key, num_steps)
+    # sensor noise model: the observer's base config when one was passed
+    # explicitly (keeps draw + filter models consistent), ekf_cfg otherwise
+    meas_cfg = dob_cfg.base if dob_cfg is not None else ekf_cfg
+    if dob_cfg is not None:
+        from .disturbance import (
+            dekf_init,
+            dekf_step,
+            disturbance_residual_rows,
+        )
 
     def step(carry, inputs):
         state, ekf, mpc_carry, att_carry, prev_control = carry
@@ -115,16 +158,32 @@ def noisy_mpc_flight_rollout(
 
         # sensor sample of the TRUE state; EKF predicts with the control
         # that was actually applied over the last interval
-        z = measure(state, k, ekf_cfg)
-        ekf, x_est = ekf_step(
-            ekf, prev_control, z, body, rate_loop, cfg.control_dt, ekf_cfg
-        )
+        z = measure(state, k, meas_cfg)
+        if dob_cfg is not None:
+            # observer predicts with the NOMINAL model — the innovation the
+            # nominal plant cannot explain is attributed to d
+            ekf, x_est, d_est = dekf_step(
+                ekf, prev_control, z, nominal_body, rate_loop,
+                cfg.control_dt, dob_cfg,
+            )
+        else:
+            ekf, x_est = ekf_step(
+                ekf, prev_control, z, body, rate_loop, cfg.control_dt,
+                ekf_cfg,
+            )
 
         residuals = (
             residual_fn(mpc_carry.X_prev, mpc_carry.U_prev)
             if residual_fn is not None
             else None
         )
+        if dob_cfg is not None:
+            dob_rows = disturbance_residual_rows(
+                d_est, mpc.config.horizon, dtype
+            )
+            residuals = (
+                dob_rows if residuals is None else residuals + dob_rows
+            )
         if preview:
             ts = t + cfg.control_dt * jnp.arange(
                 1, mpc.config.horizon + 2, dtype=dtype
@@ -162,11 +221,14 @@ def noisy_mpc_flight_rollout(
             "accel_cmd": accel_des,
             "u_mpc": u_opt,
         }
+        if dob_cfg is not None:
+            out["disturbance_est"] = d_est
         return (new_state, ekf, mpc_carry, att_carry, control), out
 
     init = (
         initial_state,
-        ekf_init(initial_state, ekf_cfg, dtype),
+        dekf_init(initial_state, dob_cfg, dtype) if dob_cfg is not None
+        else ekf_init(initial_state, ekf_cfg, dtype),
         mpc.init_carry(initial_state[0:6]),
         attitude_loop_init(dtype),
         jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype),  # hover command
