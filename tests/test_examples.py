@@ -1,7 +1,7 @@
 """Examples smoke coverage (VERDICT round-3 missing #4).
 
 The reference's executable-script culture (SURVEY section 4.2) is mirrored
-by ``examples/01-14``; this runs EVERY example headless in a subprocess with
+by ``examples/01-15``; this runs EVERY example headless in a subprocess with
 ``UAV_FAST_EXAMPLES=1`` (the examples route workload sizes through
 ``utils.examples.scaled``), pinned to the CPU backend the same way
 ``conftest.py`` pins the suite (the axon sitecustomize ignores a plain

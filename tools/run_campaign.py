@@ -413,6 +413,37 @@ def main() -> int:
         ),
     )
 
+    # (e) round-5: the LEARNING-FREE alternative — the augmented-EKF
+    #     disturbance observer (estimation/disturbance.py) estimates the
+    #     wind accel in flight and feeds it forward; no dataset, no refit.
+    #     Gated: must also recover the wind penalty vs the plain noisy
+    #     flight (same bar as the learned row). Staged path (the observer
+    #     carries a 15-state filter the fused kernels don't).
+    o = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc_fused, fig8, num_steps, jax.random.PRNGKey(2),
+            ekf_cfg=EKFConfig(), body=windy,
+            cfg=fused_cfg.replace(use_fused_tick=False),
+            preview=True, disturbance_observer=True,
+        )
+    )()
+    o = {k: np.asarray(v) for k, v in o.items()}
+    e = np.linalg.norm(o["pos_ref"] - o["state"][:, 0:3], axis=1)
+    half = len(e) // 2
+    summary["mpc_dob_noisy_windy_figure8"] = {
+        "rms_pos": float(np.sqrt((e**2).mean())),
+        "rms_pos_tail": float(np.sqrt((e[half:] ** 2).mean())),
+        "max_pos": float(e.max()),
+        "est_rms_pos": float(np.sqrt(np.mean(np.sum(
+            (o["state_est"][:, 0:3] - o["state"][:, 0:3]) ** 2, -1)))),
+        "disturbance_est_tail_mean": [
+            float(v) for v in o["disturbance_est"][half:].mean(axis=0)
+        ],
+    }
+    _save("mpc_dob_noisy_windy_figure8", o)
+    print("mpc_dob_noisy_windy_figure8",
+          json.dumps(summary["mpc_dob_noisy_windy_figure8"]))
+
     payload = {
         "ours": summary,
         "reference_baselines": REFERENCE_BASELINES,
@@ -450,6 +481,8 @@ def main() -> int:
         # round-5: learning FROM EKF ESTIMATES must still recover the
         # wind penalty (the reference's EKF2-fed capture path)
         ("gpmpc_online_noisy_windy_figure8", "mpc_noisy_windy_figure8"),
+        # round-5: the LEARNING-FREE observer must recover it too
+        ("mpc_dob_noisy_windy_figure8", "mpc_noisy_windy_figure8"),
     ):
         ga = summary[a]["rms_pos_tail"]
         gb = summary[b]["rms_pos_tail"]

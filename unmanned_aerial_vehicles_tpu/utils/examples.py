@@ -1,7 +1,7 @@
 """Workload scaling for the runnable examples.
 
 The reference ships an executable-script culture (SURVEY section 4.2) but
-never executes those scripts in CI. Here ``examples/01-14`` are covered by
+never executes those scripts in CI. Here ``examples/01-15`` are covered by
 a parametrised smoke test (``tests/test_examples.py``) that runs each one
 headless with ``UAV_FAST_EXAMPLES=1``; the examples route their workload
 sizes through :func:`scaled` so the smoke run finishes in CI time while the
