@@ -320,3 +320,24 @@ def test_fly_wind_disturbance_observer(capsys):
                  "--noisy", "--disturbance-observer"]) == 1
     assert main(["fly", "--controller", "ltv12", "--duration", "2",
                  "--wind", "1", "0", "0"]) == 1
+
+
+def test_fly_gust(capsys):
+    """--gust: a wind step-change on the true plant mid-flight; the
+    observer's reported tail estimate reflects the POST-gust wind."""
+    assert main(["fly", "--controller", "mpc", "--duration", "10",
+                 "--noisy", "--wind", "1.5", "0", "0",
+                 "--gust", "3", "-1.5", "0", "0",
+                 "--disturbance-observer", "--preview"]) == 0
+    out = capsys.readouterr().out
+    m = json.loads(out[out.index("{"):])
+    assert np.isfinite(m["rms_pos"])
+    # the printed tail-mean disturbance must point INTO the post-gust wind
+    line = [ln for ln in out.splitlines() if "disturbance observer" in ln]
+    assert line and "-" in line[0].split("[")[1]
+    # guard rails: --gust without --wind / --noisy, or with --fast
+    assert main(["fly", "--controller", "mpc", "--duration", "2",
+                 "--noisy", "--gust", "1", "1", "0", "0"]) == 1
+    assert main(["fly", "--controller", "mpc", "--duration", "2",
+                 "--wind", "1", "0", "0",
+                 "--gust", "1", "0", "1", "0"]) == 1

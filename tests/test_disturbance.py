@@ -174,6 +174,86 @@ def test_disturbance_observer_rejects_fused():
         )
 
 
+def test_gust_observer_tracks_wind_change():
+    """Time-varying wind (``wind_fn=``): a step gust mid-flight. A frozen
+    model trained on the old wind keeps feeding the old correction; the
+    observer must re-converge to the NEW wind within a couple of seconds
+    and keep the tracking improvement on the post-gust window."""
+    steps = 1200  # 24 s; gust at 12 s
+    t_gust = 12.0
+    w0 = jnp.asarray([1.5, 0.8, 0.0], jnp.float32)
+    w1 = jnp.asarray([-1.0, 1.5, 0.0], jnp.float32)
+
+    def wind_fn(t):
+        return jnp.where(t < t_gust, w0, w1)
+
+    mpc = LinearMPC(LinearMPCConfig(), dtype=jnp.float32)
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t)
+        return pos + jnp.asarray([0.0, 0.0, 3.0], jnp.float32), yaw
+
+    def fly(dob):
+        return jax.jit(
+            lambda: noisy_mpc_flight_rollout(
+                mpc, ref, steps, jax.random.PRNGKey(0), body=WINDY,
+                preview=True, disturbance_observer=dob, wind_fn=wind_fn,
+            )
+        )()
+
+    plain, dob = fly(None), fly(True)
+    d = np.asarray(dob["disturbance_est"])
+
+    # d re-converges: the estimate's direction must flip with the wind —
+    # compare its x-component sign on the settled pre/post windows
+    pre, post = d[400:600].mean(axis=0), d[1000:].mean(axis=0)
+    assert pre[0] > 0.3 and post[0] < -0.1, (pre, post)
+    # and the settled post-gust estimate matches the TRUE accel gap of the
+    # post-gust plant (drag on airspeed is NOT proportional to wind — the
+    # principled expectation is the windy-minus-nominal derivative at the
+    # flown states under the applied controls)
+    windy_post = RigidBodyParams(wind=(-1.0, 1.5, 0.0))
+    states = jnp.asarray(np.asarray(dob["state"])[1000:])
+    controls = jnp.asarray(np.concatenate(
+        [np.asarray(dob["thrust"])[1000:, None],
+         np.asarray(dob["rates_cmd"])[1000:]], axis=1))
+    rl = RateLoopParams()
+    expected = np.asarray(jax.vmap(
+        lambda s, u: _derivative(s, u, windy_post, rl)[3:6]
+        - _derivative(s, u, NOMINAL, rl)[3:6]
+    )(states, controls)).mean(axis=0)
+    gap = np.linalg.norm(post - expected)
+    assert gap < 0.35 * np.linalg.norm(expected), (post, expected)
+    # and the transient is fast: within 2 s of the gust the x-estimate has
+    # crossed zero on its way to the new value
+    d_trans = d[int(t_gust / 0.02): int((t_gust + 2.0) / 0.02)]
+    assert (d_trans[:, 0] < 0).any()
+
+    # tracking on the post-gust window still beats the plain flight
+    def rms_post(outs):
+        err = np.linalg.norm(
+            np.asarray(outs["pos_ref"] - outs["state"][:, 0:3]), axis=1
+        )
+        return float(np.sqrt((err[800:] ** 2).mean()))
+
+    assert rms_post(dob) < 0.75 * rms_post(plain), (
+        rms_post(dob), rms_post(plain)
+    )
+
+
+def test_wind_fn_rejects_fused():
+    from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
+
+    mpc = LinearMPC(LinearMPCConfig(horizon=10), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="staged path"):
+        noisy_mpc_flight_rollout(
+            mpc, _fig8, 8, jax.random.PRNGKey(0),
+            cfg=FlightLoopConfig(use_fused_tick=True,
+                                 ticks_per_dispatch=8),
+            wind_fn=lambda t: jnp.zeros(3, jnp.float32),
+        )
+
+
 def test_disturbance_config_passes_base_noise_model():
     """An explicit DisturbanceEKFConfig's base drives the sensor draws."""
     steps = 60

@@ -581,6 +581,28 @@ def main():
 
     record("ekf_mpc_fused_multitick_bf16_cov", make_noisy_bf16)
 
+    # disturbance-observer tier (estimation/disturbance.py): the 15-state
+    # augmented filter + MPC feedforward on the STAGED path — the
+    # learning-free wind-rejection capability's cost row (the fused
+    # kernels carry the 12-state filter; this row measures what the
+    # observer tier actually flies)
+    def make_dob(T):
+        @jax.jit
+        def run(x_jitter):
+            x0 = (jnp.zeros(12, jnp.float32)
+                  .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+            outs = noisy_mpc_flight_rollout(
+                mpc_f, ref, T, jax.random.PRNGKey(0),
+                cfg=FlightLoopConfig(use_fused_tick=False),
+                initial_state=x0, disturbance_observer=True,
+            )
+            e = outs["pos_ref"] - outs["state"][:, 0:3]
+            return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+        return run
+
+    record("disturbance_observer_staged", make_dob)
+
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "artifacts",
         "controller_latency.json",

@@ -444,6 +444,52 @@ def main() -> int:
     print("mpc_dob_noisy_windy_figure8",
           json.dumps(summary["mpc_dob_noisy_windy_figure8"]))
 
+    # (f) round-5: GUSTS — time-varying wind (wind_fn=), a step change
+    #     mid-flight. This is the scenario that separates the observer from
+    #     ANY frozen model: the stale-oracle row feeds the PERFECT residual
+    #     of the PRE-gust wind (the ceiling for anything learned before the
+    #     gust — including the reference's 5 s-stale retrain,
+    #     gaussian_process.py:122); the observer re-converges in-flight.
+    #     Gated on the POST-gust window: observer beats plain AND beats the
+    #     stale oracle.
+    t_gust = args.duration / 2.0
+    w_post = jnp.asarray([-1.0, 1.5, 0.0], jnp.float32)
+    w_pre = jnp.asarray(windy.wind[:3], jnp.float32)
+
+    def gust_wind(t):
+        return jnp.where(t < t_gust, w_pre, w_post)
+
+    # settle 6 s after the gust, then measure to the end of the flight
+    i_post = int((t_gust + 6.0) / cfg.control_dt)
+
+    def gusty_row(name, dob, res_fn):
+        o = jax.jit(
+            lambda: noisy_mpc_flight_rollout(
+                mpc_fused, fig8, num_steps, jax.random.PRNGKey(2),
+                ekf_cfg=EKFConfig(), body=windy,
+                cfg=fused_cfg.replace(use_fused_tick=False),
+                preview=True, disturbance_observer=dob,
+                residual_fn=res_fn, wind_fn=gust_wind,
+            )
+        )()
+        o = {k: np.asarray(v) for k, v in o.items()}
+        e = np.linalg.norm(o["pos_ref"] - o["state"][:, 0:3], axis=1)
+        summary[name] = {
+            "rms_pos": float(np.sqrt((e**2).mean())),
+            "rms_pos_postgust": float(np.sqrt((e[i_post:] ** 2).mean())),
+            "max_pos": float(e.max()),
+        }
+        if dob is not None:
+            summary[name]["disturbance_est_postgust_mean"] = [
+                float(v) for v in o["disturbance_est"][i_post:].mean(axis=0)
+            ]
+        _save(name, o)
+        print(name, json.dumps(summary[name]))
+
+    gusty_row("mpc_noisy_gusty_figure8", None, None)
+    gusty_row("mpc_stale_oracle_gusty_figure8", None, oracle_residual)
+    gusty_row("mpc_dob_noisy_gusty_figure8", True, None)
+
     payload = {
         "ours": summary,
         "reference_baselines": REFERENCE_BASELINES,
@@ -488,6 +534,17 @@ def main() -> int:
         gb = summary[b]["rms_pos_tail"]
         status = "BEATS" if ga < gb else "WORSE THAN"
         print(f"{a}: {ga:.3f} m {status} {b} {gb:.3f} m")
+    # gust gates (post-gust window): the observer must beat the plain
+    # flight AND the stale oracle — the PERFECT pre-gust model — because
+    # only the observer adapts to wind it has never seen
+    for a, b in (
+        ("mpc_dob_noisy_gusty_figure8", "mpc_noisy_gusty_figure8"),
+        ("mpc_dob_noisy_gusty_figure8", "mpc_stale_oracle_gusty_figure8"),
+    ):
+        ga = summary[a]["rms_pos_postgust"]
+        gb = summary[b]["rms_pos_postgust"]
+        status = "BEATS" if ga < gb else "WORSE THAN"
+        print(f"{a}: {ga:.3f} m {status} {b} {gb:.3f} m (post-gust)")
     return 0
 
 

@@ -200,11 +200,27 @@ def _cmd_fly(args) -> int:
                   "fused kernels carry the 12-state filter); drop --fast",
                   file=sys.stderr)
             return 1
+    if args.gust is not None:
+        if args.wind is None or not args.noisy or args.fast:
+            print("--gust T WX WY WZ (a wind step-change at t=T on the "
+                  "TRUE plant) requires --wind (the pre-gust wind) and "
+                  "--noisy, staged path (no --fast): the fused kernels "
+                  "take the wind as a per-dispatch constant",
+                  file=sys.stderr)
+            return 1
     body6 = None
+    wind_fn6 = None
     if args.wind is not None:
         from .models import RigidBodyParams
 
         body6 = RigidBodyParams(wind=tuple(args.wind))
+        if args.gust is not None:
+            import jax.numpy as _jnp
+
+            t_g = float(args.gust[0])
+            w_pre = _jnp.asarray(args.wind, _jnp.float32)
+            w_post = _jnp.asarray(args.gust[1:4], _jnp.float32)
+            wind_fn6 = lambda t: _jnp.where(t < t_g, w_pre, w_post)
     if args.obstacle and args.controller != "ltv12":
         print("--obstacle is the LTV engine's constraint class: use "
               "--controller ltv12 (mpc_controller.py:223-316)",
@@ -742,6 +758,8 @@ def _cmd_fly(args) -> int:
             ekf_cfg = EKFConfig(relinearize_every=args.ekf_relin,
                                 cov_precision=args.ekf_cov)
             body_kw = {"body": body6} if body6 is not None else {}
+            if wind_fn6 is not None:
+                body_kw["wind_fn"] = wind_fn6
             outs = jax.jit(
                 lambda: noisy_mpc_flight_rollout(
                     mpc, ref, num_steps, jax.random.PRNGKey(args.seed),
@@ -1269,6 +1287,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "in flight and feeds it to the MPC — wind "
                         "rejection without learning "
                         "(estimation/disturbance.py)")
+    f.add_argument("--gust", nargs=4, type=float, default=None,
+                   metavar=("T", "WX", "WY", "WZ"),
+                   help="wind step-change on the TRUE plant: at t=T (s) "
+                        "the wind switches from --wind to (WX, WY, WZ) "
+                        "(--noisy, staged path; pair with "
+                        "--disturbance-observer to watch the estimate "
+                        "re-converge)")
     f.set_defaults(fn=_cmd_fly)
 
     m = sub.add_parser("mission", help="full phase-machine mission")

@@ -43,6 +43,7 @@ def noisy_mpc_flight_rollout(
     initial_dataset=None,
     disturbance_observer=None,
     nominal_body: RigidBodyParams | None = None,
+    wind_fn: Callable | None = None,
     dtype=jnp.float32,
 ):
     """MPC flight on ESTIMATED state from noisy sensors.
@@ -77,6 +78,15 @@ def noisy_mpc_flight_rollout(
     the disturbance; passing the true plant parameters would drive
     ``d_est`` to zero and the feedforward with it). The TRUE plant always
     integrates ``body``.
+
+    ``wind_fn(t) -> (3,)`` (staged path only) makes the TRUE plant's wind
+    time-varying — gusts, fronts, shear. This is the scenario that
+    separates the observer from any frozen model: a GP trained on the old
+    wind (or the reference's 5 s-stale retrain,
+    ``gaussian_process.py:122``) keeps feeding the old correction, while
+    the observer re-converges within a few filter time constants. The
+    12-state filter (non-observer runs) keeps its generous
+    truth-process-model semantics: it sees ``wind_fn(t)`` too.
     """
     if initial_state is None:
         initial_state = jnp.zeros(12, dtype).at[2].set(cfg.takeoff_height)
@@ -107,6 +117,12 @@ def noisy_mpc_flight_rollout(
             nominal_body = body.replace(wind=(0.0, 0.0, 0.0))
     else:
         dob_cfg = None
+    if wind_fn is not None and cfg.use_fused_tick:
+        raise ValueError(
+            "wind_fn= (time-varying wind) runs on the staged path only "
+            "(FlightLoopConfig.use_fused_tick=False): the fused kernels "
+            "take the wind as a per-dispatch plant-row constant"
+        )
     if cfg.use_fused_tick:
         # estimate-and-run-fast. Two fused forms:
         # * single-tick: the tick kernel takes a separate controller-state
@@ -156,6 +172,11 @@ def noisy_mpc_flight_rollout(
         pos_ref = jnp.asarray(pos_ref, dtype)
         yaw_ref = jnp.asarray(yaw_ref, dtype)
 
+        body_t = (
+            body if wind_fn is None
+            else body.replace(wind=jnp.asarray(wind_fn(t), dtype))
+        )
+
         # sensor sample of the TRUE state; EKF predicts with the control
         # that was actually applied over the last interval
         z = measure(state, k, meas_cfg)
@@ -168,7 +189,7 @@ def noisy_mpc_flight_rollout(
             )
         else:
             ekf, x_est = ekf_step(
-                ekf, prev_control, z, body, rate_loop, cfg.control_dt,
+                ekf, prev_control, z, body_t, rate_loop, cfg.control_dt,
                 ekf_cfg,
             )
 
@@ -207,7 +228,7 @@ def noisy_mpc_flight_rollout(
             x_est[6:9], x_est[9:12], dt_attitude=cfg.control_dt,
         )
         control = jnp.concatenate([thrust[None], rate_cmd])
-        new_state = _plant_substeps(state, control, body, rate_loop, cfg)
+        new_state = _plant_substeps(state, control, body_t, rate_loop, cfg)
 
         out = {
             "state": state,
