@@ -341,3 +341,18 @@ def test_fly_gust(capsys):
     assert main(["fly", "--controller", "mpc", "--duration", "2",
                  "--wind", "1", "0", "0",
                  "--gust", "1", "0", "1", "0"]) == 1
+
+
+def test_fly_push_disturbance_observer_direct_rate12(capsys):
+    """direct-rate12: --push (constant unmodelled accel on the true
+    plant) + --disturbance-observer via the engine's residual channel."""
+    assert main(["fly", "--controller", "direct-rate12", "--duration", "8",
+                 "--noisy", "--push", "0.6", "-0.4", "0.3",
+                 "--disturbance-observer"]) == 0
+    out = capsys.readouterr().out
+    assert "disturbance observer (direct-rate12)" in out
+    m = json.loads(out[out.index("{"):])
+    assert np.isfinite(m["rms_pos"])
+    # --push is the direct-rate12 scenario knob only
+    assert main(["fly", "--controller", "mpc", "--duration", "2",
+                 "--noisy", "--push", "1", "0", "0"]) == 1

@@ -254,6 +254,68 @@ def test_wind_fn_rejects_fused():
         )
 
 
+def test_disturbance_observer_direct_rate12():
+    """Torque-family observer: the direct-rate engine's traced residual
+    input is the feedforward hook (mpc_direct_rates.py:153-190). Truth =
+    rate-lag plant + a constant unmodelled acceleration; the augmented
+    filter (nominal process model) must estimate it exactly — the
+    disturbance IS constant in this plant's derivative space — and the
+    feedforward must improve tracking."""
+    from unmanned_aerial_vehicles_tpu.control import DirectRateMPC
+    from unmanned_aerial_vehicles_tpu.control.mpc_rigid import (
+        direct_rate_step,
+    )
+    from unmanned_aerial_vehicles_tpu.estimation.noisy_loop import (
+        noisy_rigid_mpc_rollout,
+    )
+
+    steps, dt = 600, 0.02
+    d_true = jnp.asarray([0.6, -0.4, 0.3], jnp.float32)
+    d_row = jnp.zeros(12, jnp.float32).at[3:6].set(d_true)
+    eng = DirectRateMPC()
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=2.0, frequency=0.1)
+        return pos + jnp.asarray([0.0, 0.0, 3.0], jnp.float32), yaw
+
+    def fly(dob):
+        return jax.jit(
+            lambda: noisy_rigid_mpc_rollout(
+                eng, ref, steps, jax.random.PRNGKey(0), dt=dt,
+                plant_step_fn=lambda x, u: direct_rate_step(
+                    x, u, d_row, dt=dt),
+                process_step_fn=lambda x, u: direct_rate_step(
+                    x, u, jnp.zeros(12, jnp.float32), dt=dt),
+                yaw_channel=False, disturbance_observer=dob,
+            )
+        )()
+
+    plain, dob = fly(None), fly(True)
+
+    # the pushed plant's disturbance is EXACTLY constant in derivative
+    # space — the settled estimate must land on it
+    d = np.asarray(dob["disturbance_est"])
+    np.testing.assert_allclose(d[300:].mean(axis=0), np.asarray(d_true),
+                               atol=0.08)
+
+    def rms(outs):
+        err = np.linalg.norm(
+            np.asarray(outs["pos_ref"] - outs["state"][:, 0:3]), axis=1
+        )
+        return float(np.sqrt((err[300:] ** 2).mean()))
+
+    assert rms(dob) < rms(plain), (rms(dob), rms(plain))
+
+    # the yaw-channel engines have no residual hook: loud error
+    from unmanned_aerial_vehicles_tpu.control import RigidBodyMPC
+
+    with pytest.raises(ValueError, match="residual"):
+        noisy_rigid_mpc_rollout(
+            RigidBodyMPC(), ref, 4, jax.random.PRNGKey(0),
+            disturbance_observer=True,
+        )
+
+
 def test_disturbance_config_passes_base_noise_model():
     """An explicit DisturbanceEKFConfig's base drives the sensor draws."""
     steps = 60

@@ -190,16 +190,25 @@ def _cmd_fly(args) -> int:
               file=sys.stderr)
         return 1
     if args.disturbance_observer:
-        if not args.noisy or args.controller not in ("mpc", "gp-mpc"):
+        if not args.noisy or args.controller not in (
+            "mpc", "gp-mpc", "direct-rate12"
+        ):
             print("--disturbance-observer is the augmented-EKF wind/"
                   "mismatch observer: requires --noisy and --controller "
-                  "mpc/gp-mpc (estimation.disturbance)", file=sys.stderr)
+                  "mpc/gp-mpc (6-state family) or direct-rate12 (the "
+                  "torque family's residual-channel engine) "
+                  "(estimation.disturbance)", file=sys.stderr)
             return 1
         if args.fast:
             print("--disturbance-observer runs on the staged path (the "
                   "fused kernels carry the 12-state filter); drop --fast",
                   file=sys.stderr)
             return 1
+    if args.push is not None and args.controller != "direct-rate12":
+        print("--push (a constant unmodelled acceleration on the TRUE "
+              "plant) is the direct-rate12 scenario knob; the 6-state "
+              "family uses --wind", file=sys.stderr)
+        return 1
     if args.gust is not None:
         if args.wind is None or not args.noisy or args.fast:
             print("--gust T WX WY WZ (a wind step-change at t=T on the "
@@ -440,12 +449,24 @@ def _cmd_fly(args) -> int:
                 # (mpc_direct_rates.py:153-190 tracks position only)
                 from .control.mpc_rigid import direct_rate_step
 
+                # --push: a constant unmodelled acceleration on the TRUE
+                # plant (the torque family's wind analogue — this model
+                # has no drag, so the force enters the derivative
+                # directly); the EKF's process model stays nominal
+                push_row = jnp.zeros(12, jnp.float32)
+                if args.push is not None:
+                    push_row = push_row.at[3:6].set(
+                        jnp.asarray(args.push, jnp.float32))
                 noisy_kw = dict(
                     plant_step_fn=lambda x, u: direct_rate_step(
+                        x, u, push_row, dt=float(cfg.control_dt)),
+                    process_step_fn=lambda x, u: direct_rate_step(
                         x, u, jnp.zeros(12, jnp.float32),
                         dt=float(cfg.control_dt)),
                     yaw_channel=False,
                 )
+                if args.disturbance_observer:
+                    noisy_kw["disturbance_observer"] = True
             outs12 = jax.jit(lambda: noisy_rigid_mpc_rollout(
                 mpc12, ref, num_steps, jax.random.PRNGKey(args.seed),
                 ekf_cfg=EKFConfig(), body=X500_PARAMS,
@@ -453,6 +474,16 @@ def _cmd_fly(args) -> int:
                 takeoff_height=float(cfg.takeoff_height),
                 **noisy_kw,
             ))()
+            if args.controller == "direct-rate12" and \
+                    args.disturbance_observer:
+                import numpy as _np
+
+                d_tail = _np.asarray(outs12["disturbance_est"])
+                d_tail = d_tail[len(d_tail) // 2:].mean(axis=0)
+                print(f"# disturbance observer (direct-rate12): mean "
+                      f"estimated accel disturbance (tail) = "
+                      f"[{d_tail[0]:+.3f} {d_tail[1]:+.3f} "
+                      f"{d_tail[2]:+.3f}] m/s^2")
             outs = {
                 "state": outs12["state"],
                 "pos_ref": outs12["pos_ref"],
@@ -1287,6 +1318,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "in flight and feeds it to the MPC — wind "
                         "rejection without learning "
                         "(estimation/disturbance.py)")
+    f.add_argument("--push", nargs=3, type=float, default=None,
+                   metavar=("AX", "AY", "AZ"),
+                   help="constant unmodelled acceleration (m/s^2) on the "
+                        "TRUE plant (direct-rate12 --noisy; pair with "
+                        "--disturbance-observer for the torque family's "
+                        "learning-free rejection)")
     f.add_argument("--gust", nargs=4, type=float, default=None,
                    metavar=("T", "WX", "WY", "WZ"),
                    help="wind step-change on the TRUE plant: at t=T (s) "

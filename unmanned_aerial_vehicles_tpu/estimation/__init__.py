@@ -8,6 +8,7 @@ from .disturbance import (
     dekf_init,
     dekf_step,
     disturbance_residual_rows,
+    disturbance_residual_rows12,
 )
 from .ekf import (
     EKFConfig,
@@ -33,6 +34,7 @@ __all__ = [
     "dekf_init",
     "dekf_step",
     "disturbance_residual_rows",
+    "disturbance_residual_rows12",
     "ekf_init",
     "ekf_step",
     "joseph_update",

@@ -132,6 +132,21 @@ def dekf_step(
     )
 
 
+def disturbance_residual_rows12(
+    d_est: jnp.ndarray, horizon: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Disturbance estimate -> 12-state engine residual rows.
+
+    The torque family's residual hook is the direct-rate engine's traced
+    ``(N, 12)`` derivative-space input (``control.mpc_rigid.DirectRateMPC``
+    — reference semantics ``mpc_direct_rates.py:153-190``, the GP residual
+    added to the derivative). A constant acceleration disturbance occupies
+    the velocity-derivative rows 3:6.
+    """
+    row = jnp.zeros(12, dtype).at[3:6].set(d_est.astype(dtype))
+    return jnp.broadcast_to(row, (horizon, 12))
+
+
 def disturbance_residual_rows(
     d_est: jnp.ndarray, horizon: int, dtype=jnp.float32
 ) -> jnp.ndarray:

@@ -727,6 +727,7 @@ def noisy_rigid_mpc_rollout(
     plant_step_fn: Callable | None = None,
     process_step_fn: Callable | None = None,
     yaw_channel: bool = True,
+    disturbance_observer=None,
     dtype=jnp.float32,
 ):
     """Noisy-sensor loop for the 12-STATE controller family: sensors ->
@@ -750,6 +751,17 @@ def noisy_rigid_mpc_rollout(
 
     ``reference_fn(t) -> (pos_ref, yaw_ref)``. Returns the staged loop's
     output dict plus ``state_est``/``meas_pos``.
+
+    ``disturbance_observer`` (a ``DisturbanceEKFConfig``, or ``True``)
+    brings the 15-state augmented filter (``estimation.disturbance``) to
+    the torque family: the filter attributes the innovation
+    ``process_step_fn`` cannot explain to an acceleration disturbance and
+    the estimate feeds the engine's traced residual input as
+    ``(N, 12)`` derivative rows. Requires the residual-channel engine —
+    direct-rate, ``solve(carry, x, pos, residuals=)`` — i.e.
+    ``yaw_channel=False`` (the SQP/iLQR/MPPI solves have no residual
+    hook). Make the scenario real by passing a DISTURBED truth via
+    ``plant_step_fn`` while ``process_step_fn`` stays nominal.
     """
     from ..models import X500_PARAMS
     from ..models.rigid_body import rigid_body_rk4_step
@@ -775,6 +787,30 @@ def noisy_rigid_mpc_rollout(
         process_step_fn = plant_step_fn
     ekf_step_fn = process_step_fn
 
+    if disturbance_observer is not None and disturbance_observer is not False:
+        if yaw_channel:
+            raise ValueError(
+                "disturbance_observer= on the 12-state loop requires the "
+                "residual-channel engine (direct-rate: solve(carry, x, "
+                "pos, residuals=), yaw_channel=False); the SQP/iLQR/MPPI "
+                "solves have no residual input"
+            )
+        from .disturbance import (
+            DisturbanceEKFConfig,
+            dekf_init,
+            dekf_step,
+            disturbance_residual_rows12,
+        )
+
+        dob_cfg = (
+            DisturbanceEKFConfig(base=ekf_cfg)
+            if disturbance_observer is True else disturbance_observer
+        )
+        horizon12 = int(controller.mpc.config.horizon)
+    else:
+        dob_cfg = None
+    meas_cfg = dob_cfg.base if dob_cfg is not None else ekf_cfg
+
     keys = jax.random.split(key, num_steps)
     u_hover = controller.u_hover
 
@@ -786,13 +822,21 @@ def noisy_rigid_mpc_rollout(
         pos_ref = jnp.asarray(pos_ref, dtype)
         yaw_ref = jnp.asarray(yaw_ref, dtype)
 
-        z = measure(state, k, ekf_cfg)
-        ekf, x_est = ekf_step(
-            ekf, prev_u, z, dt=dt, config=ekf_cfg, step_fn=ekf_step_fn
-        )
+        z = measure(state, k, meas_cfg)
+        if dob_cfg is not None:
+            ekf, x_est, d_est = dekf_step(
+                ekf, prev_u, z, dt=dt, config=dob_cfg, step_fn=ekf_step_fn
+            )
+        else:
+            ekf, x_est = ekf_step(
+                ekf, prev_u, z, dt=dt, config=ekf_cfg, step_fn=ekf_step_fn
+            )
 
         if yaw_channel:
             u, _, mc = controller.solve(mc, x_est, pos_ref, yaw_ref)
+        elif dob_cfg is not None:
+            rows = disturbance_residual_rows12(d_est, horizon12, dtype)
+            u, _, mc = controller.solve(mc, x_est, pos_ref, residuals=rows)
         else:
             u, _, mc = controller.solve(mc, x_est, pos_ref)
         new_state = plant_step_fn(state, u)
@@ -804,11 +848,14 @@ def noisy_rigid_mpc_rollout(
             "pos_ref": pos_ref,
             "u": u,
         }
+        if dob_cfg is not None:
+            out["disturbance_est"] = d_est
         return (new_state, ekf, mc, u), out
 
     init = (
         initial_state,
-        ekf_init(initial_state, ekf_cfg, dtype),
+        dekf_init(initial_state, dob_cfg, dtype) if dob_cfg is not None
+        else ekf_init(initial_state, ekf_cfg, dtype),
         controller.init_carry(initial_state),
         u_hover.astype(dtype),
     )
