@@ -49,6 +49,20 @@ def test_mission_command(capsys):
     assert abs(out["takeoff_altitude_m"] - 3.0) < 0.5
 
 
+def test_mission_noisy_command(capsys):
+    """The whole mission on EKF estimates, with the observer under wind."""
+    assert main(["mission", "--duration", "30", "--amplitude", "3",
+                 "--noisy", "--wind", "1.0", "0.5", "0",
+                 "--disturbance-observer"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["phases_reached"] == 5
+    assert out["estimate_rms_pos_m"] < 0.2
+    assert np.isfinite(out["disturbance_est_tail"]).all()
+    # guard: the observer needs the noisy mission
+    assert main(["mission", "--duration", "5",
+                 "--disturbance-observer"]) == 1
+
+
 def test_online_command(tmp_path, capsys):
     model = str(tmp_path / "online.npz")
     assert main(["online", "--duration", "12", "--gp-capacity", "64",

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unmanned_aerial_vehicles_tpu.control.mpc_linear import LinearMPC, LinearMPCConfig
 from unmanned_aerial_vehicles_tpu.gp import (
@@ -116,6 +117,65 @@ def test_mission_phases():
     traj = np.asarray(outs["in_trajectory"])
     err = np.asarray(outs["target"] - outs["state"][:, 0:3])[traj]
     assert np.sqrt((err**2).sum(axis=1)).max() < 3.0
+
+
+def test_mission_noisy_on_estimates():
+    """Noisy mission: every phase — the PD pre-phases included — flies
+    the EKF estimate, the reference node's actual regime (the captured
+    "state" is PX4-EKF2 output, mpc.py:1889-1907). Phases must still
+    complete and tracking stay bounded; the observer variant must beat
+    the plain noisy mission under wind on the trajectory window."""
+    import jax.numpy as jnp
+
+    from unmanned_aerial_vehicles_tpu.models import RigidBodyParams
+
+    mpc = small_mpc()
+    cfg = FlightLoopConfig()
+
+    outs = jax.jit(
+        lambda: mission_rollout(
+            mpc, ref_fn(cfg), duration=30.0, cfg=cfg,
+            key=jax.random.PRNGKey(0), dtype=jnp.float64,
+        )
+    )()
+    phases = np.asarray(outs["phase"])
+    assert phases[0] == 0 and phases[-1] == 4
+    est_err = np.asarray(outs["state_est"][:, 0:3] - outs["state"][:, 0:3])
+    assert np.sqrt((est_err**2).sum(axis=1)).mean() < 0.2
+    t_idx = int(19.0 / cfg.control_dt)
+    assert abs(float(outs["state"][t_idx, 2]) - cfg.takeoff_height) < 0.6
+
+    # windy mission: the observer recovers trajectory-phase tracking
+    windy = RigidBodyParams(wind=(1.5, 0.8, 0.0))
+
+    def traj_rms(o):
+        traj = np.asarray(o["in_trajectory"])
+        err = np.asarray(o["target"] - o["state"][:, 0:3])[traj]
+        return float(np.sqrt((err**2).sum(axis=1).mean()))
+
+    def fly(dob):
+        return jax.jit(
+            lambda: mission_rollout(
+                mpc, ref_fn(cfg), duration=44.0, cfg=cfg, body=windy,
+                key=jax.random.PRNGKey(0), disturbance_observer=dob,
+                dtype=jnp.float64,
+            )
+        )()
+
+    r_plain = traj_rms(fly(None))
+    o_dob = fly(True)
+    r_dob = traj_rms(o_dob)
+    assert r_dob < r_plain, (r_dob, r_plain)
+    d = np.asarray(o_dob["disturbance_est"])
+    assert np.isfinite(d).all()
+
+    # guards: observer/wind_fn need the noisy mission
+    with pytest.raises(ValueError, match="noisy mission"):
+        mission_rollout(mpc, ref_fn(cfg), duration=1.0, cfg=cfg,
+                        disturbance_observer=True)
+    with pytest.raises(ValueError, match="noisy mission"):
+        mission_rollout(mpc, ref_fn(cfg), duration=1.0, cfg=cfg,
+                        wind_fn=lambda t: jnp.zeros(3, jnp.float32))
 
 
 def test_synthetic_excitation_and_sysid():

@@ -860,6 +860,10 @@ def _cmd_mission(args) -> int:
     from .loop import FlightLoopConfig, mission_rollout
     from .trajectories import ramped_figure8_reference
 
+    if args.disturbance_observer and not args.noisy:
+        print("--disturbance-observer needs the noisy mission (--noisy): "
+              "the observer fuses drawn sensor samples", file=sys.stderr)
+        return 1
     cfg = FlightLoopConfig()
     mpc = LinearMPC(LinearMPCConfig())
 
@@ -867,8 +871,20 @@ def _cmd_mission(args) -> int:
         pos, yaw = ramped_figure8_reference(t, amplitude=args.amplitude)
         return pos + jnp.array([0.0, 0.0, cfg.takeoff_height]), yaw
 
+    kw = {}
+    if args.noisy:
+        # the reference node's actual regime: every phase flies PX4-EKF2
+        # output (mpc.py:1889-1907) — here the estimator is in-graph
+        kw["key"] = jax.random.PRNGKey(args.seed)
+        if args.disturbance_observer:
+            kw["disturbance_observer"] = True
+    if args.wind is not None:
+        from .models import RigidBodyParams
+
+        kw["body"] = RigidBodyParams(wind=tuple(args.wind))
     outs = jax.jit(
-        lambda: mission_rollout(mpc, ref, duration=args.duration, cfg=cfg)
+        lambda: mission_rollout(mpc, ref, duration=args.duration, cfg=cfg,
+                                **kw)
     )()
     import numpy as np
 
@@ -876,12 +892,23 @@ def _cmd_mission(args) -> int:
     err = np.linalg.norm(
         np.asarray(outs["target"] - outs["state"][:, 0:3]), axis=1
     )
-    print(json.dumps({
+    result = {
         "phases_reached": int(np.asarray(outs["phase"]).max()) + 1,
         "takeoff_altitude_m": round(float(outs["state"][traj.argmax(), 2]), 3),
         "trajectory_rms_pos_m": round(float(np.sqrt((err[traj] ** 2).mean())), 4),
         "trajectory_max_pos_m": round(float(err[traj].max()), 4),
-    }, indent=2))
+    }
+    if args.noisy:
+        est_err = np.linalg.norm(np.asarray(
+            outs["state_est"][:, 0:3] - outs["state"][:, 0:3]), axis=1)
+        result["estimate_rms_pos_m"] = round(
+            float(np.sqrt((est_err**2).mean())), 4)
+    if args.disturbance_observer:
+        d = np.asarray(outs["disturbance_est"])
+        result["disturbance_est_tail"] = [
+            round(float(v), 3) for v in d[len(d) // 2:].mean(axis=0)
+        ]
+    print(json.dumps(result, indent=2))
     return 0
 
 
@@ -1336,6 +1363,17 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("mission", help="full phase-machine mission")
     m.add_argument("--duration", type=float, default=60.0)
     m.add_argument("--amplitude", type=float, default=6.0)
+    m.add_argument("--noisy", action="store_true",
+                   help="fly the WHOLE mission on EKF estimates (the "
+                        "reference node's regime: every phase consumes "
+                        "PX4-EKF2 output, mpc.py:1889-1907)")
+    m.add_argument("--wind", nargs=3, type=float, default=None,
+                   metavar=("WX", "WY", "WZ"),
+                   help="steady world-frame wind on the true plant")
+    m.add_argument("--disturbance-observer", action="store_true",
+                   help="augmented-EKF disturbance observer across the "
+                        "mission (requires --noisy)")
+    m.add_argument("--seed", type=int, default=0)
     m.set_defaults(fn=_cmd_mission)
 
     o = sub.add_parser("online", help="online-learning GP-MPC flight")

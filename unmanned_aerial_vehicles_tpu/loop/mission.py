@@ -46,6 +46,10 @@ def mission_rollout(
     body: RigidBodyParams = RigidBodyParams(),
     rate_loop: RateLoopParams = RateLoopParams(),
     residual_fn: Callable | None = None,
+    key: jax.Array | None = None,
+    ekf_cfg=None,
+    disturbance_observer=None,
+    wind_fn: Callable | None = None,
     dtype=jnp.float32,
 ):
     """Ground -> arm -> takeoff -> hover -> trajectory, one fused scan.
@@ -54,14 +58,62 @@ def mission_rollout(
     reference, fed the time SINCE the trajectory phase began
     (``flight_time = current_time - 20``, ``mpc.py:2263``).
     Starts on the ground at the origin.
+
+    ``key`` switches the WHOLE mission onto estimated state — the
+    reference node's actual regime: every phase (the PD pre-phases
+    included) consumes PX4-EKF2 output, never truth
+    (``src/px4/mpc.py:1889-1907``). Sensors are drawn per tick
+    (``estimation.measure``), the 12-state EKF (or, with
+    ``disturbance_observer=``, the 15-state augmented observer whose
+    accel-disturbance estimate feeds the MPC's residual rows) fuses them,
+    and PD/MPC/allocation all fly the ESTIMATE while the true plant
+    integrates ``body`` (wind optionally time-varying via ``wind_fn(t)``).
+    Adds ``state_est`` (and ``disturbance_est``) to the output dict.
     """
+    noisy = key is not None
+    if (disturbance_observer or wind_fn is not None) and not noisy:
+        raise ValueError(
+            "disturbance_observer=/wind_fn= require the noisy mission "
+            "(pass key=): the observer fuses drawn sensor samples"
+        )
+    if noisy:
+        from ..estimation import EKFConfig, ekf_init, ekf_step, measure
+
+        if ekf_cfg is None:
+            ekf_cfg = EKFConfig()
+        if disturbance_observer is not None and \
+                disturbance_observer is not False:
+            from ..estimation.disturbance import (
+                DisturbanceEKFConfig,
+                dekf_init,
+                dekf_step,
+                disturbance_residual_rows,
+            )
+
+            dob_cfg = (
+                DisturbanceEKFConfig(base=ekf_cfg)
+                if disturbance_observer is True else disturbance_observer
+            )
+            nominal_body = body.replace(wind=(0.0, 0.0, 0.0))
+        else:
+            dob_cfg = None
+        meas_cfg = dob_cfg.base if dob_cfg is not None else ekf_cfg
+    else:
+        dob_cfg = None
+
     num_steps = int(duration / cfg.control_dt)
     accel_lo = jnp.asarray(cfg.accel_lower, dtype)
     accel_hi = jnp.asarray(cfg.accel_upper, dtype)
     takeoff_target = jnp.asarray([0.0, 0.0, cfg.takeoff_height], dtype)
+    keys = jax.random.split(key, num_steps) if noisy else None
 
-    def step(carry, i):
-        state, mpc_carry, att_carry = carry
+    def step(carry, inputs):
+        if noisy:
+            i, k = inputs
+            state, ekf, mpc_carry, att_carry, prev_control = carry
+        else:
+            i = inputs
+            state, mpc_carry, att_carry = carry
         t = i.astype(dtype) * cfg.control_dt
         in_trajectory = t >= HOVER_END
         flight_time = jnp.maximum(t - HOVER_END, 0.0)
@@ -80,8 +132,28 @@ def mission_rollout(
         target = jnp.where(in_trajectory, pos_ref, pre_target)
         yaw_t = jnp.where(in_trajectory, yaw_ref, 0.0)
 
+        # --- estimation (noisy mission: every phase flies the estimate) --
+        body_t = (
+            body if wind_fn is None
+            else body.replace(wind=jnp.asarray(wind_fn(t), dtype))
+        )
+        if noisy:
+            z = measure(state, k, meas_cfg)
+            if dob_cfg is not None:
+                ekf, x_ctl, d_est = dekf_step(
+                    ekf, prev_control, z, nominal_body, rate_loop,
+                    cfg.control_dt, dob_cfg,
+                )
+            else:
+                ekf, x_ctl = ekf_step(
+                    ekf, prev_control, z, body_t, rate_loop,
+                    cfg.control_dt, ekf_cfg,
+                )
+        else:
+            x_ctl = state
+
         # --- PD command (pre-trajectory; mpc.py:2117-2130) --------------
-        pd_accel = 1.5 * (target - state[0:3]) - 0.8 * state[3:6]
+        pd_accel = 1.5 * (target - x_ctl[0:3]) - 0.8 * x_ctl[3:6]
         pd_accel = jnp.clip(
             pd_accel,
             jnp.asarray([-3.0, -3.0, -4.0], dtype),
@@ -94,7 +166,14 @@ def mission_rollout(
             if residual_fn is not None
             else None
         )
-        u_opt, _, mpc_carry = mpc.solve(mpc_carry, state[0:6], target, residuals)
+        if dob_cfg is not None:
+            dob_rows = disturbance_residual_rows(
+                d_est, mpc.config.horizon, dtype
+            )
+            residuals = (
+                dob_rows if residuals is None else residuals + dob_rows
+            )
+        u_opt, _, mpc_carry = mpc.solve(mpc_carry, x_ctl[0:6], target, residuals)
 
         accel_des = jnp.where(
             in_trajectory, jnp.clip(u_opt[0:3], accel_lo, accel_hi), pd_accel
@@ -105,10 +184,10 @@ def mission_rollout(
 
         thrust, rate_cmd, att_sp, att_carry = geometric_control_allocation(
             att_carry, accel_des, yaw_t, yawrate_des,
-            state[6:9], state[9:12], dt_attitude=cfg.control_dt,
+            x_ctl[6:9], x_ctl[9:12], dt_attitude=cfg.control_dt,
         )
         control = jnp.concatenate([thrust[None], rate_cmd])
-        new_state = _plant_substeps(state, control, body, rate_loop, cfg)
+        new_state = _plant_substeps(state, control, body_t, rate_loop, cfg)
 
         phase = (
             (t >= PREPARE_END).astype(jnp.int32)
@@ -123,10 +202,33 @@ def mission_rollout(
             "thrust": thrust,
             "in_trajectory": in_trajectory,
         }
-        return (new_state, mpc_carry, att_carry), out
+        if noisy:
+            out["state_est"] = x_ctl
+            if dob_cfg is not None:
+                out["disturbance_est"] = d_est
+            new_carry = (new_state, ekf, mpc_carry, att_carry, control)
+        else:
+            new_carry = (new_state, mpc_carry, att_carry)
+        return new_carry, out
 
     x0 = jnp.zeros(12, dtype)  # on the ground
-    init = (x0, mpc.init_carry(x0[0:6]), attitude_loop_init(dtype))
-    (final_state, _, _), outs = jax.lax.scan(step, init, jnp.arange(num_steps))
+    if noisy:
+        init = (
+            x0,
+            dekf_init(x0, dob_cfg, dtype) if dob_cfg is not None
+            else ekf_init(x0, ekf_cfg, dtype),
+            mpc.init_carry(x0[0:6]),
+            attitude_loop_init(dtype),
+            jnp.asarray([0.0, 0.0, 0.0, 0.0], dtype),  # grounded: no thrust
+        )
+        final_carry, outs = jax.lax.scan(
+            step, init, (jnp.arange(num_steps), keys)
+        )
+        final_state = final_carry[0]
+    else:
+        init = (x0, mpc.init_carry(x0[0:6]), attitude_loop_init(dtype))
+        (final_state, _, _), outs = jax.lax.scan(
+            step, init, jnp.arange(num_steps)
+        )
     outs["final_state"] = final_state
     return outs
