@@ -579,3 +579,49 @@ def test_mppi_fused_sampling_kernel_on_chip():
     u_v, _, _ = jax.jit(ctrl_v.solve)(mc, x0, targets[0], yaw)
     np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_v),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_disturbance_observer_on_chip():
+    """The 15-state augmented-EKF observer (estimation/disturbance.py) on
+    the real chip: staged XLA, but the (15,15) Riccati algebra runs on the
+    MXU's f32 passes — pin that the windy-flight estimate converges to the
+    wind's accel gap and the feedforward improves tracking, the same
+    invariants the campaign's dob rows gate at full length."""
+    from unmanned_aerial_vehicles_tpu.control.mpc_linear import (
+        LinearMPC,
+        LinearMPCConfig,
+    )
+    from unmanned_aerial_vehicles_tpu.estimation import (
+        noisy_mpc_flight_rollout,
+    )
+    from unmanned_aerial_vehicles_tpu.models import RigidBodyParams
+    from unmanned_aerial_vehicles_tpu.trajectories import (
+        ramped_figure8_reference,
+    )
+
+    windy = RigidBodyParams(wind=(1.5, 0.8, 0.0))
+    mpc = LinearMPC(LinearMPCConfig())
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t)
+        return pos + jnp.asarray([0.0, 0.0, 3.0], jnp.float32), yaw
+
+    def fly(dob):
+        return jax.jit(
+            lambda: noisy_mpc_flight_rollout(
+                mpc, ref, 800, jax.random.PRNGKey(0), body=windy,
+                preview=True, disturbance_observer=dob,
+            )
+        )()
+
+    plain, dob = fly(None), fly(True)
+
+    def rms(outs):
+        e = np.linalg.norm(
+            np.asarray(outs["pos_ref"] - outs["state"][:, 0:3]), axis=1)
+        return float(np.sqrt((e[400:] ** 2).mean()))
+
+    assert rms(dob) < 0.75 * rms(plain), (rms(dob), rms(plain))
+    d = np.asarray(dob["disturbance_est"])[400:].mean(axis=0)
+    # settled estimate points INTO the wind (both horizontal components)
+    assert d[0] > 0.5 and d[1] > 0.2 and abs(d[2]) < 0.3, d
