@@ -27,7 +27,7 @@ _BOOTSTRAP = (
 
 
 def test_examples_discovered():
-    assert len(EXAMPLES) == 14, EXAMPLES
+    assert len(EXAMPLES) == 15, EXAMPLES
 
 
 @pytest.mark.slow
