@@ -370,3 +370,16 @@ def test_fly_push_disturbance_observer_direct_rate12(capsys):
     # --push is the direct-rate12 scenario knob only
     assert main(["fly", "--controller", "mpc", "--duration", "2",
                  "--noisy", "--push", "1", "0", "0"]) == 1
+
+
+def test_fly_ltv12_wind_disturbance_observer(capsys):
+    """ltv12 --noisy: the 100 Hz observer's estimate feeds the 10 Hz LTV
+    solve's residual rows; a windy GZ plant flies against the nominal
+    process model."""
+    assert main(["fly", "--controller", "ltv12", "--duration", "6",
+                 "--noisy", "--wind", "2.5", "1.5", "0",
+                 "--disturbance-observer"]) == 0
+    out = capsys.readouterr().out
+    assert "disturbance observer (ltv12" in out
+    m = json.loads(out[out.index("{"):])
+    assert np.isfinite(m["rms_pos"])

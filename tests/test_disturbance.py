@@ -316,6 +316,58 @@ def test_disturbance_observer_direct_rate12():
         )
 
 
+def test_disturbance_observer_ltv12_multirate():
+    """LTV tier observer: the 15-state filter fuses at the 100 Hz sensor
+    rate over the NOMINAL model while the true plant flies a windy GZ
+    quadrotor; the 10 Hz LTV solve receives the estimate through its
+    traced residual rows (mpc_controller.py:144's GP hook). Must beat the
+    plain noisy LTV flight on the same windy plant."""
+    from unmanned_aerial_vehicles_tpu.control import LTVTrackingMPC
+    from unmanned_aerial_vehicles_tpu.estimation.noisy_loop import (
+        noisy_ltv_rollout,
+    )
+    from unmanned_aerial_vehicles_tpu.models import GZ_QUADROTOR_PARAMS
+    from unmanned_aerial_vehicles_tpu.trajectories import (
+        ramped_circle_reference,
+    )
+
+    ldt = 0.1
+    mpc_ltv = LTVTrackingMPC(horizon=10)
+    n = mpc_ltv.mpc.config.horizon
+    windy = GZ_QUADROTOR_PARAMS.replace(wind=(2.5, 1.5, 0.0))
+
+    def window_at(i):
+        ts = (i + jnp.arange(n + 1)).astype(jnp.float32) * ldt
+
+        def ref12(t):
+            pos, _, _ = ramped_circle_reference(t, amplitude=1.5, height=3.0)
+            return jnp.concatenate(
+                [jnp.asarray(pos, jnp.float32), jnp.zeros(9, jnp.float32)]
+            )
+
+        return jax.vmap(ref12)(ts)
+
+    def fly(dob):
+        return jax.jit(lambda: noisy_ltv_rollout(
+            mpc_ltv, window_at, 60, jax.random.PRNGKey(5), body=windy,
+            disturbance_observer=dob,
+        ))()
+
+    plain, dob = fly(None), fly(True)
+
+    def rms(outs):
+        st = np.asarray(outs["state"])[30:, 0:3]
+        ref = np.asarray(outs["pos_ref"])[30:]
+        return float(np.sqrt(np.mean(np.sum((st - ref) ** 2, -1))))
+
+    r_plain, r_dob = rms(plain), rms(dob)
+    assert np.isfinite(np.asarray(dob["state"])).all()
+    assert r_dob < r_plain, (r_dob, r_plain)
+    # the settled estimate points into the wind
+    d = np.asarray(dob["disturbance_est"])[30:].mean(axis=0)
+    assert d[0] > 0.0 and d[1] > 0.0, d
+
+
 def test_disturbance_config_passes_base_noise_model():
     """An explicit DisturbanceEKFConfig's base drives the sensor draws."""
     steps = 60

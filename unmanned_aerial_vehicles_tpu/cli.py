@@ -183,20 +183,23 @@ def _cmd_fly(args) -> int:
               "(multi-rate: 100 Hz EKF under the 10 Hz solve)",
               file=sys.stderr)
         return 1
-    if args.wind is not None and args.controller not in ("mpc", "gp-mpc"):
+    if args.wind is not None and not (
+        args.controller in ("mpc", "gp-mpc")
+        or (args.controller == "ltv12" and args.noisy)
+    ):
         print("--wind (steady world-frame wind on the true plant) is "
-              "wired for the mpc/gp-mpc family; the campaign tool "
-              "(tools/run_campaign.py) drives the other scenarios",
-              file=sys.stderr)
+              "wired for the mpc/gp-mpc family and ltv12 --noisy; the "
+              "campaign tool (tools/run_campaign.py) drives the other "
+              "scenarios", file=sys.stderr)
         return 1
     if args.disturbance_observer:
         if not args.noisy or args.controller not in (
-            "mpc", "gp-mpc", "direct-rate12"
+            "mpc", "gp-mpc", "direct-rate12", "ltv12"
         ):
             print("--disturbance-observer is the augmented-EKF wind/"
                   "mismatch observer: requires --noisy and --controller "
-                  "mpc/gp-mpc (6-state family) or direct-rate12 (the "
-                  "torque family's residual-channel engine) "
+                  "mpc/gp-mpc (6-state family), direct-rate12 or ltv12 "
+                  "(the 12-state residual-channel engines) "
                   "(estimation.disturbance)", file=sys.stderr)
             return 1
         if args.fast:
@@ -313,16 +316,31 @@ def _cmd_fly(args) -> int:
                 ts = (i + jnp.arange(N_ltv + 1)).astype(jnp.float32) * LDT
                 return ref12_at(ts)
 
+            ltv_body = GZ_QUADROTOR_PARAMS
+            if args.wind is not None:
+                ltv_body = ltv_body.replace(wind=tuple(args.wind))
             outs_ltv = jax.jit(lambda: noisy_ltv_rollout(
                 mpc_ltv, window_at, steps10, jax.random.PRNGKey(args.seed),
-                ekf_cfg=EKFConfig(), body=GZ_QUADROTOR_PARAMS,
+                ekf_cfg=EKFConfig(), body=ltv_body,
                 obstacles=obstacles,
+                disturbance_observer=(
+                    True if args.disturbance_observer else None
+                ),
             ))()
             est_rms = jnp.sqrt(jnp.mean(jnp.sum(
                 (outs_ltv["state_est"][:, 0:3]
                  - outs_ltv["state"][:, 0:3]) ** 2, -1)))
             print(f"# noisy tier: ltv12, 100 Hz EKF under the 10 Hz "
                   f"solve; estimate RMS vs truth {float(est_rms):.4f} m")
+            if args.disturbance_observer:
+                import numpy as _np
+
+                d_tail = _np.asarray(outs_ltv["disturbance_est"])
+                d_tail = d_tail[len(d_tail) // 2:].mean(axis=0)
+                print(f"# disturbance observer (ltv12, 100 Hz fuse / "
+                      f"10 Hz feedforward): mean estimated accel "
+                      f"disturbance (tail) = [{d_tail[0]:+.3f} "
+                      f"{d_tail[1]:+.3f} {d_tail[2]:+.3f}] m/s^2")
         elif args.fast:
             def reference_fn(ticks):
                 def one(i):

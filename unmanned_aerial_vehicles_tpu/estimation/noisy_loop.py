@@ -878,6 +878,8 @@ def noisy_ltv_rollout(
     substeps_per_tick: int = 10,
     obstacles: jnp.ndarray | None = None,
     initial_state: jnp.ndarray | None = None,
+    disturbance_observer=None,
+    nominal_body=None,
     dtype=jnp.float32,
 ):
     """Multi-rate noisy loop for the LTV tracking MPC: plant + EKF at the
@@ -898,6 +900,14 @@ def noisy_ltv_rollout(
     shifting reference window, ``mpc_controller.py:64-67``). Returns one
     row per CONTROL tick: truth/estimate/measurement at the tick boundary
     plus the applied control.
+
+    ``disturbance_observer`` (a ``DisturbanceEKFConfig``, or ``True``)
+    swaps in the 15-state augmented filter — fused at the 100 Hz sensor
+    rate over the NOMINAL process model (``nominal_body``, default
+    ``body`` with the wind zeroed) — and feeds the estimated acceleration
+    disturbance to the 10 Hz LTV solve as its traced ``(N, 12)``
+    derivative-space residual rows (the cvxpy engine's GP hook,
+    ``mpc_controller.py:144``). Obstacle rows compose.
     """
     from ..models import GZ_QUADROTOR_PARAMS
     from ..models.rigid_body import rigid_body_rk4_step
@@ -909,10 +919,31 @@ def noisy_ltv_rollout(
         initial_state = reference_window_fn(0)[0].astype(dtype)
     initial_state = initial_state.astype(dtype)
 
+    if disturbance_observer is not None and disturbance_observer is not False:
+        from .disturbance import (
+            DisturbanceEKFConfig,
+            dekf_init,
+            dekf_step,
+            disturbance_residual_rows12,
+        )
+
+        dob_cfg = (
+            DisturbanceEKFConfig(base=ekf_cfg)
+            if disturbance_observer is True else disturbance_observer
+        )
+        if nominal_body is None:
+            nominal_body = body.replace(wind=(0.0, 0.0, 0.0))
+        horizon12 = int(controller.mpc.config.horizon)
+    else:
+        dob_cfg = None
+    meas_cfg = dob_cfg.base if dob_cfg is not None else ekf_cfg
+
     plant_step_fn = lambda x, u: rigid_body_rk4_step_fast(
         x, u, body, dt_plant
     )
-    process_step_fn = lambda x, u: rigid_body_rk4_step(x, u, body, dt_plant)
+    process_body = nominal_body if dob_cfg is not None else body
+    process_step_fn = lambda x, u: rigid_body_rk4_step(x, u, process_body,
+                                                       dt_plant)
 
     keys = jax.random.split(key, num_steps * substeps_per_tick).reshape(
         num_steps, substeps_per_tick, 2
@@ -925,23 +956,40 @@ def noisy_ltv_rollout(
 
         # the 10 Hz solve flies the current ESTIMATE; obstacles ride the
         # same linearised half-space rows as the noiseless path
-        u, _, mc = controller.solve(mc, ekf.x, window, obstacles=obstacles)
+        if dob_cfg is not None:
+            rows = disturbance_residual_rows12(
+                ekf.x[12:], horizon12, dtype
+            )
+            u, _, mc = controller.solve(
+                mc, ekf.x[:12], window, residuals=rows, obstacles=obstacles
+            )
+        else:
+            u, _, mc = controller.solve(mc, ekf.x, window,
+                                        obstacles=obstacles)
 
         out = {
             "state": state,
-            "state_est": ekf.x,
+            "state_est": ekf.x[:12],
             "pos_ref": window[0, 0:3],
             "u": u,
         }
+        if dob_cfg is not None:
+            out["disturbance_est"] = ekf.x[12:]
 
         def sub(c, k):
             st, ek = c
             st2 = plant_step_fn(st, u)           # truth under ZOH control
-            z = measure(st2, k, ekf_cfg)
-            ek, _ = ekf_step(
-                ek, u, z, dt=dt_plant, config=ekf_cfg,
-                step_fn=process_step_fn,
-            )
+            z = measure(st2, k, meas_cfg)
+            if dob_cfg is not None:
+                ek, _, _ = dekf_step(
+                    ek, u, z, dt=dt_plant, config=dob_cfg,
+                    step_fn=process_step_fn,
+                )
+            else:
+                ek, _ = ekf_step(
+                    ek, u, z, dt=dt_plant, config=ekf_cfg,
+                    step_fn=process_step_fn,
+                )
             return (st2, ek), z[0:3]
 
         (state, ekf), zs = jax.lax.scan(sub, (state, ekf), tick_keys)
@@ -950,7 +998,8 @@ def noisy_ltv_rollout(
 
     init = (
         initial_state,
-        ekf_init(initial_state, ekf_cfg, dtype),
+        dekf_init(initial_state, dob_cfg, dtype) if dob_cfg is not None
+        else ekf_init(initial_state, ekf_cfg, dtype),
         controller.init_carry(initial_state),
     )
     (final_state, ekf, _), outs = jax.lax.scan(
