@@ -625,3 +625,42 @@ def test_disturbance_observer_on_chip():
     d = np.asarray(dob["disturbance_est"])[400:].mean(axis=0)
     # settled estimate points INTO the wind (both horizontal components)
     assert d[0] > 0.5 and d[1] > 0.2 and abs(d[2]) < 0.3, d
+
+
+def test_disturbance_observer_fused_on_chip():
+    """The SAME augmented observer INSIDE the multi-tick kernel (the
+    latency tier): the 15-state Riccati recursion rides the padded
+    (128,128) covariance operand through the real Mosaic compiler and the
+    kernel's residual-feedforward lanes carry the estimate. Must glue to
+    the staged ``dekf_step`` flight on the same PRNG stream."""
+    from unmanned_aerial_vehicles_tpu.estimation import (
+        noisy_mpc_flight_rollout,
+    )
+    from unmanned_aerial_vehicles_tpu.models import RigidBodyParams
+
+    windy = RigidBodyParams(wind=(1.5, 0.8, 0.0))
+    mpc = fused_mpc()
+    key = jax.random.PRNGKey(0)
+    staged = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc, circle_ref, 240, key, body=windy,
+            disturbance_observer=True,
+        )
+    )()
+    fused = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc, circle_ref, 240, key, body=windy,
+            disturbance_observer=True,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+        )
+    )()
+    assert _pos_gap(staged, fused) < 1e-3
+    d_gap = np.abs(
+        np.asarray(staged["disturbance_est"])
+        - np.asarray(fused["disturbance_est"])
+    ).max()
+    assert d_gap < 1e-3, d_gap
+    P = np.asarray(fused["final_covariance"])
+    assert P.shape == (15, 15)
+    assert np.isfinite(P).all()
+    np.testing.assert_allclose(P, P.T, atol=1e-4)

@@ -583,9 +583,7 @@ def main():
 
     # disturbance-observer tier (estimation/disturbance.py): the 15-state
     # augmented filter + MPC feedforward on the STAGED path — the
-    # learning-free wind-rejection capability's cost row (the fused
-    # kernels carry the 12-state filter; this row measures what the
-    # observer tier actually flies)
+    # learning-free wind-rejection capability's reference-semantics row
     def make_dob(T):
         @jax.jit
         def run(x_jitter):
@@ -602,6 +600,30 @@ def main():
         return run
 
     record("disturbance_observer_staged", make_dob)
+
+    # the SAME observer at the latency tier: 15-state augmented filter
+    # INSIDE the multi-tick kernel (round-5: the augmented Riccati recursion
+    # rides the padded covariance operand; the estimate feeds the in-kernel
+    # residual lanes) — parity pinned in
+    # tests_tpu::test_disturbance_observer_fused_on_chip
+    def make_dob_fused(T):
+        @jax.jit
+        def run(x_jitter):
+            x0 = (jnp.zeros(12, jnp.float32)
+                  .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+            outs = noisy_mpc_flight_rollout(
+                mpc_f, ref, T, jax.random.PRNGKey(0),
+                cfg=FlightLoopConfig(use_fused_tick=True,
+                                     ticks_per_dispatch=20,
+                                     fused_tick_loop_precision="default"),
+                initial_state=x0, disturbance_observer=True,
+            )
+            e = outs["pos_ref"] - outs["state"][:, 0:3]
+            return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+        return run
+
+    record("disturbance_observer_fused_multitick", make_dob_fused)
 
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "artifacts",

@@ -202,10 +202,11 @@ def _cmd_fly(args) -> int:
                   "(the 12-state residual-channel engines) "
                   "(estimation.disturbance)", file=sys.stderr)
             return 1
-        if args.fast:
-            print("--disturbance-observer runs on the staged path (the "
-                  "fused kernels carry the 12-state filter); drop --fast",
-                  file=sys.stderr)
+        if args.fast and args.controller not in ("mpc", "gp-mpc"):
+            print("--disturbance-observer --fast is wired for the 6-state "
+                  "family (mpc/gp-mpc: the augmented filter runs inside "
+                  "the fused multi-tick kernel); the 12-state engines run "
+                  "it staged — drop --fast", file=sys.stderr)
             return 1
     if args.push is not None and args.controller != "direct-rate12":
         print("--push (a constant unmodelled acceleration on the TRUE "

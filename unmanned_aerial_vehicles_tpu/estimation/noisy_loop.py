@@ -65,13 +65,16 @@ def noisy_mpc_flight_rollout(
     (``src/px4/mpc.py:1889-1907,2016-2021``).
 
     ``disturbance_observer`` (a ``DisturbanceEKFConfig``, or ``True`` for
-    defaults; staged path only) swaps the 12-state filter for the
-    15-state augmented observer (``estimation.disturbance``): the EKF
-    additionally estimates a slowly-varying acceleration disturbance and
-    the MPC receives it as stage-wise residual feedforward — wind
+    defaults; staged path or fused MULTI-TICK path) swaps the 12-state
+    filter for the 15-state augmented observer (``estimation.disturbance``):
+    the EKF additionally estimates a slowly-varying acceleration disturbance
+    and the MPC receives it as stage-wise residual feedforward — wind
     rejection WITHOUT learning (summed with ``residual_fn`` rows when both
     are given, so the GP corrects what the observer's constant-accel model
-    cannot). Adds ``disturbance_est`` to the output dict.
+    cannot). On the fused path the augmented filter runs INSIDE the
+    multi-tick kernel (the 15-state Riccati recursion rides the same padded
+    covariance operand; composes with ``gp_posterior``/``online_gp``).
+    Adds ``disturbance_est`` to the output dict.
 
     ``nominal_body`` is the observer's process model (default: ``body``
     with the wind zeroed — the controller-side model that does NOT know
@@ -101,11 +104,11 @@ def noisy_mpc_flight_rollout(
     if initial_dataset is not None and online_gp is None:
         raise ValueError("initial_dataset= only makes sense with online_gp=")
     if disturbance_observer is not None and disturbance_observer is not False:
-        if cfg.use_fused_tick:
+        if cfg.use_fused_tick and cfg.ticks_per_dispatch <= 1:
             raise ValueError(
-                "disturbance_observer= runs on the staged path only "
-                "(FlightLoopConfig.use_fused_tick=False): the fused "
-                "kernels carry the 12-state filter"
+                "disturbance_observer= on the fused path requires the "
+                "multi-tick kernel (ticks_per_dispatch > 1): the "
+                "single-tick kernel carries the 12-state filter"
             )
         from .disturbance import DisturbanceEKFConfig
 
@@ -145,6 +148,7 @@ def noisy_mpc_flight_rollout(
                 cfg, initial_state, preview=preview,
                 gp_posterior=gp_posterior, gp_gain=gp_gain, gp_dt=gp_dt,
                 online_gp=online_gp, initial_dataset=initial_dataset,
+                dob_cfg=dob_cfg, nominal_body=nominal_body,
             )
         return _fused_noisy_rollout(
             mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop,
@@ -409,6 +413,7 @@ def _fused_noisy_multitick_rollout(
     mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop, cfg,
     initial_state, preview=False, gp_posterior=None, gp_gain=0.1,
     gp_dt=0.02, online_gp=None, initial_dataset=None,
+    dob_cfg=None, nominal_body=None,
 ):
     """EKF INSIDE the multi-tick kernel: K whole noisy ticks per dispatch.
 
@@ -439,6 +444,7 @@ def _fused_noisy_multitick_rollout(
     from ..ops.tick_pallas import (
         EKF_MEAS_IDX,
         PK,
+        build_dob_bdist,
         build_gp_rows,
         build_tick_data,
         gpmpc_noisy_multitick_fused,
@@ -448,6 +454,13 @@ def _fused_noisy_multitick_rollout(
     if not mpc.config.use_fused_controller:
         raise ValueError("use_fused_tick requires LinearMPCConfig."
                          "use_fused_controller=True (padded kernel data)")
+    use_dob = dob_cfg is not None
+    if use_dob:
+        # the observer's knobs (relinearisation cadence, covariance
+        # precision, sensor model) live on its base EKFConfig — keep the
+        # noise draw and the filter model consistent, exactly the staged
+        # path's meas_cfg choice
+        ekf_cfg = dob_cfg.base
     if ekf_cfg.relinearize_every not in ("tick", "dispatch"):
         raise ValueError(
             f"EKFConfig.relinearize_every={ekf_cfg.relinearize_every!r}: "
@@ -548,19 +561,38 @@ def _fused_noisy_multitick_rollout(
         interpret=jax.default_backend() == "cpu",
         relinearize_per_tick=relin_per_tick,
         cov_precision=ekf_cfg.cov_precision,
+        use_dob=use_dob,
     )
 
-    # EKF constants in kernel layouts
+    # EKF constants in kernel layouts (augmented 15-state diagonals in
+    # observer mode; the padded (PK, PK) operands are shape-invariant)
     meas_idx = jnp.asarray(EKF_MEAS_IDX)
+    q_diag = dob_cfg.q_diag() if use_dob else ekf_cfg.q_diag()
+    p0_diag = dob_cfg.p0_diag() if use_dob else ekf_cfg.p0_diag()
+    nlive = q_diag.shape[0]
     q_mat = jnp.zeros((PK, PK), dtype).at[
-        jnp.arange(12), jnp.arange(12)
-    ].set(ekf_cfg.q_diag().astype(dtype))
+        jnp.arange(nlive), jnp.arange(nlive)
+    ].set(q_diag.astype(dtype))
     rdiag_row = jnp.zeros((1, PK), dtype).at[0, meas_idx].set(
         ekf_cfg.r_diag().astype(dtype)
     )
     p0 = jnp.zeros((PK, PK), dtype).at[
-        jnp.arange(12), jnp.arange(12)
-    ].set(ekf_cfg.p0_diag().astype(dtype))
+        jnp.arange(nlive), jnp.arange(nlive)
+    ].set(p0_diag.astype(dtype))
+    if use_dob:
+        if nominal_body is None:
+            nominal_body = body.replace(wind=(0.0, 0.0, 0.0))
+        nominal_row = build_plant_row(
+            nominal_body.mass, nominal_body.gravity,
+            nominal_body.k_drag_linear,
+            (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
+            nominal_body.gravity / rate_loop.hover_thrust_norm,
+            nominal_body.wind,
+        )
+        bdist = build_dob_bdist(cfg.control_dt)
+    else:
+        nominal_row = None
+        bdist = None
 
     # staged PRNG scheme, precomputed: keys = split(key, T); draw 9 per tick
     keys = jax.random.split(key, num_steps)
@@ -608,6 +640,7 @@ def _fused_noisy_multitick_rollout(
             gpmpc_noisy_multitick_fused(
                 data, gp, state_row, est_row, P, aux_row, xtail_row, z, y,
                 refs, noise_k, plant_row, q_mat, rdiag_row,
+                nominal_row=nominal_row, bdist_mat=bdist,
                 **statics,
             )
         )
@@ -624,6 +657,8 @@ def _fused_noisy_multitick_rollout(
             "accel_cmd": packed[:, 22:25],
             "u_mpc": packed[:, 25:29],
         }
+        if use_dob:
+            out["disturbance_est"] = packed[:, 44:47]
         if online:
             # --- per-tick data capture from the ESTIMATE ------------------
             # the reference's capture consumes EKF2 output, not truth
@@ -710,7 +745,7 @@ def _fused_noisy_multitick_rollout(
         lambda a: a.reshape((num_steps,) + a.shape[2:]), outs
     )
     outs["final_state"] = state_row[0, 0:12]
-    outs["final_covariance"] = P[:12, :12]
+    outs["final_covariance"] = P[:nlive, :nlive]
     return outs
 
 

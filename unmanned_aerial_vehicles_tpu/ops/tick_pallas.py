@@ -826,6 +826,20 @@ EKF_MEAS_IDX = (0, 1, 2, 6, 7, 8, 9, 10, 11)  # estimation.ekf.MEASURED_IDX
 PK = 128  # covariance pad (P, F, Q live as (PK, PK) operands)
 
 
+def build_dob_bdist(dt: float, pk: int = PK) -> jnp.ndarray:
+    """The d-injection block of the augmented transition Jacobian.
+
+    ``d(aug_step)/d(d)`` for ``estimation.disturbance.dekf_step``'s process
+    model (disturbance injected AFTER the nominal step): ``0.5 dt^2`` on the
+    position rows, ``dt`` on the velocity rows, zero elsewhere — F_aug =
+    I + Fd12 + bdist, exactly ``jacfwd(aug_step)``'s extra columns."""
+    b = np.zeros((pk, pk), np.float32)
+    for j in range(3):
+        b[j, 12 + j] = 0.5 * dt * dt
+        b[3 + j, 12 + j] = dt
+    return jnp.asarray(b)
+
+
 def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                                  iterations, over_relax, rho,
                                  dt, substeps, accel_lo, accel_hi,
@@ -835,7 +849,8 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                                  fallback_thrust_ceiling=1.5,
                                  fallback_accel_scale=1.5, interpret=False,
                                  relin_per_tick=True,
-                                 cov_precision=jax.lax.Precision.HIGHEST):
+                                 cov_precision=jax.lax.Precision.HIGHEST,
+                                 use_dob=False):
     def _dot(prec):
         def dot(a, b):
             return jax.lax.dot_general(
@@ -857,6 +872,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
 
     def kernel(state_ref, est_ref, p_ref, aux_ref, xtail_ref, z0_ref, y0_ref,
                refs_ref, noise_ref, plant_ref, qmat_ref, rdiag_ref,
+               nom_ref, bdist_ref,
                ztrT_ref, sq2_ref, alphas_ref, ymean_ref, invls_ref, scal_ref,
                sxswt_ref, sutqt_ref, sut_ref,
                p1_ref, pm_ref, p0matt_ref,
@@ -869,20 +885,33 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         plant = _read_plant(plant_ref)
         gravity = plant[1]
         Qmat = qmat_ref[:]
+        # Disturbance-observer mode (estimation.disturbance at the latency
+        # tier): the filter PREDICTS with the NOMINAL plant row — the
+        # innovation the nominal model cannot explain is attributed to the
+        # augmented random-walk acceleration d (est lanes 12:15) — while the
+        # in-kernel plant keeps integrating the TRUE row. bdist_ref holds the
+        # exact d-injection Jacobian block (d(x')/d(d): 0.5 dt^2 on position
+        # rows, dt on velocity rows), so F_aug = I + Fd12 + bdist — the same
+        # jacfwd(aug_step) the staged dekf_step computes.
+        ekf_plant = _read_plant(nom_ref) if use_dob else plant
 
         def _fd_chain(ex, prev_c, x2, x3, x4):
             # transition Jacobian F = I + Fd with
             # Fd = h/6 (K1 + 2K2 + 2K3 + K4), K_{i+1} = J(x_i)(I + c_i h K_i)
             # — the exact RK4 chain rule (px4_step_jacobian) from the
-            # hand-derived analytic J at the given stage states
-            K1 = _jac_padded(ex, prev_c, plant, PK)
-            J2 = _jac_padded(x2, prev_c, plant, PK)
-            J3 = _jac_padded(x3, prev_c, plant, PK)
-            J4 = _jac_padded(x4, prev_c, plant, PK)
+            # hand-derived analytic J at the given stage states (of the
+            # FILTER's process model: the nominal row in observer mode)
+            K1 = _jac_padded(ex, prev_c, ekf_plant, PK)
+            J2 = _jac_padded(x2, prev_c, ekf_plant, PK)
+            J3 = _jac_padded(x3, prev_c, ekf_plant, PK)
+            J4 = _jac_padded(x4, prev_c, ekf_plant, PK)
             K2 = J2 + 0.5 * dt * dot_cov(J2, K1)
             K3 = J3 + 0.5 * dt * dot_cov(J3, K2)
             K4 = J4 + dt * dot_cov(J4, K3)
-            return (dt / 6.0) * (K1 + 2.0 * K2 + 2.0 * K3 + K4)
+            Fd = (dt / 6.0) * (K1 + 2.0 * K2 + 2.0 * K3 + K4)
+            if use_dob:
+                Fd = Fd + bdist_ref[:]
+            return Fd
 
         if not relin_per_tick:
             # "dispatch" cadence: linearise ONCE at the dispatch-entry
@@ -892,11 +921,11 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             # covariance propagation sees the frozen F
             ex0 = tuple(est_ref[0, i] for i in range(12))
             c0 = tuple(aux_ref[0, 11 + i] for i in range(4))
-            k1_0 = _derivative(ex0, c0, plant)
+            k1_0 = _derivative(ex0, c0, ekf_plant)
             x2_0 = _axpy(ex0, k1_0, 0.5 * dt)
-            k2_0 = _derivative(x2_0, c0, plant)
+            k2_0 = _derivative(x2_0, c0, ekf_plant)
             x3_0 = _axpy(ex0, k2_0, 0.5 * dt)
-            k3_0 = _derivative(x3_0, c0, plant)
+            k3_0 = _derivative(x3_0, c0, ekf_plant)
             x4_0 = _axpy(ex0, k3_0, dt)
             fd_frozen = _fd_chain(ex0, c0, x2_0, x3_0, x4_0)
         else:
@@ -921,18 +950,29 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             # K_{i+1} = J(x_i)(I + c_i h K_i) — the exact RK4 chain rule
             # (px4_step_jacobian), relinearised EVERY tick from the
             # hand-derived analytic J (no frozen-F approximation)
-            k1 = _derivative(ex, prev_c, plant)
+            k1 = _derivative(ex, prev_c, ekf_plant)
             x2 = _axpy(ex, k1, 0.5 * dt)
-            k2 = _derivative(x2, prev_c, plant)
+            k2 = _derivative(x2, prev_c, ekf_plant)
             x3 = _axpy(ex, k2, 0.5 * dt)
-            k3 = _derivative(x3, prev_c, plant)
+            k3 = _derivative(x3, prev_c, ekf_plant)
             x4 = _axpy(ex, k3, dt)
-            k4 = _derivative(x4, prev_c, plant)
+            k4 = _derivative(x4, prev_c, ekf_plant)
             xp = tuple(
                 ex[i]
                 + (dt / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
                 for i in range(12)
             )
+            if use_dob:
+                # exact double-integrator injection of the disturbance over
+                # one step (estimation.disturbance.dekf_step's aug_step)
+                dprev = (est_row[0, 12], est_row[0, 13], est_row[0, 14])
+                hh = 0.5 * dt * dt
+                xp = (
+                    xp[0] + hh * dprev[0], xp[1] + hh * dprev[1],
+                    xp[2] + hh * dprev[2],
+                    xp[3] + dt * dprev[0], xp[4] + dt * dprev[1],
+                    xp[5] + dt * dprev[2],
+                ) + xp[6:]
             Fd = (_fd_chain(ex, prev_c, x2, x3, x4)   # F = I + Fd
                   if relin_per_tick else fd_frozen)
             # (I+Fd) P (I+Fd)' + Q with P symmetric: no materialised identity
@@ -940,8 +980,15 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             P_pred = P + FdP + FdP.T + dot_cov(FdP, Fd.T) + Qmat
 
             # ---- EKF update: 9 sequential scalar measurement fusions -----
+            # (the disturbance lanes 12:15 are corrected through P's
+            # cross-covariance — Krow spans the full padded row)
             wrap = lambda a: (a + jnp.pi) % two_pi - jnp.pi
-            xrow = jnp.stack(xp + (zero,) * (PK - 12)).reshape(1, PK)
+            if use_dob:
+                xrow = jnp.stack(
+                    xp + dprev + (zero,) * (PK - 15)
+                ).reshape(1, PK)
+            else:
+                xrow = jnp.stack(xp + (zero,) * (PK - 12)).reshape(1, PK)
             Pm = P_pred
             for j in EKF_MEAS_IDX:
                 zj = s[j] + noise_ref[t, j]       # truth + presampled noise
@@ -957,7 +1004,12 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                 wrap(xrow[0, i]) if 6 <= i <= 8 else xrow[0, i]
                 for i in range(12)
             )
-            est_new = jnp.stack(exn + (zero,) * (n_pad - 12)).reshape(1, n_pad)
+            dn = (
+                (xrow[0, 12], xrow[0, 13], xrow[0, 14]) if use_dob else ()
+            )
+            est_new = jnp.stack(
+                exn + dn + (zero,) * (n_pad - 12 - len(dn))
+            ).reshape(1, n_pad)
 
             # ---- GP horizon posterior on the ESTIMATE trajectory --------
             # (mirrors _make_multitick_kernel; aux lanes 0:6 hold the
@@ -984,12 +1036,20 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                 gain = scal_ref[0, 1]
                 Kst = sf2 * jnp.exp(-0.5 * dists)
                 mean = dot(Kst, alphas_ref[:]) + ymean_ref[:]
+            if use_gp or use_dob:
+                # stage residual feedforward in w = control_dt * D units
+                # (closed_loop._fused_tick_rollout's conversion): the GP
+                # posterior mean and/or the observer's constant-acceleration
+                # estimate SUM on the velocity-derivative lanes — the staged
+                # path's `residuals + dob_rows` composition
                 w_scalars = []
                 for k in range(N):
                     w_scalars.extend([zero, zero, zero])
-                    w_scalars.extend(
-                        gain * mean[k, 3 + j] for j in range(3)
-                    )
+                    for j in range(3):
+                        val = gain * mean[k, 3 + j] if use_gp else zero
+                        if use_dob:
+                            val = val + dt * dn[j]
+                        w_scalars.append(val)
                 w_scalars.extend([zero] * (n_pad - Nnx))
                 w_row = jnp.stack(w_scalars).reshape(1, n_pad)
             else:
@@ -1065,13 +1125,13 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
 
             # packed: state 0:12 | control 12:16 | att_sp 16:19 |
             # integral 19:22 | accel 22:25 | u0 25:29 | vel_ref 29:32 |
-            # estimate 32:44
+            # estimate 32:44 | disturbance_est 44:47 (observer mode)
             packed = jnp.stack(
                 s + c + att_sp + new_int + (ax, ay, az)
                 + (z_fin[0, 0], z_fin[0, 1], z_fin[0, 2], z_fin[0, 3])
                 + (X_tail[0, 3], X_tail[0, 4], X_tail[0, 5])
-                + exn
-                + (zero,) * (n_pad - 44)
+                + exn + dn
+                + (zero,) * (n_pad - 44 - len(dn))
             ).reshape(1, n_pad)
             out_ref[pl.ds(t, 1), :] = packed
 
@@ -1108,6 +1168,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         "interpret", "loop_precision", "n", "nu", "nx",
         "fallback_error_m", "fallback_thrust_ceiling",
         "fallback_accel_scale", "relinearize_per_tick", "cov_precision",
+        "use_dob",
     ),
 )
 def gpmpc_noisy_multitick_fused(
@@ -1115,7 +1176,9 @@ def gpmpc_noisy_multitick_fused(
     gp: GPRows | None,
     state_row: jnp.ndarray,    # (1, n_pad) TRUE state, lanes 0:12
     est_row: jnp.ndarray,      # (1, n_pad) EKF estimate, lanes 0:12
-    p_mat: jnp.ndarray,        # (PK, PK) covariance (12x12 block)
+                               #   (+ disturbance est 12:15 in observer mode)
+    p_mat: jnp.ndarray,        # (PK, PK) covariance (12x12 block; 15x15
+                               #   in observer mode)
     aux_row: jnp.ndarray,      # (1, n_pad): est x0 0:6, integral 8:11,
                                #   prev applied control 11:15
     xtail_row: jnp.ndarray,
@@ -1147,12 +1210,26 @@ def gpmpc_noisy_multitick_fused(
     fallback_accel_scale: float = 1.5,
     relinearize_per_tick: bool = True,
     cov_precision: str = "highest",
+    use_dob: bool = False,
+    nominal_row: jnp.ndarray | None = None,   # (1, 16) observer process model
+    bdist_mat: jnp.ndarray | None = None,     # (PK, PK) d-injection Jacobian
 ):
     """K whole noisy ticks (EKF + MPC + allocation + plant) per dispatch.
 
     Returns ``(packed (k_ticks, n_pad), state_row, est_row, p_mat, aux_row,
     xtail_row, z, y)`` — packed lanes as the multitick kernel plus the
-    per-tick EKF estimate at 32:44."""
+    per-tick EKF estimate at 32:44 (and the observer's disturbance estimate
+    at 44:47 when ``use_dob``).
+
+    ``use_dob`` runs the 15-state augmented disturbance observer
+    (``estimation.disturbance``) in place of the 12-state filter: the EKF
+    predicts with ``nominal_row`` (the wind-free controller-side model), the
+    innovation the nominal plant cannot explain lands in the random-walk
+    acceleration lanes 12:15 of the estimate, and the MPC receives the
+    estimate as stage-wise residual feedforward (summed with the in-kernel
+    GP rows when both are active). ``q_mat`` must carry the augmented
+    process noise (lanes 12:15 = q_dist^2) and ``bdist_mat`` the exact
+    d-injection block of the transition Jacobian."""
     ctrl = data.ctrl
     m_pad = ctrl.P1.shape[0]
     n_pad = ctrl.SxT.shape[0]
@@ -1182,6 +1259,7 @@ def gpmpc_noisy_multitick_fused(
         cov_precision=(jax.lax.Precision.DEFAULT
                        if cov_precision == "bf16"
                        else jax.lax.Precision.HIGHEST),
+        use_dob=use_dob,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if gp is None:  # placeholder rows keep the arg list static
@@ -1193,9 +1271,14 @@ def gpmpc_noisy_multitick_fused(
             inv_ls_row=jnp.zeros((2, 16), jnp.float32),
             scal_row=jnp.zeros((1, 8), jnp.float32),
         )
+    if nominal_row is None:
+        nominal_row = plant_row      # unread unless use_dob
+    if bdist_mat is None:
+        bdist_mat = jnp.zeros((8, 128), jnp.float32)  # placeholder
     operands = (
         state_row, est_row, p_mat, aux_row, xtail_row, z0, y0,
         refs, noise, plant_row, q_mat, rdiag_row,
+        nominal_row, bdist_mat,
         gp.ztrT, gp.sq2_row, gp.alpha_s, gp.y_mean_row, gp.inv_ls_row,
         gp.scal_row,
         data.SxSwT, ctrl.SuTqT, ctrl.SuT,
