@@ -327,13 +327,20 @@ def test_fly_wind_disturbance_observer(capsys):
     assert "disturbance observer" in out
     m = json.loads(out[out.index("{"):])
     assert np.isfinite(m["rms_pos"])
-    # guard rails: fused path and non-mpc controllers reject the flag
+    # --fast runs the observer INSIDE the fused multi-tick kernel
+    # (session: observer at the latency tier); non-residual-channel
+    # controllers and bare ltv12 --wind keep rejecting loudly
     assert main(["fly", "--controller", "mpc", "--duration", "2",
-                 "--noisy", "--fast", "--disturbance-observer"]) == 1
+                 "--noisy", "--fast", "--wind", "1.5", "0.8", "0",
+                 "--disturbance-observer"]) == 0
+    out = capsys.readouterr().out
+    assert "disturbance observer" in out
     assert main(["fly", "--controller", "mpc12", "--duration", "2",
                  "--noisy", "--disturbance-observer"]) == 1
     assert main(["fly", "--controller", "ltv12", "--duration", "2",
                  "--wind", "1", "0", "0"]) == 1
+    assert main(["fly", "--controller", "ilqr12", "--duration", "2",
+                 "--noisy", "--fast", "--disturbance-observer"]) == 1
 
 
 def test_fly_gust(capsys):
@@ -349,7 +356,15 @@ def test_fly_gust(capsys):
     # the printed tail-mean disturbance must point INTO the post-gust wind
     line = [ln for ln in out.splitlines() if "disturbance observer" in ln]
     assert line and "-" in line[0].split("[")[1]
-    # guard rails: --gust without --wind / --noisy, or with --fast
+    # --fast: the gust rides the multi-tick kernel's per-tick plant rows
+    assert main(["fly", "--controller", "mpc", "--duration", "6",
+                 "--noisy", "--fast", "--wind", "1.5", "0", "0",
+                 "--gust", "2", "-1.5", "0", "0",
+                 "--disturbance-observer"]) == 0
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if "disturbance observer" in ln]
+    assert line and "-" in line[0].split("[")[1]
+    # guard rails: --gust without --wind / --noisy
     assert main(["fly", "--controller", "mpc", "--duration", "2",
                  "--noisy", "--gust", "1", "1", "0", "0"]) == 1
     assert main(["fly", "--controller", "mpc", "--duration", "2",

@@ -166,7 +166,7 @@ def test_disturbance_observer_rejects_fused():
         LinearMPCConfig(horizon=10, use_fused_controller=True),
         dtype=jnp.float32,
     )
-    with pytest.raises(ValueError, match="staged path"):
+    with pytest.raises(ValueError, match="multi-tick kernel"):
         noisy_mpc_flight_rollout(
             mpc, _fig8, 8, jax.random.PRNGKey(0),
             cfg=FlightLoopConfig(use_fused_tick=True),
@@ -241,17 +241,74 @@ def test_gust_observer_tracks_wind_change():
     )
 
 
-def test_wind_fn_rejects_fused():
+def test_wind_fn_rejects_fused_single_tick():
+    """Gusts ride the staged path or the fused MULTI-tick kernel (per-tick
+    plant rows); the single-tick kernel takes wind as a per-dispatch
+    constant and must reject wind_fn loudly."""
     from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
 
     mpc = LinearMPC(LinearMPCConfig(horizon=10), dtype=jnp.float32)
     with pytest.raises(ValueError, match="staged path"):
         noisy_mpc_flight_rollout(
             mpc, _fig8, 8, jax.random.PRNGKey(0),
-            cfg=FlightLoopConfig(use_fused_tick=True,
-                                 ticks_per_dispatch=8),
+            cfg=FlightLoopConfig(use_fused_tick=True),
             wind_fn=lambda t: jnp.zeros(3, jnp.float32),
         )
+
+
+def test_gust_fused_multitick_matches_staged():
+    """Gusts at the LATENCY tier: the fused multi-tick kernel takes a
+    (k_ticks, 16) per-tick plant-row operand when ``wind_fn`` is given —
+    the truth plant's wind changes tick-by-tick INSIDE the kernel, the
+    observer predicts with the nominal row, and the whole flight must glue
+    to the staged ``body.replace(wind=wind_fn(t))`` loop (same PRNG)."""
+    from unmanned_aerial_vehicles_tpu.loop import FlightLoopConfig
+
+    steps = 240
+    t_gust = 2.0
+    w0 = jnp.asarray([1.5, 0.8, 0.0], jnp.float32)
+    w1 = jnp.asarray([-1.0, 1.5, 0.0], jnp.float32)
+
+    def wind_fn(t):
+        return jnp.where(t < t_gust, w0, w1)
+
+    mpc_s = LinearMPC(LinearMPCConfig(horizon=10, admm_iterations=40),
+                      dtype=jnp.float32)
+    mpc_f = LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=40,
+                        use_fused_controller=True),
+        dtype=jnp.float32,
+    )
+
+    def fly(mpc, cfg, dob):
+        return jax.jit(
+            lambda: noisy_mpc_flight_rollout(
+                mpc, _fig8, steps, jax.random.PRNGKey(0), body=WINDY,
+                cfg=cfg, disturbance_observer=dob, wind_fn=wind_fn,
+            )
+        )()
+
+    for dob in (None, True):
+        staged = fly(mpc_s, FlightLoopConfig(), dob)
+        fused = fly(
+            mpc_f,
+            FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+            dob,
+        )
+        gap = np.abs(
+            np.asarray(staged["state"][:, 0:3])
+            - np.asarray(fused["state"][:, 0:3])
+        ).max()
+        assert gap < 1e-4, (dob, gap)
+        if dob:
+            d_gap = np.abs(
+                np.asarray(staged["disturbance_est"])
+                - np.asarray(fused["disturbance_est"])
+            ).max()
+            assert d_gap < 1e-3, d_gap
+            # the estimate flips with the gust on the fused path too
+            d = np.asarray(fused["disturbance_est"])
+            assert d[60:100, 0].mean() > 0.0 > d[200:, 0].mean()
 
 
 def test_disturbance_observer_direct_rate12():

@@ -664,3 +664,46 @@ def test_disturbance_observer_fused_on_chip():
     assert P.shape == (15, 15)
     assert np.isfinite(P).all()
     np.testing.assert_allclose(P, P.T, atol=1e-4)
+
+
+def test_gust_fused_multitick_on_chip():
+    """Gusts at the latency tier: the (k_ticks, 16) PER-TICK plant-row
+    operand (time-varying wind) through the real Mosaic compiler — the
+    dynamic sublane slice ``plant_ref[pl.ds(t, 1), :]`` is the new lowering
+    surface. Observer + gust must glue to the staged wind_fn flight."""
+    from unmanned_aerial_vehicles_tpu.estimation import (
+        noisy_mpc_flight_rollout,
+    )
+    from unmanned_aerial_vehicles_tpu.models import RigidBodyParams
+
+    windy = RigidBodyParams(wind=(1.5, 0.8, 0.0))
+    w0 = jnp.asarray([1.5, 0.8, 0.0], _f32)
+    w1 = jnp.asarray([-1.0, 1.5, 0.0], _f32)
+
+    def wind_fn(t):
+        return jnp.where(t < 2.0, w0, w1)
+
+    mpc = fused_mpc()
+    key = jax.random.PRNGKey(0)
+    staged = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc, circle_ref, 240, key, body=windy,
+            disturbance_observer=True, wind_fn=wind_fn,
+        )
+    )()
+    fused = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc, circle_ref, 240, key, body=windy,
+            disturbance_observer=True, wind_fn=wind_fn,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+        )
+    )()
+    assert _pos_gap(staged, fused) < 1e-3
+    d_gap = np.abs(
+        np.asarray(staged["disturbance_est"])
+        - np.asarray(fused["disturbance_est"])
+    ).max()
+    assert d_gap < 2e-3, d_gap
+    # the estimate flips with the gust on the chip too
+    d = np.asarray(fused["disturbance_est"])
+    assert d[60:100, 0].mean() > 0.0 > d[200:, 0].mean()

@@ -214,11 +214,11 @@ def _cmd_fly(args) -> int:
               "family uses --wind", file=sys.stderr)
         return 1
     if args.gust is not None:
-        if args.wind is None or not args.noisy or args.fast:
+        if args.wind is None or not args.noisy:
             print("--gust T WX WY WZ (a wind step-change at t=T on the "
                   "TRUE plant) requires --wind (the pre-gust wind) and "
-                  "--noisy, staged path (no --fast): the fused kernels "
-                  "take the wind as a per-dispatch constant",
+                  "--noisy; with --fast the multi-tick kernel reads a "
+                  "per-tick plant-row operand (6-state family)",
                   file=sys.stderr)
             return 1
     body6 = None

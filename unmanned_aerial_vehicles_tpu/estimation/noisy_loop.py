@@ -82,8 +82,11 @@ def noisy_mpc_flight_rollout(
     ``d_est`` to zero and the feedforward with it). The TRUE plant always
     integrates ``body``.
 
-    ``wind_fn(t) -> (3,)`` (staged path only) makes the TRUE plant's wind
-    time-varying — gusts, fronts, shear. This is the scenario that
+    ``wind_fn(t) -> (3,)`` makes the TRUE plant's wind time-varying —
+    gusts, fronts, shear — on the staged path (``body.replace`` per tick)
+    or the fused MULTI-tick path (the kernel takes a ``(k_ticks, 16)``
+    per-tick plant-row operand and indexes it each tick; the single-tick
+    kernel, whose wind is a per-dispatch constant, rejects it). This is the scenario that
     separates the observer from any frozen model: a GP trained on the old
     wind (or the reference's 5 s-stale retrain,
     ``gaussian_process.py:122``) keeps feeding the old correction, while
@@ -120,11 +123,14 @@ def noisy_mpc_flight_rollout(
             nominal_body = body.replace(wind=(0.0, 0.0, 0.0))
     else:
         dob_cfg = None
-    if wind_fn is not None and cfg.use_fused_tick:
+    if wind_fn is not None and cfg.use_fused_tick and (
+        cfg.ticks_per_dispatch <= 1
+    ):
         raise ValueError(
-            "wind_fn= (time-varying wind) runs on the staged path only "
-            "(FlightLoopConfig.use_fused_tick=False): the fused kernels "
-            "take the wind as a per-dispatch plant-row constant"
+            "wind_fn= (time-varying wind) runs on the staged path or the "
+            "fused MULTI-TICK path (ticks_per_dispatch > 1, where the "
+            "kernel reads a per-tick plant row); the single-tick kernel "
+            "takes the wind as a per-dispatch constant"
         )
     if cfg.use_fused_tick:
         # estimate-and-run-fast. Two fused forms:
@@ -148,7 +154,7 @@ def noisy_mpc_flight_rollout(
                 cfg, initial_state, preview=preview,
                 gp_posterior=gp_posterior, gp_gain=gp_gain, gp_dt=gp_dt,
                 online_gp=online_gp, initial_dataset=initial_dataset,
-                dob_cfg=dob_cfg, nominal_body=nominal_body,
+                dob_cfg=dob_cfg, nominal_body=nominal_body, wind_fn=wind_fn,
             )
         return _fused_noisy_rollout(
             mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop,
@@ -413,7 +419,7 @@ def _fused_noisy_multitick_rollout(
     mpc, reference_fn, num_steps, key, ekf_cfg, body, rate_loop, cfg,
     initial_state, preview=False, gp_posterior=None, gp_gain=0.1,
     gp_dt=0.02, online_gp=None, initial_dataset=None,
-    dob_cfg=None, nominal_body=None,
+    dob_cfg=None, nominal_body=None, wind_fn=None,
 ):
     """EKF INSIDE the multi-tick kernel: K whole noisy ticks per dispatch.
 
@@ -483,11 +489,30 @@ def _fused_noisy_multitick_rollout(
     m_pad = mpc._fc_data.P1.shape[0]
     data = build_tick_data(mpc._fc_data, N, CONTROL_DIM, STATE_DIM)
     dtype = jnp.float32
-    plant_row = build_plant_row(
-        body.mass, body.gravity, body.k_drag_linear,
-        (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
-        body.gravity / rate_loop.hover_thrust_norm, body.wind,
-    )
+    if wind_fn is None:
+        plant_chunks = None
+        plant_row = build_plant_row(
+            body.mass, body.gravity, body.k_drag_linear,
+            (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
+            body.gravity / rate_loop.hover_thrust_norm, body.wind,
+        )
+    else:
+        # time-varying wind: PER-TICK plant rows (k_ticks, 16) per dispatch
+        # — the kernel indexes the row at each tick, so the semantics match
+        # the staged loop's body.replace(wind=wind_fn(t)) exactly
+        ts_all = jnp.arange(num_steps, dtype=jnp.float32) * cfg.control_dt
+        winds = jax.vmap(
+            lambda t: jnp.asarray(wind_fn(t), jnp.float32)
+        )(ts_all)
+        rows = jax.vmap(
+            lambda w: build_plant_row(
+                body.mass, body.gravity, body.k_drag_linear,
+                (rate_loop.tau_roll, rate_loop.tau_pitch, rate_loop.tau_yaw),
+                body.gravity / rate_loop.hover_thrust_norm, w,
+            )[0]
+        )(winds)                                      # (T, 16)
+        plant_chunks = rows.reshape(num_steps // K, K, -1)
+        plant_row = None
     online = online_gp is not None
     if online:
         # ONLINE learning on the noisy tier: the GP's training data comes
@@ -632,14 +657,18 @@ def _fused_noisy_multitick_rollout(
     def step(carry, inputs):
         (state_row, est_row, P, aux_row, xtail_row, z, y,
          dataset, gp, pending) = carry
-        i, noise_k = inputs
+        if plant_chunks is None:
+            i, noise_k = inputs
+            p_operand = plant_row
+        else:
+            i, noise_k, p_operand = inputs   # (K, 16) per-tick plant rows
         ts = (i * K + jnp.arange(K)).astype(dtype) * cfg.control_dt
         refs, pos_refs = jax.vmap(one_ref)(ts)
 
         (packed, state_row, est_row, P, aux_row, xtail_row, z, y) = (
             gpmpc_noisy_multitick_fused(
                 data, gp, state_row, est_row, P, aux_row, xtail_row, z, y,
-                refs, noise_k, plant_row, q_mat, rdiag_row,
+                refs, noise_k, p_operand, q_mat, rdiag_row,
                 nominal_row=nominal_row, bdist_mat=bdist,
                 **statics,
             )
@@ -738,9 +767,10 @@ def _fused_noisy_multitick_rollout(
         # first dispatch completes
         (jnp.zeros(12, dtype), jnp.zeros(4, dtype), jnp.array(False)),
     )
-    (state_row, est_row, P, *_), outs = jax.lax.scan(
-        step, init, (jnp.arange(num_steps // K), noise_chunks)
-    )
+    xs = (jnp.arange(num_steps // K), noise_chunks)
+    if plant_chunks is not None:
+        xs = xs + (plant_chunks,)
+    (state_row, est_row, P, *_), outs = jax.lax.scan(step, init, xs)
     outs = jax.tree_util.tree_map(
         lambda a: a.reshape((num_steps,) + a.shape[2:]), outs
     )

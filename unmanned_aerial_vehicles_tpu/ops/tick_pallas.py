@@ -882,8 +882,13 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         m_pad = p1_ref.shape[0]
         n_pad = sut_ref.shape[0]
         zero = jnp.float32(0.0)
-        plant = _read_plant(plant_ref)
-        gravity = plant[1]
+        # plant operand: (1, 16) = constant plant, or (k_ticks, 16) =
+        # PER-TICK rows (time-varying wind, the staged loop's wind_fn
+        # semantics — gusts at the latency tier); only the wind lanes vary,
+        # so gravity/mass may come from row 0
+        plant_rows = plant_ref.shape[0]
+        plant0 = _read_plant(plant_ref)
+        gravity = plant0[1]
         Qmat = qmat_ref[:]
         # Disturbance-observer mode (estimation.disturbance at the latency
         # tier): the filter PREDICTS with the NOMINAL plant row — the
@@ -893,9 +898,15 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
         # exact d-injection Jacobian block (d(x')/d(d): 0.5 dt^2 on position
         # rows, dt on velocity rows), so F_aug = I + Fd12 + bdist — the same
         # jacfwd(aug_step) the staged dekf_step computes.
-        ekf_plant = _read_plant(nom_ref) if use_dob else plant
+        nom_plant = _read_plant(nom_ref) if use_dob else None
 
-        def _fd_chain(ex, prev_c, x2, x3, x4):
+        def plant_at(t):
+            if plant_rows == 1:
+                return plant0
+            prow = plant_ref[pl.ds(t, 1), :]
+            return tuple(prow[0, i] for i in range(len(plant0)))
+
+        def _fd_chain(ex, prev_c, x2, x3, x4, ekf_plant):
             # transition Jacobian F = I + Fd with
             # Fd = h/6 (K1 + 2K2 + 2K3 + K4), K_{i+1} = J(x_i)(I + c_i h K_i)
             # — the exact RK4 chain rule (px4_step_jacobian) from the
@@ -919,15 +930,16 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
             # 4 Jacobian builds + 3 (PK,PK) HIGHEST matmuls per tick; the
             # state PREDICTION itself stays per-tick exact, only the
             # covariance propagation sees the frozen F
+            ekf_pl0 = nom_plant if use_dob else plant0
             ex0 = tuple(est_ref[0, i] for i in range(12))
             c0 = tuple(aux_ref[0, 11 + i] for i in range(4))
-            k1_0 = _derivative(ex0, c0, ekf_plant)
+            k1_0 = _derivative(ex0, c0, ekf_pl0)
             x2_0 = _axpy(ex0, k1_0, 0.5 * dt)
-            k2_0 = _derivative(x2_0, c0, ekf_plant)
+            k2_0 = _derivative(x2_0, c0, ekf_pl0)
             x3_0 = _axpy(ex0, k2_0, 0.5 * dt)
-            k3_0 = _derivative(x3_0, c0, ekf_plant)
+            k3_0 = _derivative(x3_0, c0, ekf_pl0)
             x4_0 = _axpy(ex0, k3_0, dt)
-            fd_frozen = _fd_chain(ex0, c0, x2_0, x3_0, x4_0)
+            fd_frozen = _fd_chain(ex0, c0, x2_0, x3_0, x4_0, ekf_pl0)
         else:
             fd_frozen = None
 
@@ -940,6 +952,11 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                 axis=1,
             )
             s = tuple(state_row[0, i] for i in range(12))  # truth
+            plant = plant_at(t)          # per-tick row when wind varies
+            # the filter's process model: nominal row in observer mode;
+            # otherwise the (possibly time-varying) truth row — the staged
+            # loop's generous truth-process-model semantics for wind_fn
+            ekf_plant = nom_plant if use_dob else plant
 
             # ---- EKF predict (per-tick analytic-F covariance) ------------
             prev_c = tuple(aux_row[0, 11 + i] for i in range(4))
@@ -973,7 +990,7 @@ def _make_noisy_multitick_kernel(k_ticks, N, nu, nx, use_gp,
                     xp[3] + dt * dprev[0], xp[4] + dt * dprev[1],
                     xp[5] + dt * dprev[2],
                 ) + xp[6:]
-            Fd = (_fd_chain(ex, prev_c, x2, x3, x4)   # F = I + Fd
+            Fd = (_fd_chain(ex, prev_c, x2, x3, x4, ekf_plant)  # F = I + Fd
                   if relin_per_tick else fd_frozen)
             # (I+Fd) P (I+Fd)' + Q with P symmetric: no materialised identity
             FdP = dot_cov(Fd, P)
