@@ -125,8 +125,16 @@ def rollout_12state(controller_factory):
 
 def main():
     results = {}
+    # --only ROW[,ROW]: measure a subset and MERGE into the existing
+    # artifact (adding one row without re-rolling every other row's
+    # number under the tunnel's ±10% run-to-run noise)
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     def record(name, make_run):
+        if only is not None and name not in only:
+            return
         us, rms = slope_and_rms(make_run)
         results[name] = {
             "us_per_tick": round(us, 2),
@@ -625,10 +633,48 @@ def main():
 
     record("disturbance_observer_fused_multitick", make_dob_fused)
 
+    # gusts at the latency tier: time-varying wind through the multi-tick
+    # kernel's per-tick (k_ticks, 16) plant-row operand + the in-kernel
+    # observer — the per-tick row indexing must cost ~nothing vs the
+    # constant-row observer tier above (parity pinned in
+    # tests_tpu::test_gust_fused_multitick_on_chip)
+    from unmanned_aerial_vehicles_tpu.models import RigidBodyParams
+
+    windy_body = RigidBodyParams(wind=(1.5, 0.8, 0.0))
+    w_pre = jnp.asarray([1.5, 0.8, 0.0], jnp.float32)
+    w_post = jnp.asarray([-1.0, 1.5, 0.0], jnp.float32)
+
+    def make_gust_fused(T):
+        @jax.jit
+        def run(x_jitter):
+            x0 = (jnp.zeros(12, jnp.float32)
+                  .at[2].set(CFG.takeoff_height).at[0].set(x_jitter))
+            outs = noisy_mpc_flight_rollout(
+                mpc_f, ref, T, jax.random.PRNGKey(0), body=windy_body,
+                cfg=FlightLoopConfig(use_fused_tick=True,
+                                     ticks_per_dispatch=20,
+                                     fused_tick_loop_precision="default"),
+                initial_state=x0, disturbance_observer=True,
+                wind_fn=lambda t: jnp.where(
+                    t < 0.5 * T * CFG.control_dt, w_pre, w_post
+                ),
+            )
+            e = outs["pos_ref"] - outs["state"][:, 0:3]
+            return jnp.sqrt(jnp.mean(jnp.sum(e**2, -1)))
+
+        return run
+
+    record("gust_observer_fused_multitick", make_gust_fused)
+
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "artifacts",
         "controller_latency.json",
     )
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)["results"]
+        prior.update(results)
+        results = prior
     with open(out_path, "w") as f:
         json.dump(
             {
