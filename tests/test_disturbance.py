@@ -311,6 +311,51 @@ def test_gust_fused_multitick_matches_staged():
             assert d[60:100, 0].mean() > 0.0 > d[200:, 0].mean()
 
 
+def test_gust_composes_with_online_learning_fused():
+    """Gusts + ONLINE learning on the fused tier: the per-tick plant-row
+    operand (wind_fn) composes with the in-kernel ring-buffer GP — the
+    training data keeps flowing through the gust, the refits keep firing,
+    and the flight stays finite. (The campaign's gpmpc_online_gusty row
+    measures whether the relearning actually recovers the post-gust
+    penalty; this pins the plumbing.)"""
+    from unmanned_aerial_vehicles_tpu.gp.residual_gp import ResidualGPConfig
+    from unmanned_aerial_vehicles_tpu.loop import (
+        FlightLoopConfig,
+        OnlineFusedGPConfig,
+    )
+
+    steps = 192
+    w0 = jnp.asarray([1.5, 0.8, 0.0], jnp.float32)
+    w1 = jnp.asarray([-1.0, 1.5, 0.0], jnp.float32)
+    wind_fn = lambda t: jnp.where(t < 1.6, w0, w1)
+
+    mpc_f = LinearMPC(
+        LinearMPCConfig(horizon=10, admm_iterations=40,
+                        use_fused_controller=True),
+        dtype=jnp.float32,
+    )
+    outs = jax.jit(
+        lambda: noisy_mpc_flight_rollout(
+            mpc_f, _fig8, steps, jax.random.PRNGKey(0), body=WINDY,
+            cfg=FlightLoopConfig(use_fused_tick=True, ticks_per_dispatch=8),
+            wind_fn=wind_fn, gp_gain=1.0,
+            online_gp=OnlineFusedGPConfig(
+                gp=ResidualGPConfig(max_data_points=32, residual_gain=1.0),
+                refit_every=32, min_samples=8,
+            ),
+        )
+    )()
+    assert np.isfinite(np.asarray(outs["state"])).all()
+    counts = np.asarray(outs["gp_count"])
+    # capture keeps running through the gust (tick 80): the ring fills
+    assert counts[-1] == 32 and counts[60] > 8, counts[[60, -1]]
+    e = np.linalg.norm(
+        np.asarray(outs["pos_ref"]) - np.asarray(outs["state"][:, 0:3]),
+        axis=1,
+    )
+    assert np.isfinite(e).all() and e.max() < 10.0
+
+
 def test_disturbance_observer_direct_rate12():
     """Torque-family observer: the direct-rate engine's traced residual
     input is the feedforward hook (mpc_direct_rates.py:153-190). Truth =

@@ -115,7 +115,7 @@ def _gusty_rows(summary, args, cfg, num_steps, fig8, mpc_fused, windy,
     # settle 6 s after the gust, then measure to the end of the flight
     i_post = int((t_gust + 6.0) / cfg.control_dt)
 
-    def gusty_row(name, dob, res_fn, loop_cfg=None):
+    def gusty_row(name, dob, res_fn, loop_cfg=None, ogp=None):
         o = jax.jit(
             lambda: noisy_mpc_flight_rollout(
                 mpc_fused, fig8, num_steps, jax.random.PRNGKey(2),
@@ -124,6 +124,7 @@ def _gusty_rows(summary, args, cfg, num_steps, fig8, mpc_fused, windy,
                      if loop_cfg is None else loop_cfg),
                 preview=True, disturbance_observer=dob,
                 residual_fn=res_fn, wind_fn=gust_wind,
+                online_gp=ogp, gp_gain=1.0 if ogp is not None else 0.1,
             )
         )()
         o = {k: np.asarray(v) for k, v in o.items()}
@@ -137,6 +138,8 @@ def _gusty_rows(summary, args, cfg, num_steps, fig8, mpc_fused, windy,
             summary[name]["disturbance_est_postgust_mean"] = [
                 float(v) for v in o["disturbance_est"][i_post:].mean(axis=0)
             ]
+        if ogp is not None:
+            summary[name]["gp_samples_collected"] = int(o["gp_count"][-1])
         _save(name, o)
         print(name, json.dumps(summary[name]))
 
@@ -145,6 +148,19 @@ def _gusty_rows(summary, args, cfg, num_steps, fig8, mpc_fused, windy,
     gusty_row("mpc_dob_noisy_gusty_figure8", True, None)
     # the latency tier: same observer+gust INSIDE the multi-tick kernel
     gusty_row("mpc_dob_gusty_fused_figure8", True, None, loop_cfg=fused_cfg)
+    # in-flight ONLINE learning under the gust (fused tier — the ring
+    # buffer turns over in ~2.6 s, so unlike the stale oracle this model
+    # is NOT frozen; the honest comparison for the observer's
+    # "adapts to wind never seen" claim)
+    from unmanned_aerial_vehicles_tpu.loop import OnlineFusedGPConfig
+
+    gusty_row(
+        "gpmpc_online_gusty_figure8", None, None, loop_cfg=fused_cfg,
+        ogp=OnlineFusedGPConfig(
+            gp=ResidualGPConfig(max_data_points=128, residual_gain=1.0),
+            refit_every=64,
+        ),
+    )
 
 
 def _gust_gates(summary) -> None:
@@ -157,6 +173,10 @@ def _gust_gates(summary) -> None:
         ("mpc_dob_noisy_gusty_figure8", "mpc_stale_oracle_gusty_figure8"),
         ("mpc_dob_gusty_fused_figure8", "mpc_noisy_gusty_figure8"),
         ("mpc_dob_gusty_fused_figure8", "mpc_stale_oracle_gusty_figure8"),
+        # in-flight RELEARNING (ring turnover ~2.6 s) also survives the
+        # gust — unlike the frozen stale oracle
+        ("gpmpc_online_gusty_figure8", "mpc_noisy_gusty_figure8"),
+        ("gpmpc_online_gusty_figure8", "mpc_stale_oracle_gusty_figure8"),
     ):
         ga = summary[a]["rms_pos_postgust"]
         gb = summary[b]["rms_pos_postgust"]
