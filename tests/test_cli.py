@@ -364,6 +364,13 @@ def test_fly_gust(capsys):
     out = capsys.readouterr().out
     line = [ln for ln in out.splitlines() if "disturbance observer" in ln]
     assert line and "-" in line[0].split("[")[1]
+    # ... and composes with in-flight ONLINE learning (ring-buffer GP on
+    # EKF estimates while the wind changes under the kernel)
+    assert main(["fly", "--controller", "gp-mpc", "--fast", "--online",
+                 "--noisy", "--duration", "6", "--wind", "1.5", "0", "0",
+                 "--gust", "2", "-1.5", "0", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "online+noisy" in out
     # guard rails: --gust without --wind / --noisy
     assert main(["fly", "--controller", "mpc", "--duration", "2",
                  "--noisy", "--gust", "1", "1", "0", "0"]) == 1
