@@ -392,6 +392,27 @@ def test_fly_push_disturbance_observer_direct_rate12(capsys):
     # --push is the direct-rate12 scenario knob only
     assert main(["fly", "--controller", "mpc", "--duration", "2",
                  "--noisy", "--push", "1", "0", "0"]) == 1
+    # --push-step: the force STEPS at t=T (the torque family's --gust);
+    # the printed tail estimate reflects the POST-step force
+    assert main(["fly", "--controller", "direct-rate12", "--duration", "16",
+                 "--noisy", "--push", "0.6", "-0.4", "0.3",
+                 "--push-step", "8", "-0.5", "0.7", "-0.2",
+                 "--disturbance-observer"]) == 0
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines()
+            if "disturbance observer (direct-rate12)" in ln]
+    assert line
+    vals = [float(v) for v in
+            line[0].split("[")[1].split("]")[0].split()]
+    # tail mean over the second half (step at 8 s of 16): post-step force
+    # dominates — sign pattern must match (-0.5, +0.7, -0.2)
+    assert vals[0] < 0.0 < vals[1] and vals[2] < 0.0, vals
+    # guard rails: --push-step needs --push, --noisy and direct-rate12
+    assert main(["fly", "--controller", "direct-rate12", "--duration", "2",
+                 "--noisy", "--push-step", "1", "1", "0", "0"]) == 1
+    assert main(["fly", "--controller", "mpc", "--duration", "2", "--noisy",
+                 "--push", "1", "0", "0",
+                 "--push-step", "1", "0", "1", "0"]) == 1
 
 
 def test_fly_ltv12_wind_disturbance_observer(capsys):

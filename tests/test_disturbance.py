@@ -418,6 +418,63 @@ def test_disturbance_observer_direct_rate12():
         )
 
 
+def test_push_step_observer_direct_rate12():
+    """The torque family's GUST: the unmodelled force STEPS mid-flight
+    (``plant_step_tfn``). The filter's model stays nominal, so the settled
+    estimate must land on the PRE-step force, flip, and land on the
+    POST-step force — exactly (the force is constant-in-derivative on each
+    side of the step)."""
+    from unmanned_aerial_vehicles_tpu.control import DirectRateMPC
+    from unmanned_aerial_vehicles_tpu.control.mpc_rigid import (
+        direct_rate_step,
+    )
+    from unmanned_aerial_vehicles_tpu.estimation.noisy_loop import (
+        noisy_rigid_mpc_rollout,
+    )
+
+    steps, dt = 1000, 0.02  # 20 s; step at 10 s
+    d_pre = jnp.asarray([0.6, -0.4, 0.3], jnp.float32)
+    d_post = jnp.asarray([-0.5, 0.7, -0.2], jnp.float32)
+    row_pre = jnp.zeros(12, jnp.float32).at[3:6].set(d_pre)
+    row_post = jnp.zeros(12, jnp.float32).at[3:6].set(d_post)
+    eng = DirectRateMPC()
+
+    def ref(t):
+        pos, yaw = ramped_figure8_reference(t, amplitude=2.0, frequency=0.1)
+        return pos + jnp.asarray([0.0, 0.0, 3.0], jnp.float32), yaw
+
+    outs = jax.jit(
+        lambda: noisy_rigid_mpc_rollout(
+            eng, ref, steps, jax.random.PRNGKey(0), dt=dt,
+            plant_step_tfn=lambda x, u, t: direct_rate_step(
+                x, u, jnp.where(t < 10.0, row_pre, row_post), dt=dt),
+            process_step_fn=lambda x, u: direct_rate_step(
+                x, u, jnp.zeros(12, jnp.float32), dt=dt),
+            yaw_channel=False, disturbance_observer=True,
+        )
+    )()
+    d = np.asarray(outs["disturbance_est"])
+    np.testing.assert_allclose(d[350:500].mean(axis=0), np.asarray(d_pre),
+                               atol=0.08)
+    np.testing.assert_allclose(d[850:].mean(axis=0), np.asarray(d_post),
+                               atol=0.08)
+
+    # guard rails: tfn + fn together, and tfn without an explicit
+    # process model, are loud errors
+    with pytest.raises(ValueError, match="not both"):
+        noisy_rigid_mpc_rollout(
+            eng, ref, 4, jax.random.PRNGKey(0), dt=dt,
+            plant_step_fn=lambda x, u: x,
+            plant_step_tfn=lambda x, u, t: x,
+            process_step_fn=lambda x, u: x, yaw_channel=False,
+        )
+    with pytest.raises(ValueError, match="process_step_fn"):
+        noisy_rigid_mpc_rollout(
+            eng, ref, 4, jax.random.PRNGKey(0), dt=dt,
+            plant_step_tfn=lambda x, u, t: x, yaw_channel=False,
+        )
+
+
 def test_disturbance_observer_ltv12_multirate():
     """LTV tier observer: the 15-state filter fuses at the 100 Hz sensor
     rate over the NOMINAL model while the true plant flies a windy GZ

@@ -213,6 +213,15 @@ def _cmd_fly(args) -> int:
               "plant) is the direct-rate12 scenario knob; the 6-state "
               "family uses --wind", file=sys.stderr)
         return 1
+    if args.push_step is not None and (
+        args.push is None or not args.noisy
+        or args.controller != "direct-rate12"
+    ):
+        print("--push-step T AX AY AZ (the unmodelled force steps at t=T "
+              "on the TRUE plant — the torque family's --gust) requires "
+              "--push (the pre-step force), --noisy and "
+              "--controller direct-rate12", file=sys.stderr)
+        return 1
     if args.gust is not None:
         if args.wind is None or not args.noisy:
             print("--gust T WX WY WZ (a wind step-change at t=T on the "
@@ -477,13 +486,31 @@ def _cmd_fly(args) -> int:
                     push_row = push_row.at[3:6].set(
                         jnp.asarray(args.push, jnp.float32))
                 noisy_kw = dict(
-                    plant_step_fn=lambda x, u: direct_rate_step(
-                        x, u, push_row, dt=float(cfg.control_dt)),
                     process_step_fn=lambda x, u: direct_rate_step(
                         x, u, jnp.zeros(12, jnp.float32),
                         dt=float(cfg.control_dt)),
                     yaw_channel=False,
                 )
+                if args.push_step is not None:
+                    # --push-step: the unmodelled force STEPS at t=T on
+                    # the TRUE plant (the torque family's --gust); the
+                    # filter's model stays nominal, so only the observer
+                    # adapts
+                    t_p = float(args.push_step[0])
+                    post_row = jnp.zeros(12, jnp.float32).at[3:6].set(
+                        jnp.asarray(args.push_step[1:], jnp.float32))
+                    noisy_kw["plant_step_tfn"] = (
+                        lambda x, u, t: direct_rate_step(
+                            x, u,
+                            jnp.where(t < t_p, push_row, post_row),
+                            dt=float(cfg.control_dt),
+                        )
+                    )
+                else:
+                    noisy_kw["plant_step_fn"] = (
+                        lambda x, u: direct_rate_step(
+                            x, u, push_row, dt=float(cfg.control_dt))
+                    )
                 if args.disturbance_observer:
                     noisy_kw["disturbance_observer"] = True
             outs12 = jax.jit(lambda: noisy_rigid_mpc_rollout(
@@ -1377,6 +1404,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(--noisy, staged path; pair with "
                         "--disturbance-observer to watch the estimate "
                         "re-converge)")
+    f.add_argument("--push-step", nargs=4, type=float, default=None,
+                   metavar=("T", "AX", "AY", "AZ"),
+                   help="the torque family's --gust: at t=T (s) the "
+                        "unmodelled force switches from --push to "
+                        "(AX, AY, AZ) on the TRUE plant (direct-rate12 "
+                        "--noisy; pair with --disturbance-observer)")
     f.set_defaults(fn=_cmd_fly)
 
     m = sub.add_parser("mission", help="full phase-machine mission")

@@ -790,6 +790,7 @@ def noisy_rigid_mpc_rollout(
     initial_state: jnp.ndarray | None = None,
     takeoff_height: float = 3.0,
     plant_step_fn: Callable | None = None,
+    plant_step_tfn: Callable | None = None,
     process_step_fn: Callable | None = None,
     yaw_channel: bool = True,
     disturbance_observer=None,
@@ -813,6 +814,10 @@ def noisy_rigid_mpc_rollout(
     the direct-rate engine flies its rate-lag model this way
     (``mpc_direct_rates.py:153-190``); ``yaw_channel=False`` for engines
     whose ``solve`` takes no yaw target (direct-rate tracks position only).
+    ``plant_step_tfn(x, u, t) -> x_next`` is the TIME-VARYING truth plant
+    (the torque family's ``wind_fn`` analogue: a pushing force that steps
+    mid-flight); it requires an explicit ``process_step_fn`` (the filter's
+    model must not silently track the disturbance being estimated).
 
     ``reference_fn(t) -> (pos_ref, yaw_ref)``. Returns the staged loop's
     output dict plus ``state_est``/``meas_pos``.
@@ -838,7 +843,16 @@ def noisy_rigid_mpc_rollout(
         initial_state = jnp.zeros(12, dtype).at[2].set(takeoff_height)
     initial_state = initial_state.astype(dtype)
 
-    if plant_step_fn is None:
+    if plant_step_tfn is not None:
+        if plant_step_fn is not None:
+            raise ValueError("pass plant_step_fn OR plant_step_tfn, not both")
+        if process_step_fn is None:
+            raise ValueError(
+                "plant_step_tfn= (time-varying truth) requires an explicit "
+                "process_step_fn — the filter's model must not silently "
+                "track the disturbance being estimated"
+            )
+    elif plant_step_fn is None:
         # TRUTH integrates through the backend-aware fast step (Pallas
         # kernel on TPU — 2e-8 parity with the XLA step,
         # tests/test_rigid_plant_kernel); the EKF process model defaults
@@ -904,7 +918,8 @@ def noisy_rigid_mpc_rollout(
             u, _, mc = controller.solve(mc, x_est, pos_ref, residuals=rows)
         else:
             u, _, mc = controller.solve(mc, x_est, pos_ref)
-        new_state = plant_step_fn(state, u)
+        new_state = (plant_step_fn(state, u) if plant_step_tfn is None
+                     else plant_step_tfn(state, u, t))
 
         out = {
             "state": state,
