@@ -192,6 +192,26 @@ def _gust_gates(summary) -> None:
           f"{gb:.3f} m (post-gust)")
 
 
+def _note(duration: float) -> str:
+    return (
+        f"{duration:.0f} s flights on the PX4-surrogate plant; "
+        "pid_flight_circle uses the campaign-calibrated hover thrust "
+        "(models.px4_surrogate.PID_CAMPAIGN_RATE_LOOP); preview mode "
+        "feeds per-stage horizon references (capability beyond the "
+        "reference's point-target tracking); thrust_sat_nonhover_pct is "
+        "the informative (hover-band-excluded) saturation variant; "
+        "pid_flight_circle_tuned flies gains auto-tuned by gradient "
+        "descent through the closed loop (tuning/, 30 s window); "
+        "montecarlo_* rows are 256-flight dispersion studies "
+        "(randomized mass/drag/lags/wind, loop.monte_carlo); "
+        "*_gusty rows fly a wind step-change at duration/2 and "
+        "rms_pos_postgust measures from 6 s after the step to the "
+        "end (mpc_dob_gusty_fused runs the observer+gust INSIDE the "
+        "fused multi-tick kernel; gpmpc_online_gusty relearns "
+        "in-flight through the gust)"
+    )
+
+
 def _gusty_inputs(cfg):
     """The objects the gusty section needs (shared by full / --only-gusty)."""
     from unmanned_aerial_vehicles_tpu.models import RigidBodyParams
@@ -248,6 +268,7 @@ def main() -> int:
         windy_g, mpc_fused_g, fused_cfg_g, oracle_g = _gusty_inputs(cfg)
         _gusty_rows(summary, args, cfg, num_steps, fig8, mpc_fused_g,
                     windy_g, oracle_g, fused_cfg_g)
+        payload["note"] = _note(args.duration)
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=2)
         print("wrote", out_path, "(gusty rows merged)")
@@ -605,18 +626,7 @@ def main() -> int:
     payload = {
         "ours": summary,
         "reference_baselines": REFERENCE_BASELINES,
-        "note": (
-            f"{args.duration:.0f} s flights on the PX4-surrogate plant; "
-            "pid_flight_circle uses the campaign-calibrated hover thrust "
-            "(models.px4_surrogate.PID_CAMPAIGN_RATE_LOOP); preview mode "
-            "feeds per-stage horizon references (capability beyond the "
-            "reference's point-target tracking); thrust_sat_nonhover_pct is "
-            "the informative (hover-band-excluded) saturation variant; "
-            "pid_flight_circle_tuned flies gains auto-tuned by gradient "
-            "descent through the closed loop (tuning/, 30 s window); "
-            "montecarlo_* rows are 256-flight dispersion studies "
-            "(randomized mass/drag/lags/wind, loop.monte_carlo)"
-        ),
+        "note": _note(args.duration),
     }
     out_path = os.path.join(ARTIFACTS, "metrics_summary.json")
     with open(out_path, "w") as f:
